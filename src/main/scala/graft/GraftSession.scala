@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the graft engine.
+  *
+  * Local mode is one JVM with N executor threads; on a real cluster the same
+  * configs apply per-executor. Shuffle partitions track the core count (the
+  * 100 TB deployment overrides via spark.sql.shuffle.partitions on submit;
+  * AQE coalesces small post-shuffle partitions either way).
+  */
+object GraftSession {
+  def create(appName: String = "graft",
+      cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      : SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.ts is nanosecond parquet, unreadable otherwise (Tables.load
+      // converts the long back to a microsecond TIMESTAMP_NTZ).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

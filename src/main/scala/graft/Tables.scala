@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All graft operators take plain DataFrames; these helpers only centralize
+  * the `dir/name.parquet` convention so queries stay one-liners.
+  *
+  * Timestamp semantics: the fixtures carry `isAdjustedToUTC=false` parquet
+  * timestamps, which Spark 4 reads as TIMESTAMP_NTZ — the same naive-local
+  * semantics DuckDB's TIMESTAMP has, so oracle comparison is direct. The
+  * `events.ts` column is nanosecond precision, which Spark's parquet reader
+  * rejects outright; sessions must set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]), and
+  * [[load]] converts the resulting long back to a microsecond TIMESTAMP_NTZ
+  * (floor division — matching DuckDB's nanos→micros truncation on read).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        d.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      else d
+    }
+  }
+
+  /** Register every fixture table as a temp view (for spark.sql queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

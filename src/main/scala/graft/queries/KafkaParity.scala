@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.Tables
+import graft.sources.KafkaSource
+
+/** Parity queries for the reference's single operator: the `kafka_consumer`
+  * streaming scan (reference: src/kafquack_extension.cpp:68-230), exercised
+  * through the broker-free [[KafkaSource.replay]] projection of the events
+  * fixture (same 7-column shape, same errors-as-data semantics).
+  */
+object KafkaParity {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The full 7-column kafka_consumer relation (README.md:13 `SELECT *`).
+    "k01_replay_records" -> { (s, dir) =>
+      KafkaSource.replay(Tables.load(s, dir, "events"))
+        .orderBy(col("offset"))
+    },
+
+    // Errors-as-data invariant: value IS NULL XOR error IS NULL
+    // (cpp:189-197), plus a JSON decode stage downstream of the scan.
+    "k02_decode_errors" -> { (s, dir) =>
+      val dec = KafkaSource.withJsonDecoded(
+        KafkaSource.replay(Tables.load(s, dir, "events")), propsSchema)
+      dec.agg(
+        count(lit(1)).as("n_total"),
+        count(col("error")).as("n_errors"),
+        sum(col("decoded").getField("k")).as("sum_k"),
+        count(when(col("value").isNull === col("error").isNull, 1))
+          .as("n_invariant_violations"))
+    },
+
+    // Per-partition consumption stats — the unit of parallelism Spark's
+    // Kafka source reads with (vs the reference's forced single thread,
+    // cpp:63-65).
+    "k03_partition_stats" -> { (s, dir) =>
+      KafkaSource.replay(Tables.load(s, dir, "events"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"),
+          max(col("offset")).as("max_offset"),
+          count(col("error")).as("n_errors"))
+        .orderBy(col("partition"))
+    })
+
+  private val replaySql = """
+      SELECT 'events' AS "topic", CAST(event_id % 8 AS INT) AS "partition",
+        event_id AS "offset", date_trunc('milliseconds', ts) AS "timestamp",
+        event_type AS "key",
+        CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS "value",
+        CASE WHEN event_id % 97 = 0 THEN 'simulated broker error' END AS "error"
+      FROM events"""
+
+  val oracles: Map[String, String] = Map(
+    "k01_replay_records" ->
+      s"""SELECT * FROM ($replaySql) ORDER BY "offset"""",
+
+    "k02_decode_errors" -> s"""
+      SELECT count(*) AS n_total, count("error") AS n_errors,
+        sum(CAST(json_extract_string("value", '$$.k') AS INT)) AS sum_k,
+        count(*) FILTER (WHERE ("value" IS NULL) = ("error" IS NULL))
+          AS n_invariant_violations
+      FROM ($replaySql)""",
+
+    "k03_partition_stats" -> s"""
+      SELECT "partition", count(*) AS n, min("offset") AS min_offset,
+        max("offset") AS max_offset, count("error") AS n_errors
+      FROM ($replaySql) GROUP BY 1 ORDER BY 1""")
+}

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One row of the reference's fixed 7-column output schema
+  * (reference: src/kafquack_extension.cpp:101-110).
+  *
+  * Invariant (reference: src/kafquack_extension.cpp:189-197): exactly one of
+  * `value` / `error` is null — errors are data, the scan never fails on a bad
+  * message.
+  */
+case class KafkaRecord(
+    topic: String,
+    partition: Int,
+    offset: Long,
+    timestamp: java.sql.Timestamp,
+    key: String,
+    value: String,
+    error: String)
+
+/** SASL options mirroring the reference's named parameters
+  * (reference: src/kafquack_extension.cpp:216-221).
+  */
+case class SaslConfig(
+    securityProtocol: String,
+    saslMechanism: String = "PLAIN",
+    username: String = null,
+    password: String = null)
+
+/** Spark-native equivalent of the reference's `kafka_consumer` table function
+  * (reference: src/kafquack_extension.cpp:68-230).
+  *
+  * The reference is a single-threaded (MaxThreads()==1, cpp:63-65), per-message
+  * sync-committing (cpp:199-203) pull scan. The Spark mapping is Structured
+  * Streaming's Kafka source: partition-parallel reads with batch-checkpointed
+  * offsets — a strict upgrade documented in SURVEY.md §1.4. Argument
+  * validation reproduces the reference's four bind-time error cases verbatim
+  * (cpp:80-99) so a user of the reference sees the same error surface.
+  */
+object KafkaSource {
+
+  /** The reference's hard-coded output schema (cpp:101-110). */
+  val schema: StructType = StructType(Seq(
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = true),
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  val ValidProtocols: Set[String] = Set("SASL_SSL", "SASL_PLAINTEXT") // cpp:80-82
+  val ValidMechanisms: Set[String] = Set("SCRAM-SHA-256", "PLAIN")    // cpp:85-87
+  val KnownNamedParams: Set[String] =
+    Set("security_protocol", "sasl_mechanism", "username", "password") // cpp:216-221
+
+  /** Bind-time validation, error-for-error with the reference (cpp:77-99). */
+  def validate(sasl: Option[SaslConfig]): Unit = sasl.foreach { c =>
+    if (!ValidProtocols.contains(c.securityProtocol))
+      throw new IllegalArgumentException(
+        "security_protocol must be either SASL_SSL or SASL_PLAINTEXT") // cpp:81
+    if (c.saslMechanism != null && !ValidMechanisms.contains(c.saslMechanism))
+      throw new IllegalArgumentException(
+        "sasl_mechanism must be either SCRAM-SHA-256 or PLAIN") // cpp:86
+    if (c.username == null || c.username.isEmpty ||
+        c.password == null || c.password.isEmpty)
+      throw new IllegalArgumentException(
+        "username and password are required when security_protocol is set") // cpp:98
+  }
+
+  /** Rejects unknown named parameters like the reference binder (cpp:92-94). */
+  def validateNamedParams(params: Map[String, String]): Unit =
+    params.keys.find(!KnownNamedParams.contains(_)).foreach { k =>
+      throw new IllegalArgumentException(s"Unknown named parameter: $k")
+    }
+
+  private def kafkaOptions(
+      brokers: String, topic: String, groupId: String,
+      sasl: Option[SaslConfig]): Map[String, String] = {
+    require(brokers != null && brokers.nonEmpty, "brokers is required")
+    require(topic != null && topic.nonEmpty, "topic is required")
+    require(groupId != null && groupId.nonEmpty, "group_id is required")
+    validate(sasl)
+    val base = Map(
+      "kafka.bootstrap.servers" -> brokers, // cpp:113 metadata.broker.list
+      "subscribe" -> topic,                 // cpp:126
+      "kafka.group.id" -> groupId)          // cpp:115
+    val sec = sasl.toSeq.flatMap { c =>
+      val mech = Option(c.saslMechanism).getOrElse("PLAIN") // cpp:119-121 default
+      Seq(
+        "kafka.security.protocol" -> c.securityProtocol,
+        "kafka.sasl.mechanism" -> mech,
+        "kafka.sasl.jaas.config" ->
+          (s"org.apache.kafka.common.security.${if (mech == "PLAIN") "plain.PlainLoginModule" else "scram.ScramLoginModule"} " +
+            s"""required username="${c.username}" password="${c.password}";"""))
+    }
+    base ++ sec
+  }
+
+  /** Project the Kafka connector's fixed schema onto the reference's 7
+    * columns. `error` is synthesized NULL on the happy path (the Spark source
+    * fails the query on consumer errors instead of emitting error rows —
+    * SURVEY.md §1.3); decode stages repopulate it via [[withJsonDecoded]] etc.
+    */
+  def project(kafkaDf: DataFrame): DataFrame = kafkaDf.select(
+    col("topic"),
+    col("partition"),
+    col("offset"),
+    // Kafka timestamps are epoch-ms (cpp:175-176) — already ms precision.
+    col("timestamp"),
+    col("key").cast("string").as("key"),
+    col("value").cast("string").as("value"),
+    lit(null).cast("string").as("error"))
+
+  /** Streaming scan — the `SELECT * FROM kafka_consumer(...)` equivalent.
+    * Partition-parallel; offsets tracked in the query checkpoint, not broker
+    * group commits (delivery-semantics upgrade over cpp:199-203).
+    */
+  def stream(spark: SparkSession, brokers: String, topic: String,
+      groupId: String, sasl: Option[SaslConfig] = None,
+      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val reader = spark.readStream.format("kafka")
+      .options(kafkaOptions(brokers, topic, groupId, sasl))
+    project(maxOffsetsPerTrigger
+      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+      .load())
+  }
+
+  /** Batch twin (earliest→latest snapshot) for testability. */
+  def read(spark: SparkSession, brokers: String, topic: String,
+      groupId: String, sasl: Option[SaslConfig] = None): DataFrame =
+    project(spark.read.format("kafka")
+      .options(kafkaOptions(brokers, topic, groupId, sasl))
+      .option("startingOffsets", "earliest")
+      .load())
+
+  // ---------------------------------------------------------------------
+  // FileReplaySource: the events fixture projected into the exact 7-column
+  // kafka_consumer shape, so the whole downstream surface is testable with
+  // zero broker infrastructure (SURVEY.md §7 step 1).
+  // ---------------------------------------------------------------------
+
+  /** Deterministic replay of the `events` table as a kafka_consumer relation.
+    *
+    *  - topic     := constant topic name
+    *  - partition := event_id % numPartitions (stable partitioner)
+    *  - offset    := event_id (monotone per partition)
+    *  - timestamp := ts truncated to epoch-ms (cpp:175-176 ms precision)
+    *  - key       := event_type (message key)
+    *  - value     := props (the JSON payload)
+    *  - error     := simulated broker error on a deterministic 1/97 slice,
+    *                 with value NULLed — preserves the errors-as-data
+    *                 invariant `value IS NULL XOR error IS NULL` (cpp:189-197)
+    */
+  def replay(events: DataFrame, topic: String = "events",
+      numPartitions: Int = 8): DataFrame = {
+    val isErr = col("event_id") % 97 === 0
+    events.select(
+      lit(topic).as("topic"),
+      (col("event_id") % numPartitions).cast("int").as("partition"),
+      col("event_id").cast("long").as("offset"),
+      date_trunc("millisecond", col("ts")).as("timestamp"),
+      col("event_type").as("key"),
+      when(isErr, lit(null)).otherwise(col("props")).as("value"),
+      when(isErr, lit("simulated broker error")).otherwise(lit(null))
+        .cast("string").as("error"))
+  }
+
+  /** Decode stage demonstrating errors-as-data downstream of the scan: rows
+    * whose payload fails JSON decoding get value=NULL, error=<reason> instead
+    * of failing the query (the reference's model, cpp:189-197).
+    */
+  def withJsonDecoded(records: DataFrame, jsonSchema: StructType,
+      decodedCol: String = "decoded"): DataFrame = {
+    val parsed = from_json(col("value"), jsonSchema)
+    records.withColumn(decodedCol, parsed)
+      .withColumn("error",
+        when(col("error").isNotNull, col("error"))
+          .when(col("value").isNotNull && parsed.isNull,
+            concat(lit("json decode error: "), col("value")))
+          .otherwise(lit(null).cast("string")))
+  }
+}
