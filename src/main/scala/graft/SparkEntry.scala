@@ -15,7 +15,8 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (Relational.defs, Relational.oracles),
-    (KafkaParity.defs, KafkaParity.oracles))
+    (KafkaParity.defs, KafkaParity.oracles),
+    (NorthStar.defs, NorthStar.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * layer): exact, MinHash+LSH, SimHash, and exact n-gram Jaccard with
+  * prefix blocking.
+  *
+  * Scale design (100 TB):
+  *  - Signatures (minhash/simhash/fingerprints) are pure per-row expression
+  *    work — map-only, codegen'd, no shuffle, no UDFs.
+  *  - Candidate generation shuffles once on the band/block key; only
+  *    candidate pairs (a tiny fraction of the corpus) are joined back for
+  *    exact comparison — never all pairs.
+  *  - Hot band-buckets (boilerplate text) explode quadratically; cap or
+  *    salt them upstream in a production run. Thresholds are compared in
+  *    integer space (2*eq >= k) so float rounding can't flip a decision.
+  */
+object Dedup {
+
+  // ---- shingling --------------------------------------------------------
+
+  /** Distinct w-word shingles of whitespace-tokenized text; documents with
+    * fewer than w tokens contribute their whole text as one shingle.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val tk = split(text, "\\s+")
+    array_distinct(
+      when(size(tk) >= w,
+        transform(sequence(lit(0), size(tk) - w),
+          i => concat_ws(" ", slice(tk, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", tk))))
+  }
+
+  // ---- exact ------------------------------------------------------------
+
+  /** Exact-duplicate groups keyed by md5(text): (hash, n, keep_id). The
+    * representative is min(id) — the standard "keep first" policy.
+    */
+  def exactGroups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** Exact dedup: keep one row per distinct text (the min-id row). */
+  def dropExact(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** k-permutation MinHash signature as an array<long> column. Each
+    * "permutation" is the seeded cross-engine md5 hash (CrossHash), so the
+    * DuckDB oracle computes the identical signature. Map-only.
+    */
+  def minhashSignature(text: Column, k: Int = 16, w: Int = 3): Column = {
+    val sh = shingles(text, w)
+    array((0 until k).map(i =>
+      array_min(transform(sh, s => md5LongSeeded(i, s)))): _*)
+  }
+
+  /** (id, sig) for every document. */
+  def minhashSignatures(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16): DataFrame =
+    df.select(col(idCol), minhashSignature(col(textCol), k).as("sig"))
+
+  /** LSH banding: (id, band_idx, band_val) — band_val is the 60-bit hash of
+    * the band's signature slice. Pairs sharing any band are candidates.
+    */
+  def minhashBands(sigs: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = k / bands
+    val banded = sigs.select(col("*"),
+      posexplode(array((0 until bands).map(b =>
+        md5Long(concat_ws(",",
+          transform(slice(col("sig"), b * rows + 1, rows),
+            x => x.cast("string"))))): _*)).as(Seq("band_idx", "band_val")))
+    banded
+  }
+
+  /** Near-dup candidate pairs via MinHash LSH, verified against the full
+    * signatures: (a, b, n_eq, est_jaccard), keeping pairs with
+    * n_eq/k >= minJaccard (integer comparison). One shuffle on the band key
+    * + one on the pair ids.
+    */
+  def minhashPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, bands: Int = 4,
+      minJaccardPct: Int = 50): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k).cache()
+    val bandedL = minhashBands(sigs, k, bands)
+      .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
+    val bandedR = bandedL
+      .select(col("a").as("b"), col("band_idx"), col("band_val"))
+    val cand = bandedL.join(bandedR,
+        Seq("band_idx", "band_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val sa = sigs.select(col(idCol).as("a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col(idCol).as("b"), col("sig").as("sig_b"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("n_eq",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (u, v) => when(u === v, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x))
+      .filter(col("n_eq") * 100 >= lit(minJaccardPct) * k)
+      .select(col("a"), col("b"), col("n_eq"),
+        (col("n_eq").cast("double") / k).as("est_jaccard"))
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 60-bit SimHash over whitespace tokens (duplicates weighted). Bit j is
+    * set iff strictly more than half the token hashes have bit j set.
+    * Map-only expression work; cross-engine via md5 hashing. Adds columns
+    * `th` (token hashes) and `sh` (the simhash).
+    *
+    * The bit fold is an expr because the Scala `shiftright`/`shiftleft`
+    * helpers only take literal shift amounts; SQL-level shifts accept the
+    * lambda-bound bit index.
+    */
+  def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__th",
+        transform(split(col(textCol), "\\s+"), t => md5Long(t)))
+      .withColumn("sh", expr("""
+        aggregate(sequence(0, 59), cast(0 as bigint), (acc, j) -> acc +
+          (case when 2 * aggregate(__th, cast(0 as bigint),
+                  (a, h) -> a + (shiftright(h, j) & 1)) > size(__th)
+            then shiftleft(cast(1 as bigint), j)
+            else cast(0 as bigint) end))"""))
+      .drop("__th")
+
+  /** All pairs within `maxHamming` of each other, found via 4-band LSH over
+    * the 60-bit simhash (pigeonhole: <=3 differing bits leave at least one
+    * of the 4 15-bit bands identical, so recall is exact for maxHamming<=3)
+    * and verified with bit_count(xor). Output: (a, b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH over 60 bits is exact only to 3")
+    val sh = withSimhash(df, textCol)
+      .select(col(idCol).as("id"), col("sh")).cache()
+    val banded = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col("id").as("a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val r = banded.select(col("id").as("b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- exact n-gram Jaccard with prefix blocking ------------------------
+
+  /** Exact w-shingle Jaccard over candidate pairs blocked by a cheap
+    * deterministic key (md5 of the first `prefixWords` tokens — near-dups
+    * overwhelmingly share their opening words). Threshold compared in
+    * integer space: 2*|A∩B| >= |A∪B|  <=>  jaccard >= 0.5.
+    * Output: (a, b, n_inter, n_union, jaccard).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 3,
+      prefixWords: Int = 3): DataFrame = {
+    val tk = split(col(textCol), "\\s+")
+    val keyed = df.select(col(idCol).as("id"),
+      md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
+      shingles(col(textCol), w).as("sh"))
+    val l = keyed.select(col("id").as("a"), col("block"),
+      col("sh").as("sh_a"))
+    val r = keyed.select(col("id").as("b"), col("block"),
+      col("sh").as("sh_b"))
+    l.join(r, "block").filter(col("a") < col("b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_union",
+        size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+        (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Cosine near-duplicate pairs over an embedding column. Exact all-pairs
+    * at test scale; the 100 TB path buckets by [[Similarity.ivfAssign]]
+    * cells (or random-hyperplane LSH) first and compares within buckets.
+    * Threshold on round(cos, 6) so a last-ulp wobble can't flip membership.
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.45): DataFrame = {
+    val withNorm = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val l = withNorm.select(col("id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val r = withNorm.select(col("id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+}

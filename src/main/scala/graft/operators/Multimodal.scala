@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Multimodal-column conventions (north-star layer): media travel as opaque
+  * `binary` payloads plus typed metadata columns; decode / feature-extract
+  * runs batched per partition so heavyweight codec state is initialized once
+  * per task, never per row.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[StubDecoder]] derives deterministic pseudo-features from
+  * the payload hash. The Spark-side plumbing — schema, batching,
+  * partitioning, feature shape — is real and is what the tests exercise;
+  * swap `decode` for a real codec in production.
+  */
+object Multimodal {
+
+  /** Typed metadata for one media payload. */
+  case class MediaMeta(doc_id: Long, n_bytes: Long, media_type: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Decoded pseudo-features. */
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+      brightness: Double, n_patches: Int)
+
+  /** Expression-level metadata extraction (codegen'd, no UDF): payload size
+    * plus pseudo width/height/frames derived from the cross-engine md5 hash
+    * of the payload — deterministic, so oracle-checkable.
+    */
+  def withMediaMeta(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id"): DataFrame = {
+    val p = col(payloadCol)
+    df.withColumn("n_bytes", length(p).cast("long"))
+      .withColumn("media_type",
+        when(length(p) % 3 === 0, "image")
+          .when(length(p) % 3 === 1, "audio").otherwise("video"))
+      .withColumn("width", (md5Long(p.cast("string")) % 1280).cast("int"))
+      .withColumn("height",
+        (md5LongSeeded(1, p.cast("string")) % 720).cast("int"))
+      .withColumn("n_frames",
+        (md5LongSeeded(2, p.cast("string")) % 300).cast("int"))
+  }
+
+  /** Deterministic stand-in for a real media decoder. Batched per partition:
+    * real codecs amortize context setup across the batch exactly like this.
+    */
+  object StubDecoder {
+    def decodeBatch(rows: Iterator[(Long, Array[Byte])])
+        : Iterator[MediaFeatures] = {
+      // Real impl: val codec = Codec.open(...)  — once per partition/task.
+      rows.map { case (id, bytes) =>
+        val h = java.util.Arrays.hashCode(bytes) & 0x7FFFFFFF
+        MediaFeatures(id, h % 1280, (h / 1280) % 720,
+          (h % 1000) / 1000.0, bytes.length / 256 + 1)
+      }
+    }
+  }
+
+  /** Partition-batched decode over (id, payload) — the mapPartitions shape a
+    * real codec plugs into. Narrow (no shuffle); output is a typed Dataset.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    implicit val tupEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => StubDecoder.decodeBatch(rows))
+  }
+}

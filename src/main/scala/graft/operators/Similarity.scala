@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star layer).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; map-side score + per-query top-k. The
+  *    baseline and the oracle-checkable ground truth.
+  *  - IVF ([[ivfAssign]] / [[ivfSearch]]): corpus is bucketed by nearest
+  *    centroid (the inverted file); a query probes only `nprobe` cells.
+  *    At 100 TB the corpus is written partitioned by cell so a query scans
+  *    a few partitions instead of everything. Centroids here are a
+  *    deterministic sample (id % modulus == 0) so the oracle can rebuild
+  *    the exact same index; swap in k-means centroids in production.
+  *
+  * All vector math is left-to-right double folds (zip_with + aggregate) —
+  * bit-identical to DuckDB's list_dot_product on DOUBLE[].
+  */
+object Similarity {
+
+  /** Left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared euclidean distance, left-fold. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normed(df: DataFrame, idCol: String, vecCol: String,
+      id: String, v: String, n: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+      .withColumn(n, sqrt(dot(col(v), col(v))))
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self excluded). Output: (query_id, neighbor_id, cosine, rank).
+    * Ordering ties broken by neighbor id on round(cos,6).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroid set: rows whose id % modulus == 0. */
+  def sampleCentroids(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", modulus: Int = 50): DataFrame =
+    df.filter(col(idCol) % modulus === 0)
+      .select(col(idCol).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+
+  /** Inverted-file assignment: nearest centroid per vector (squared
+    * euclidean, round(d2,6), ties to the lowest centroid id). Centroids are
+    * broadcast; assignment is map-side — no shuffle of the corpus.
+    * Output: corpus columns' id + (cell, d2).
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val scored = c.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(dist2(col("v"), col("cv")), 6))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("centroid_id").as("cell"), col("d2"))
+  }
+
+  /** IVF search: each query probes its `nprobe` nearest cells and ranks
+    * only vectors assigned there by exact cosine.
+    * Output: (query_id, neighbor_id, cosine, rank) — top k per query.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidModulus: Int = 50, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val probes = {
+      val scored = q.crossJoin(broadcast(centroids))
+        .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("centroid_id"))
+      scored.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("vq"), col("nq"),
+          col("centroid_id").as("cell"))
+    }
+
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .join(assign.select(col("id").as("neighbor_id"), col("cell")),
+        "neighbor_id")
+    val scored = c.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star layer,
+  * SURVEY.md §2.2): tokenization, language-ID heuristic, quality scoring,
+  * document fingerprinting.
+  *
+  * Everything here is built from codegen'd builtins and higher-order array
+  * functions — no UDFs, no shuffles: each operator is a narrow per-row
+  * projection, so it scales embarrassingly (100 TB = map-only) and stays
+  * inside WholeStageCodegen. All arithmetic is integer or single-division
+  * double so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword lang-ID heuristic.
+    * Deterministic tie-break: languages compared in lexicographic order.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "los", "las", "y", "es", "no"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas"),
+    "zh" -> Seq("的", "是", "不", "了", "在"))
+
+  /** Whitespace tokenization (duplicates kept). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Count of tokens contained in `markers` (duplicates counted). */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers: _*)))
+
+  /** BPE-ish subword count: letter runs, digit runs, and single other
+    * non-space chars each count as one token.
+    */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** token/char statistics: n_tokens, n_chars, avg_token_len. */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens", size(tk))
+      .withColumn("n_chars_obs", length(col(textCol)))
+      .withColumn("n_bpeish", bpeishCount(col(textCol)))
+      .withColumn("avg_token_len",
+        aggregate(tk, lit(0), (acc, t) => acc + length(t)).cast("double") /
+          size(tk))
+  }
+
+  /** Stopword-marker language ID. Adds per-language scores and `lang_pred`
+    * (the argmax, ties to the lexicographically first language, `und` when
+    * no marker matches).
+    */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val scored = Markers.foldLeft(df) { case (d, (lang, ms)) =>
+      d.withColumn(s"score_$lang", markerCount(tk, ms))
+    }
+    val best = greatest(Markers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = Markers.foldLeft(when(best === 0, "und")) {
+      case (w, (lang, _)) => w.when(col(s"score_$lang") === best, lang)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Heuristic quality signals + a composite score. The score formula is
+    * fixed-order double arithmetic (see oracle SQL) — identical left-to-right
+    * evaluation in both engines.
+    */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val tk = tokens(text)
+    val nTok = size(tk)
+    val stopCnt = markerCount(tk, Markers.toMap.apply("en"))
+    val nonAlpha = length(text) -
+      length(regexp_replace(text, "[^a-z\\s]", ""))
+    val sumLen = aggregate(tk, lit(0), (acc, t) => acc + length(t))
+    val avgLen = sumLen.cast("double") / nTok
+    val stopRatio = stopCnt.cast("double") / nTok
+    df.withColumn("n_tokens", nTok)
+      .withColumn("stop_ratio", stopRatio)
+      .withColumn("nonalpha_ratio",
+        nonAlpha.cast("double") / length(text))
+      .withColumn("avg_token_len", avgLen)
+      .withColumn("quality_score",
+        lit(0.5) * (least(nTok, lit(200)).cast("double") / 200.0) +
+          lit(0.3) * (lit(1.0) - stopRatio) +
+          lit(0.2) * least(avgLen / 10.0, lit(1.0)))
+  }
+
+  /** Canonical-form fingerprint: md5 hex + 60-bit integer of the
+    * whitespace-normalized lowercase text. Exact-dup detection key.
+    */
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.withColumn("fp_md5", md5(norm))
+      .withColumn("fp60", md5Long(norm))
+  }
+}

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators._
+
+/** North-star LLM-data-pipeline queries (BASELINE.json): dedup family,
+  * similarity search, text analysis, multimodal metadata, as-of join.
+  *
+  * Every query has a full DuckDB oracle — including the sketch-based ones:
+  * MinHash/SimHash are built on the cross-engine md5 hash (CrossHash), so
+  * the oracle replicates the exact algorithm, not just its intent, and the
+  * comparison is bit-exact. Double arithmetic is limited to left-to-right
+  * folds (= DuckDB list_reduce/list_dot_product order) and thresholds are
+  * evaluated in integer space or on round(x, 6).
+  */
+object NorthStar {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----------------------------------------------------------
+    "d01_exact_dedup" -> { (s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy(col("text_md5"))
+    },
+
+    "d02_minhash_pairs" -> { (s, dir) =>
+      Dedup.minhashPairs(docs(s, dir)).orderBy(col("a"), col("b"))
+    },
+
+    "d03_simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(docs(s, dir)).orderBy(col("a"), col("b"))
+    },
+
+    "d04_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir)).orderBy(col("a"), col("b"))
+    },
+
+    "d05_embedding_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(emb(s, dir)).orderBy(col("a"), col("b"))
+    },
+
+    // ---- similarity search ---------------------------------------------
+    "s01_knn_brute" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "s02_ivf_assign" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfAssign(e, Similarity.sampleCentroids(e))
+        .select(col("id").as("vec_id"), col("cell"), col("d2"))
+        .orderBy(col("vec_id"))
+    },
+
+    "s03_ivf_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- text analysis --------------------------------------------------
+    "t01_token_stats" -> { (s, dir) =>
+      TextAnalysis.withTokenStats(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars_obs"),
+          col("n_bpeish"), col("avg_token_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t02_lang_id" -> { (s, dir) =>
+      TextAnalysis.withLangId(docs(s, dir))
+        .select(col("doc_id"), col("score_de"), col("score_en"),
+          col("score_es"), col("score_fr"), col("score_zh"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t03_quality" -> { (s, dir) =>
+      TextAnalysis.withQuality(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("nonalpha_ratio"), col("avg_token_len"), col("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t04_fingerprint" -> { (s, dir) =>
+      TextAnalysis.withFingerprint(docs(s, dir))
+        .select(col("doc_id"), col("fp_md5"), col("fp60"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal -----------------------------------------------------
+    "m01_multimodal_meta" -> { (s, dir) =>
+      Multimodal.withMediaMeta(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .select(col("doc_id"), col("n_bytes"), col("media_type"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- as-of join -----------------------------------------------------
+    "q20_asof_join" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val ord = Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      AsOfJoin.leftAsOf(ev, ord, "user_id", "ts", "o_custkey", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    })
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+  private def h(x: String) = H.format(x)
+
+  /** tokens / shingles fragments shared by several oracles. */
+  private val W = raw"string_split_regex(text, '\s+')"
+  private val ShinglesCte = s"""
+    wt AS (SELECT doc_id, $W AS w FROM documents),
+    sgl AS (SELECT doc_id, w, list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(generate_series(1, len(w) - 2),
+                          i -> array_to_string(w[i:i+2], ' '))
+      ELSE [array_to_string(w, ' ')] END) AS sh FROM wt)"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY text_md5""",
+
+    "d02_minhash_pairs" -> s"""
+      WITH $ShinglesCte,
+      sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i ->
+          list_min(list_transform(sh, s -> ${h("i || ':' || s")}))) AS sig
+        FROM sgl),
+      bands AS (SELECT doc_id, b,
+          ${h("array_to_string(sig[b*4+1:b*4+4], ',')")} AS bv
+        FROM sig, generate_series(0, 3) t(b)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      pairs AS (SELECT a, b, CAST(list_sum(list_transform(
+          list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_eq
+        FROM cand JOIN sig sa ON sa.doc_id = cand.a
+                  JOIN sig sb ON sb.doc_id = cand.b)
+      SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
+      FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    "d03_simhash_pairs" -> s"""
+      WITH th AS (SELECT doc_id,
+          list_transform($W, t -> ${h("t")}) AS th FROM documents),
+      sh AS (SELECT doc_id, CAST(list_sum(list_transform(
+          generate_series(0, 59), j ->
+          CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> j) & 1))
+                    > len(th)
+               THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+        AS BIGINT) AS sh FROM th)
+      SELECT x.doc_id AS a, y.doc_id AS b,
+        CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sh, y.sh)) <= 3
+      ORDER BY a, b""",
+
+    "d04_ngram_jaccard" -> s"""
+      WITH $ShinglesCte,
+      k AS (SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS block, sh
+        FROM sgl),
+      p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+          len(list_intersect(x.sh, y.sh)) AS n_inter,
+          len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union
+        FROM k x JOIN k y ON x.block = y.block AND x.doc_id < y.doc_id)
+      SELECT a, b, CAST(n_inter AS INT) AS n_inter,
+        CAST(n_union AS INT) AS n_union,
+        CAST(n_inter AS DOUBLE) / n_union AS jaccard
+      FROM p WHERE n_inter * 2 >= n_union ORDER BY a, b""",
+
+    "d05_embedding_neardup" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT x.vec_id AS a, y.vec_id AS b,
+        round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+      FROM n x JOIN n y ON x.vec_id < y.vec_id
+      WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.45
+      ORDER BY a, b""",
+
+    "s01_knn_brute" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM s)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s02_ivf_assign" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2, centroid_id) AS rn FROM s)
+      SELECT vec_id, centroid_id AS cell, d2 FROM r WHERE rn = 1
+      ORDER BY vec_id""",
+
+    "s03_ivf_search" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(q.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM q, c),
+      qp AS (SELECT query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
+      sc AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6) AS cosine
+        FROM qp JOIN a ON a.cell = qp.cell
+                JOIN n cn ON cn.vec_id = a.vec_id
+                JOIN n qn ON qn.vec_id = qp.query_id
+        WHERE cn.vec_id != qp.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "t01_token_stats" -> s"""
+      SELECT doc_id, CAST(len($W) AS INT) AS n_tokens,
+        CAST(length(text) AS INT) AS n_chars_obs,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+          AS INT) AS n_bpeish,
+        CAST(list_sum(list_transform($W, t -> length(t))) AS DOUBLE)
+          / len($W) AS avg_token_len
+      FROM documents ORDER BY doc_id""",
+
+    "t02_lang_id" -> s"""
+      WITH s AS (SELECT doc_id,
+        CAST(len(list_filter($W, t -> t IN ('der','die','das','und','ist','nicht'))) AS INT) AS score_de,
+        CAST(len(list_filter($W, t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+        CAST(len(list_filter($W, t -> t IN ('el','los','las','y','es','no'))) AS INT) AS score_es,
+        CAST(len(list_filter($W, t -> t IN ('le','la','les','et','est','pas'))) AS INT) AS score_fr,
+        CAST(len(list_filter($W, t -> t IN ('的','是','不','了','在'))) AS INT) AS score_zh
+        FROM documents)
+      SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+      FROM s ORDER BY doc_id""",
+
+    "t03_quality" -> s"""
+      WITH b AS (SELECT doc_id, text, $W AS w FROM documents),
+      m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(length(text) - length(regexp_replace(text, '[^a-z\\s]', '', 'g')) AS DOUBLE) / length(text) AS nonalpha_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        FROM b)
+      SELECT doc_id, n_tokens, stop_ratio, nonalpha_ratio, avg_token_len,
+        0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+          + 0.3 * (1.0 - stop_ratio)
+          + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+      FROM m ORDER BY doc_id""",
+
+    "t04_fingerprint" -> s"""
+      WITH n AS (SELECT doc_id,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents)
+      SELECT doc_id, md5(nt) AS fp_md5, ${h("nt")} AS fp60
+      FROM n ORDER BY doc_id""",
+
+    "m01_multimodal_meta" -> s"""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        CASE WHEN length(text) % 3 = 0 THEN 'image'
+             WHEN length(text) % 3 = 1 THEN 'audio' ELSE 'video' END
+          AS media_type,
+        CAST(${h("text")} % 1280 AS INT) AS width,
+        CAST(${h("'1:' || text")} % 720 AS INT) AS height,
+        CAST(${h("'2:' || text")} % 300 AS INT) AS n_frames
+      FROM documents ORDER BY doc_id""",
+
+    "q20_asof_join" -> """
+      WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                ORDER BY o_orderkey DESC) AS rn FROM orders)
+        WHERE rn = 1)
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      FROM events e ASOF LEFT JOIN o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      ORDER BY e.event_id""")
+}
