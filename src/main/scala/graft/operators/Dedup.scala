@@ -57,20 +57,44 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  /** k-permutation MinHash signature as an array<long> column. Each
-    * "permutation" is the seeded cross-engine md5 hash (CrossHash), so the
-    * DuckDB oracle computes the identical signature. Map-only.
+  /** Modulus for the linear-combination MinHash family: the Mersenne prime
+    * 2^61-1. With h1 < 2^60 and i*h2r < 2^61 the sum stays under 2^62 —
+    * no signed-64 overflow in either engine.
     */
-  def minhashSignature(text: Column, k: Int = 16, w: Int = 3): Column = {
-    val sh = shingles(text, w)
-    array((0 until k).map(i =>
-      array_min(transform(sh, s => md5LongSeeded(i, s)))): _*)
-  }
+  val MinhashP: Long = 2305843009213693951L
 
-  /** (id, sig) for every document. */
+  /** (id, sig) for every document: k-permutation MinHash as array<long>,
+    * via the native one-pass [[graft.functions.MinhashSignature]]
+    * expression. One md5 per shingle, split into two 60-bit halves; the
+    * i-th "permutation" is the classic linear combination
+    * (h1 + i*(h2>>3)) mod 2^61-1 — exactly reproducible in DuckDB SQL.
+    */
   def minhashSignatures(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 16): DataFrame =
-    df.select(col(idCol), minhashSignature(col(textCol), k).as("sig"))
+    df.select(col(idCol),
+      graft.functions.TextFunctions.minhash_signature(col(textCol), k)
+        .as("sig"))
+
+  /** Declarative (higher-order-function) formulation of the same signature;
+    * kept as the independent cross-check the spec runs against the native
+    * expression.
+    */
+  def minhashSignaturesHof(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16): DataFrame = {
+    val hs = transform(shingles(col(textCol), 3), s => {
+      val m = md5(s)
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        shiftright(conv(substring(m, 17, 15), 16, 10).cast("long"), 3)
+          .as("h2r"))
+    })
+    df.select(col(idCol), hs.as("__hs"))
+      .select(col(idCol),
+        array((0 until k).map(i =>
+          array_min(transform(col("__hs"),
+            p => (p.getField("h1") + lit(i.toLong) * p.getField("h2r"))
+              % MinhashP))): _*).as("sig"))
+  }
 
   /** LSH banding: (id, band_idx, band_val) — band_val is the 60-bit hash of
     * the band's signature slice. Pairs sharing any band are candidates.
@@ -93,7 +117,10 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 16, bands: Int = 4,
       minJaccardPct: Int = 50): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k).cache()
+    // Repartition before the (expensive, map-only) signature stage: a
+    // single-file source otherwise pins all hashing onto one task.
+    val sigs = minhashSignatures(
+      df.repartition(col(idCol)), idCol, textCol, k).cache()
     val bandedL = minhashBands(sigs, k, bands)
       .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val bandedR = bandedL
@@ -143,7 +170,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band LSH over 60 bits is exact only to 3")
-    val sh = withSimhash(df, textCol)
+    val sh = withSimhash(df.repartition(col(idCol)), textCol)
       .select(col(idCol).as("id"), col("sh")).cache()
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
@@ -172,9 +199,9 @@ object Dedup {
       textCol: String = "text", w: Int = 3,
       prefixWords: Int = 3): DataFrame = {
     val tk = split(col(textCol), "\\s+")
-    val keyed = df.select(col(idCol).as("id"),
+    val keyed = df.repartition(col(idCol)).select(col(idCol).as("id"),
       md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
-      shingles(col(textCol), w).as("sh"))
+      shingles(col(textCol), w).as("sh")).cache()
     val l = keyed.select(col("id").as("a"), col("block"),
       col("sh").as("sh_a"))
     val r = keyed.select(col("id").as("b"), col("block"),

@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product in double precision. */
+  /** Left-fold dot product in double precision (codegen'd native
+    * expression; see [[graft.functions.ArrayDotProduct]]).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
-  /** Squared euclidean distance, left-fold. */
+  /** Squared euclidean distance, left-fold (codegen'd). */
   def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.squared_distance(a, b)
+
+  /** Reference formulation via higher-order builtins — kept for the spec
+    * that proves the native expressions are bit-identical to the
+    * interpreted fold.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def normed(df: DataFrame, idCol: String, vecCol: String,
       id: String, v: String, n: String): DataFrame =

@@ -141,9 +141,14 @@ object NorthStar {
 
     "d02_minhash_pairs" -> s"""
       WITH $ShinglesCte,
-      sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i ->
-          list_min(list_transform(sh, s -> ${h("i || ':' || s")}))) AS sig
+      hp AS (SELECT doc_id, list_transform(sh, s ->
+          {'h1': ${h("s")},
+           'h2r': ('0x' || substr(md5(s), 17, 15))::BIGINT >> 3}) AS hp
         FROM sgl),
+      sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i ->
+          list_min(list_transform(hp,
+            p -> (p.h1 + i * p.h2r) % 2305843009213693951))) AS sig
+        FROM hp),
       bands AS (SELECT doc_id, b,
           ${h("array_to_string(sig[b*4+1:b*4+4], ',')")} AS bv
         FROM sig, generate_series(0, 3) t(b)),
