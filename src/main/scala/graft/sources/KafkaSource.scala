@@ -169,17 +169,27 @@ object KafkaSource {
   }
 
   /** Decode stage demonstrating errors-as-data downstream of the scan: rows
-    * whose payload fails JSON decoding get value=NULL, error=<reason> instead
-    * of failing the query (the reference's model, cpp:189-197).
+    * whose payload fails JSON decoding get error=<reason> instead of failing
+    * the query (the reference's model, cpp:189-197). PERMISSIVE from_json
+    * never yields a null struct, so malformed input is detected via a
+    * corrupt-record field appended to the schema.
     */
   def withJsonDecoded(records: DataFrame, jsonSchema: StructType,
       decodedCol: String = "decoded"): DataFrame = {
-    val parsed = from_json(col("value"), jsonSchema)
-    records.withColumn(decodedCol, parsed)
+    val corrupt = "_corrupt_json"
+    val augmented = StructType(jsonSchema.fields :+
+      StructField(corrupt, StringType))
+    val parsed = from_json(col("value"), augmented,
+      Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE"))
+    records.withColumn("__p", parsed)
       .withColumn("error",
         when(col("error").isNotNull, col("error"))
-          .when(col("value").isNotNull && parsed.isNull,
+          .when(col("value").isNotNull &&
+              col("__p").getField(corrupt).isNotNull,
             concat(lit("json decode error: "), col("value")))
           .otherwise(lit(null).cast("string")))
+      .withColumn(decodedCol,
+        when(col("__p").getField(corrupt).isNull, col("__p").dropFields(corrupt)))
+      .drop("__p")
   }
 }

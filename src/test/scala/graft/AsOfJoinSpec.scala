@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("as-of picks the latest right row at or before the left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 4L, "e2"), (2L, 100L, "e3"),
+      (3L, 50L, "e4"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"),
+      (2L, 99L, "x"))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("payload")).collect().map(r =>
+      (r.getAs[String]("ev"), r.getAs[String]("payload"))).toMap
+    assert(out("e1") === "b") // inclusive: rt=10 matches t=10
+    assert(out("e2") === null) // no right row at or before t=4
+    assert(out("e3") === "x")
+    assert(out("e4") === null) // key with no right rows
+    assert(out.size === 4) // left-join: nothing dropped
+  }
+
+  test("as-of against the fixtures matches a correlated-subquery oracle") {
+    import spark.implicits._
+    val ev = Tables.load(spark, sf, "events")
+      .select($"event_id", $"user_id", $"ts").limit(200)
+    val ord = Tables.load(spark, sf, "orders")
+      .select($"o_custkey", $"o_orderdate")
+    Tables.registerAll(spark, sf)
+    ev.createOrReplaceTempView("ev200")
+    val expected = spark.sql("""
+      SELECT event_id,
+        (SELECT max(o_orderdate) FROM orders
+         WHERE o_custkey = user_id AND o_orderdate <= ts) AS match_date
+      FROM ev200""").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val got = AsOfJoin.leftAsOf(ev, ord.distinct(), "user_id", "ts",
+        "o_custkey", "o_orderdate", Seq("o_orderdate"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(r.fieldIndex("o_orderdate"))))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (id, d) => assert(d === expected(id), s"event $id") }
+  }
+}

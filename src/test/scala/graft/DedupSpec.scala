@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sf, "documents").cache()
+
+  test("native minhash signature == declarative higher-order formulation") {
+    val a = Dedup.minhashSignatures(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val b = Dedup.minhashSignaturesHof(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.length === b.length)
+    a.zip(b).foreach { case ((ia, sa), (ib, sb)) =>
+      assert(ia === ib); assert(sa === sb)
+    }
+  }
+
+  test("banded simhash pairs == brute-force pairs (exact recall to hamming 3)") {
+    val sh = Dedup.withSimhash(docs).select(col("doc_id").as("id"), col("sh"))
+    val l = sh.select(col("id").as("a"), col("sh").as("sa"))
+    val r = sh.select(col("id").as("b"), col("sh").as("sb"))
+    val brute = l.crossJoin(r).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= 3)
+      .select("a", "b", "hamming").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(banded === brute)
+  }
+
+  test("exact dedup groups partition the corpus") {
+    val g = Dedup.exactGroups(docs)
+    assert(g.agg(sum("n")).collect()(0).getLong(0) === docs.count())
+    assert(Dedup.dropExact(docs).count() ===
+      docs.select("text").distinct().count())
+  }
+
+  test("minhash estimates high jaccard for known near-duplicates") {
+    val pairs = Dedup.minhashPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      assert(p.getAs[Double]("est_jaccard") >= 0.5)
+      assert(p.getAs[Long]("a") < p.getAs[Long]("b"))
+    }
+  }
+
+  test("ngram jaccard pairs are exact and bounded") {
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { p =>
+      val j = p.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+      assert(p.getAs[Int]("n_inter") <= p.getAs[Int]("n_union"))
+    }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pairs = Dedup.embeddingNearDupPairs(emb).collect()
+    pairs.foreach { p =>
+      assert(p.getAs[Double]("cosine") >= 0.45)
+      assert(p.getAs[Long]("a") < p.getAs[Long]("b"))
+    }
+  }
+}

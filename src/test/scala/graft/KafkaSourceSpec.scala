@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.sources.{KafkaSource, SaslConfig}
+
+/** Bind-time validation parity with the reference's error surface
+  * (src/kafquack_extension.cpp:77-99) and the errors-as-data invariants of
+  * the scan output (cpp:189-197).
+  */
+class KafkaSourceSpec extends SparkSpec {
+
+  private def msg(body: => Any): String =
+    intercept[IllegalArgumentException](body).getMessage
+
+  test("bad security_protocol error matches reference wording (cpp:81)") {
+    assert(msg(KafkaSource.validate(Some(SaslConfig("PLAINTEXT")))) ===
+      "security_protocol must be either SASL_SSL or SASL_PLAINTEXT")
+  }
+
+  test("bad sasl_mechanism error matches reference wording (cpp:86)") {
+    assert(msg(KafkaSource.validate(Some(
+      SaslConfig("SASL_SSL", "GSSAPI", "u", "p")))) ===
+      "sasl_mechanism must be either SCRAM-SHA-256 or PLAIN")
+  }
+
+  test("missing credentials error matches reference wording (cpp:98)") {
+    assert(msg(KafkaSource.validate(Some(SaslConfig("SASL_SSL")))) ===
+      "username and password are required when security_protocol is set")
+  }
+
+  test("unknown named parameter rejected (cpp:93)") {
+    assert(msg(KafkaSource.validateNamedParams(Map("frobnicate" -> "x"))) ===
+      "Unknown named parameter: frobnicate")
+  }
+
+  test("valid sasl config accepted, mechanism defaults to PLAIN (cpp:119-121)") {
+    KafkaSource.validate(Some(SaslConfig("SASL_PLAINTEXT", "PLAIN", "u", "p")))
+    KafkaSource.validate(None)
+  }
+
+  test("replay output holds the reference schema invariants") {
+    val rec = KafkaSource.replay(Tables.load(spark, sf, "events")).cache()
+    val n = rec.count()
+    assert(n > 0)
+    // value IS NULL XOR error IS NULL (cpp:189-197)
+    assert(rec.filter(col("value").isNull === col("error").isNull).count() === 0)
+    // 7 columns, reference names in order (cpp:101-110)
+    assert(rec.columns.toSeq ===
+      Seq("topic", "partition", "offset", "timestamp", "key", "value", "error"))
+    // partition bounded, offsets unique, timestamps ms-truncated (cpp:175)
+    assert(rec.filter(col("partition") < 0 || col("partition") >= 8).count() === 0)
+    assert(rec.select(col("offset")).distinct().count() === n)
+    assert(rec.filter(
+      unix_micros(col("timestamp").cast("timestamp")) % 1000 =!= 0).count() === 0)
+  }
+
+  test("json decode failures become error rows, not query failures") {
+    import spark.implicits._
+    val rows = Seq(
+      ("t", 0, 0L, null: String, """{"k": 1}""", null: String),
+      ("t", 0, 1L, null: String, "not-json", null: String),
+      ("t", 0, 2L, null: String, null: String, "upstream error"))
+      .toDF("topic", "partition", "offset", "key", "value", "error")
+    val dec = KafkaSource.withJsonDecoded(rows,
+      StructType(Seq(StructField("k", IntegerType))))
+    val byOffset = dec.orderBy("offset").collect()
+    assert(byOffset(0).getAs[String]("error") === null)
+    assert(byOffset(1).getAs[String]("error").startsWith("json decode error"))
+    assert(byOffset(2).getAs[String]("error") === "upstream error")
+    // decode never drops rows (errors-as-data)
+    assert(dec.count() === 3)
+  }
+
+  test("kafka option builder rejects empty positional args") {
+    intercept[IllegalArgumentException](
+      KafkaSource.stream(spark, "", "topic", "g"))
+    intercept[IllegalArgumentException](
+      KafkaSource.stream(spark, "b:9092", "topic", ""))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings").cache()
+
+  test("codegen'd dot product == interpreted higher-order fold, bit for bit") {
+    val v = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val both = v.select(col("vec_id"),
+      Similarity.dot(col("v"), col("v")).as("native"),
+      Similarity.dotHof(col("v"), col("v")).as("hof")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+  }
+
+  test("brute-force knn returns k ranked neighbors per query, self excluded") {
+    val res = Similarity.bruteForceTopK(emb,
+      emb.filter(col("vec_id") % 100 === 0), k = 5).cache()
+    val perQuery = res.groupBy("query_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mr")).collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getLong(1) === 5L); assert(r.getInt(2) === 5)
+    }
+    assert(res.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    assert(res.filter(col("cosine") > 1.000001 ||
+      col("cosine") < -1.000001).count() === 0)
+  }
+
+  test("ivf search is deterministic and its hits agree with brute force") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val ivf1 = Similarity.ivfSearch(emb, qs).collect().toSet
+    val ivf2 = Similarity.ivfSearch(emb, qs).collect().toSet
+    assert(ivf1 === ivf2)
+    // every (query, neighbor) the IVF returns must carry the same cosine the
+    // brute-force path computes (IVF may miss neighbors, never mis-score).
+    val brute = Similarity.bruteForceTopK(emb, qs, k = emb.count().toInt)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf1.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(brute(key) === r.getDouble(2))
+    }
+  }
+
+  test("ivf assignment covers every vector exactly once") {
+    val assign = Similarity.ivfAssign(emb,
+      Similarity.sampleCentroids(emb))
+    assert(assign.count() === emb.count())
+    assert(assign.select("id").distinct().count() === emb.count())
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.{KafkaRecord, KafkaSource}
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+
+  private def classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  test("streaming replay + windowed counts == batch aggregation") {
+    val agg = StreamOps.windowedCounts(StreamOps.replayStream(spark, sf))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("wc")
+      .select(col("bucket"), col("key"), col("n")).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    val batch = KafkaSource.replay(Tables.load(spark, sf, "events"))
+      .groupBy(window(col("timestamp"), "5 minutes")("start").as("bucket"),
+        col("key"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val mem = MemoryStream[KafkaRecord]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def rec(off: Long, key: String) =
+      KafkaRecord("t", 0, off, t0, key, s"payload-$off", null)
+    // offset 1 delivered three times (at-least-once replay), 2 and 3 once
+    mem.addData(rec(1, "a"), rec(1, "a"), rec(2, "b"))
+    mem.addData(rec(1, "a"), rec(3, "c"))
+    val dedup = StreamOps.dedupWithinWatermark(
+      mem.toDF(), Seq("topic", "partition", "offset"))
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val offsets = spark.table("dd").select("offset").collect()
+      .map(_.getLong(0)).sorted
+    assert(offsets.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("session windows emit per-key sessions") {
+    val sess = StreamOps.sessionCounts(
+      StreamOps.replayStream(spark, sf), keyCol = "key")
+    val q = sess.writeStream.outputMode("complete")
+      .format("memory").queryName("sess").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("sess")
+    assert(rows.count() > 0)
+    assert(rows.filter(col("session_end") < col("session_start")).count() === 0)
+  }
+
+  test("streaming replay preserves the value/error exclusivity invariant") {
+    val q = StreamOps.replayStream(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("replay_inv").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val t = spark.table("replay_inv")
+    assert(t.count() > 0)
+    assert(t.filter(col("value").isNull === col("error").isNull).count() === 0)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token stats on a known sentence") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.withTokenStats(df).collect()(0)
+    assert(r.getAs[Int]("n_tokens") === 6)
+    assert(r.getAs[Int]("n_chars_obs") === 20)
+    assert(r.getAs[Double]("avg_token_len") === 15.0 / 6)
+  }
+
+  test("lang id picks the marker-dominant language with deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog"),   // en
+      (2L, "der hund und die katze"), // de
+      (3L, "xyzzy qwerty"),           // no markers -> und
+      (4L, "the der"))                // tie en/de -> de (lexicographic)
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+    assert(out(4L) === "de")
+  }
+
+  test("quality score is bounded and monotone in length") {
+    val docs = Tables.load(spark, sf, "documents")
+    val q = TextAnalysis.withQuality(docs)
+    assert(q.filter(col("quality_score") < 0.0 ||
+      col("quality_score") > 1.0).count() === 0)
+    assert(q.filter(col("stop_ratio") < 0.0 ||
+      col("stop_ratio") > 1.0).count() === 0)
+  }
+
+  test("fingerprint is whitespace/case canonical") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"),
+      (3L, " hello   WORLD "))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.withFingerprint(df)
+      .select("fp_md5").distinct().count()
+    assert(fps === 1)
+  }
+
+  test("multimodal metadata is deterministic and bounded") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val m = Multimodal.withMediaMeta(docs).cache()
+    assert(m.filter(col("width") < 0 || col("width") >= 1280).count() === 0)
+    assert(m.filter(col("height") < 0 || col("height") >= 720).count() === 0)
+    assert(m.select("media_type").distinct().count() <= 3)
+  }
+
+  test("stub decoder runs batched per partition and keeps every row") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val feats = Multimodal.decodeFeatures(docs)
+    assert(feats.count() === docs.count())
+    val one = feats.filter(col("doc_id") === 0).collect()(0)
+    val again = Multimodal.decodeFeatures(docs)
+      .filter(col("doc_id") === 0).collect()(0)
+    assert(one === again)
+  }
+}
