@@ -15,6 +15,7 @@ object SparkEntry {
   private val groups: Seq[(Map[String, (SparkSession, String) => DataFrame],
       Map[String, String])] = Seq(
     (Relational.defs, Relational.oracles),
+    (Relational2.defs, Relational2.oracles),
     (KafkaParity.defs, KafkaParity.oracles),
     (NorthStar.defs, NorthStar.oracles))
 

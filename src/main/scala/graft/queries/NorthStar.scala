@@ -103,6 +103,15 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Partition-batched stub decode (mapPartitions plumbing; JVM-hash
+    // features are not SQL-expressible → deliberately oracle-free,
+    // driver runs the weaker rows-only check).
+    "m02_decode_features" -> { (s, dir) =>
+      Multimodal.decodeFeatures(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .toDF().orderBy(col("doc_id"))
+    },
+
     // ---- as-of join -----------------------------------------------------
     "q20_asof_join" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")

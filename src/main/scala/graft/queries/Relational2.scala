@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CrossHash._
+
+/** Second relational-parity wave: outer joins, cube, percentiles, analytic
+  * windows, range (non-equi) join, approximate distinct.
+  */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full outer join with null-side accounting.
+    "q21_outer_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey"))
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 4000.0)
+        .select(col("o_custkey")).distinct()
+      cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"),
+          "full_outer")
+        .agg(
+          count(when(col("c_custkey").isNotNull &&
+            col("o_custkey").isNotNull, 1)).as("n_both"),
+          count(when(col("o_custkey").isNull, 1)).as("n_left_only"),
+          count(when(col("c_custkey").isNull, 1)).as("n_right_only"))
+    },
+
+    // CUBE over two dims (complements q08 rollup / q19 grouping sets).
+    "q22_cube" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // Interpolated percentiles (both engines use rank = p*(n-1) with linear
+    // interpolation) + exact min/max.
+    "q23_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Analytic window battery: ntile, lag, lead over a deterministic order.
+    "q24_analytics" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          first(col("o_orderkey")).over(w).as("first_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // Range (non-equi) join: events within 7 days after an order by the
+    // same customer. Equi key keeps it a hash join with a range residual —
+    // the scalable shape (pure inequality joins degrade to BNLJ).
+    "q25_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority"))
+      ord.join(ev, ord("o_custkey") === ev("user_id") &&
+          ev("ts") >= ord("o_orderdate") &&
+          ev("ts") < ord("o_orderdate") + expr("INTERVAL 7 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // HLL++ approximate distinct — estimator differs from DuckDB's, so this
+    // is deliberately oracle-free (driver rows-only check); the spec bounds
+    // its error against the exact count.
+    "q26_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q21_outer_join" -> """
+      WITH b AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_totalprice > 4000.0)
+      SELECT count(CASE WHEN c_custkey IS NOT NULL
+                         AND o_custkey IS NOT NULL THEN 1 END) AS n_both,
+             count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_left_only,
+             count(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_right_only
+      FROM customer FULL OUTER JOIN b ON c_custkey = o_custkey""",
+
+    "q22_cube" -> """
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "q23_percentiles" -> """
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS p50_qty,
+             quantile_cont(l_quantity, 0.9) AS p90_qty,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q24_analytics" -> """
+      SELECT o_custkey, o_orderkey,
+             ntile(4) OVER w AS quartile,
+             lag(o_orderkey, 1) OVER w AS prev_key,
+             lead(o_orderkey, 1) OVER w AS next_key,
+             first_value(o_orderkey) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q25_range_join" -> """
+      SELECT o_orderpriority, count(*) AS n_pairs,
+             count(DISTINCT o_orderkey) AS n_orders
+      FROM orders JOIN events
+        ON o_custkey = user_id
+       AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan quality gates: the properties that make these queries
+  * survive a 100x scale-up, asserted against explain output so a regression
+  * in plan shape fails CI, not just the benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("filters reach the parquet scan (q02: PushedFilters non-empty)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05"), p)
+  }
+
+  test("column pruning reaches the scan (q02 reads only needed columns)") {
+    val p = plan("q02_filter_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_returnflag"), read)
+    assert(read.contains("l_extendedprice"), read)
+  }
+
+  test("dimension joins broadcast (q04: BroadcastHashJoin, no SortMerge)") {
+    val p = plan("q04_region_supplier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("fact-side join in q03 broadcasts the filtered dims") {
+    val p = plan("q03_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("global sort+limit compiles to TakeOrderedAndProject (q06)") {
+    val p = plan("q06_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins stay key-only (q10: LeftSemi/LeftAnti)") {
+    val p = plan("q10_semi_anti")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("aggregations are partial+final (q01: two HashAggregate phases)") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("vector math uses the native codegen expression (s01)") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("array_dot_product"), p)
+    // whole-stage codegen spans exist in the executed (post-AQE) plan
+    val df = SparkEntry.queries("s01_knn_brute")(spark, sf)
+    df.collect() // finalize the adaptive plan on THIS QueryExecution
+    val executed = df.queryExecution.explainString(FormattedMode)
+    assert(executed.contains("codegen id"), executed)
+  }
+
+  test("rank top-k is pushed below the window (s01: WindowGroupLimit)") {
+    assert(plan("s01_knn_brute").contains("WindowGroupLimit"))
+  }
+
+  test("knn broadcast-joins the query set, not the corpus (s01)") {
+    val p = plan("s01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("range join keeps the equi-key hash join with range residual (q25)") {
+    val p = plan("q25_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
