@@ -1,0 +1,58 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Sink surface (SURVEY.md §2.2 "Sinks" row).
+  *
+  * The reference extension has NO sinks — results go wherever the host
+  * query sends them. The Spark engine provides the full write surface:
+  * batch `df.write` to partitioned parquet (the 100 TB layout primitive)
+  * and checkpointed streaming writers with exactly-once delivery to
+  * file sinks (vs the reference's at-least-once per-message commits,
+  * kafquack_extension.cpp:199-203).
+  */
+object Sinks {
+
+  /** Batch parquet write, hash-distributed into `partitionCols` directories
+    * — the layout that lets downstream scans partition-prune. At 100 TB,
+    * choose low-cardinality columns (date, topic, cell) and let AQE size
+    * the files.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String], mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Streaming parquet sink with a checkpoint: offsets + file manifest are
+    * committed atomically per micro-batch, so restart resumes exactly-once
+    * (the delivery-semantics upgrade documented in SURVEY.md §1.4).
+    */
+  def parquetSink(records: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    records.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode("append")
+      .start()
+
+  /** foreachBatch escape hatch: arbitrary batch-writer logic per
+    * micro-batch (upserts, multi-table fanout) with the batch id for
+    * idempotence.
+    */
+  def foreachBatchSink(records: DataFrame, checkpoint: String)(
+      f: (Dataset[Row], Long) => Unit): StreamingQuery =
+    records.writeStream
+      .foreachBatch(f)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Convenience: configured writer for a memory sink (tests/debug). */
+  def memorySink(records: DataFrame, name: String): DataStreamWriter[Row] =
+    records.writeStream.format("memory").queryName(name)
+}

@@ -1,10 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
-import graft.sources.KafkaSource
+import graft.sources.{KafkaRecord, KafkaSource}
+
+/** A detected hole in a partition's offset sequence. */
+case class OffsetGap(topic: String, partition: Int,
+    fromOffset: Long, toOffset: Long)
+
+/** Per-(topic,partition) offset tracking state. */
+case class OffsetState(lastOffset: Long)
 
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows): the
   * streaming twin of the batch replay source plus watermarked windows,
@@ -66,6 +74,39 @@ object StreamOps {
       lateness: String = "10 minutes"): DataFrame =
     records.withWatermark(timeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Custom stateful operator (SURVEY.md §2.2 "Streaming: stateful ops"):
+    * per-(topic,partition) offset-gap detection over an at-least-once
+    * stream, via flatMapGroupsWithState. State is one long per partition —
+    * bounded regardless of stream volume. Offsets are sorted within each
+    * micro-batch group so emission is deterministic.
+    */
+  def detectOffsetGaps(records: Dataset[KafkaRecord]): Dataset[OffsetGap] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(r => (r.topic, r.partition))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), rows: Iterator[KafkaRecord],
+            state: GroupState[OffsetState]) =>
+          val sorted = rows.map(_.offset).toArray.sorted
+          var last = state.getOption.map(_.lastOffset).getOrElse(-1L)
+          val gaps = Seq.newBuilder[OffsetGap]
+          sorted.foreach { off =>
+            if (last >= 0 && off > last + 1)
+              gaps += OffsetGap(key._1, key._2, last, off)
+            if (off > last) last = off
+          }
+          state.update(OffsetState(last))
+          gaps.result().iterator
+      }
+  }
+
+  /** Stream-static enrichment join: the static dimension broadcasts to the
+    * stream side — no streaming state, no shuffle of the stream.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      joinKeys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), joinKeys, "left")
 
   /** Session windows (gap-based) per key — the streaming twin of the batch
     * q17 sessionization.

@@ -22,6 +22,30 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size === 4) // left-join: nothing dropped
   }
 
+  test("randomized as-of scenarios match an in-memory reference model") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (0 until 300).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong, i.toLong)
+    } // (key, t, id)
+    val right = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong)
+    }.distinct // (key, rt) unique per (key, time)
+    val l = left.toDF("k", "t", "id")
+    val r = right.toDF("rk", "rt").withColumn("payload",
+      org.apache.spark.sql.functions.col("rt"))
+    val got = AsOfJoin.leftAsOf(l, r, "k", "t", "rk", "rt", Seq("payload"))
+      .collect()
+      .map(x => x.getAs[Long]("id") -> Option(x.get(x.fieldIndex("payload"))))
+      .toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, t, id) =>
+      val expected = byKey.getOrElse(k, Seq.empty)
+        .map(_._2).filter(_ <= t).sorted.lastOption
+      assert(got(id) === expected, s"key=$k t=$t")
+    }
+  }
+
   test("as-of against the fixtures matches a correlated-subquery oracle") {
     import spark.implicits._
     val ev = Tables.load(spark, sf, "events")

@@ -1,0 +1,124 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{ArrayDotProduct, ArraySquaredDistance, MinhashSignature}
+import graft.operators.Multimodal
+import graft.sources.{KafkaSource, SaslConfig}
+
+/** ScalaCheck properties over the engine's pure-logic surface (SURVEY.md
+  * §5.2): expression semantics evaluated directly (no session needed) and
+  * validation behavior, against independent reference implementations.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val word = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text = Gen.choose(1, 40)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  // ---- MinhashSignature vs an independent scala reference ----------------
+
+  private val P = 2305843009213693951L
+
+  private def refMinhash(text: String, k: Int, w: Int): Seq[Long] = {
+    val toks = text.split("\\s+", -1)
+    val shingles =
+      if (toks.length >= w) toks.sliding(w).map(_.mkString(" ")).toSeq.distinct
+      else Seq(toks.mkString(" "))
+    val md = MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      def u64(off: Int) = (0 until 8).foldLeft(0L)((v, i) =>
+        (v << 8) | (d(off + i) & 0xFFL))
+      val h1 = u64(0) >>> 4
+      val h2r = (u64(8) >>> 4) >> 3
+      (0 until k).foreach { i =>
+        val h = (h1 + i * h2r) % P
+        if (h < mins(i)) mins(i) = h
+      }
+      md.reset()
+    }
+    mins.toSeq
+  }
+
+  property("minhash signature matches reference impl") = forAll(text) { t =>
+    val got = MinhashSignature(Literal(UTF8String.fromString(t)), 16, 3)
+      .nullSafeEval(UTF8String.fromString(t))
+      .asInstanceOf[GenericArrayData].toLongArray().toSeq
+    got == refMinhash(t, 16, 3)
+  }
+
+  property("minhash values lie in [0, 2^61-1)") = forAll(text) { t =>
+    val got = MinhashSignature(Literal(UTF8String.fromString(t)), 16, 3)
+      .nullSafeEval(UTF8String.fromString(t))
+      .asInstanceOf[GenericArrayData].toLongArray()
+    got.length == 16 && got.forall(v => v >= 0 && v < P)
+  }
+
+  // ---- vector expressions vs plain scala folds ---------------------------
+
+  private val vec = Gen.choose(1, 64).flatMap(n =>
+    Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)).map(_.toArray))
+
+  property("ArrayDotProduct == left fold") = forAll(vec, vec) { (a, b) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    (0 until n).foreach(i => s += a(i) * b(i))
+    val got = ArrayDotProduct(Literal(1), Literal(1))
+      .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+      .asInstanceOf[Double]
+    java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(s)
+  }
+
+  property("ArraySquaredDistance == left fold, non-negative") =
+    forAll(vec, vec) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      (0 until n).foreach { i => val d = a(i) - b(i); s += d * d }
+      val got = ArraySquaredDistance(Literal(1), Literal(1))
+        .nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+        .asInstanceOf[Double]
+      got >= 0.0 && java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(s)
+    }
+
+  // ---- validation (reference cpp:77-99) ----------------------------------
+
+  property("unknown protocols always rejected") =
+    forAll(Gen.alphaStr.suchThat(p =>
+      !KafkaSource.ValidProtocols.contains(p))) { p =>
+      try { KafkaSource.validate(Some(SaslConfig(p, "PLAIN", "u", "w")));
+        false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("security_protocol") }
+    }
+
+  property("valid protocol + creds always accepted") =
+    forAll(Gen.oneOf(KafkaSource.ValidProtocols.toSeq),
+      Gen.oneOf(KafkaSource.ValidMechanisms.toSeq),
+      Gen.alphaStr.suchThat(_.nonEmpty)) { (p, m, u) =>
+      KafkaSource.validate(Some(SaslConfig(p, m, u, u))); true
+    }
+
+  // ---- stub decoder ------------------------------------------------------
+
+  property("stub decoder is deterministic with bounded dims") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-128, 127).map(_.toByte))) { bs =>
+      val bytes = bs.toArray
+      val a = Multimodal.StubDecoder.decodeBatch(
+        Iterator((1L, bytes))).next()
+      val b = Multimodal.StubDecoder.decodeBatch(
+        Iterator((1L, bytes.clone()))).next()
+      a == b && a.width >= 0 && a.width < 1280 &&
+        a.height >= 0 && a.height < 720 && a.n_patches > 0
+    }
+}
