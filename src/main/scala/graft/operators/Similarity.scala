@@ -88,6 +88,56 @@ object Similarity {
       .select(col("id"), col("centroid_id").as("cell"), col("d2"))
   }
 
+  /** Random-hyperplane LSH bucketing: `nDirs` deterministic direction
+    * vectors (a fixed sample of the corpus itself — reproducible in the
+    * oracle), one sign bit per direction, bucket = the packed bit vector.
+    * Vectors only compete against bucket-mates at query time; at 100 TB
+    * the corpus is written partitioned by bucket. Output: (id, bucket).
+    */
+  def lshBuckets(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", dirModulus: Int = 83,
+      dirResidue: Int = 5, nDirs: Int = 6): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dw = Window.orderBy(col(idCol))
+    val dirs = corpus.filter(col(idCol) % dirModulus === dirResidue)
+      .withColumn("dir_idx", row_number().over(dw) - 1)
+      .filter(col("dir_idx") < nDirs)
+      .select(col("dir_idx"),
+        col(vecCol).cast("array<double>").as("dv"))
+    c.crossJoin(broadcast(dirs))
+      .withColumn("__bit",
+        when(dot(col("v"), col("dv")) > 0.0,
+          expr("shiftleft(cast(1 as bigint), dir_idx)")).otherwise(0L))
+      .groupBy(col("id"))
+      .agg(sum(col("__bit")).cast("long").as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: queries rank only their own bucket's vectors by
+    * exact cosine. Recall trades against bucket size via nDirs.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nDirs: Int = 6, k: Int = 5): DataFrame = {
+    val buckets = lshBuckets(corpus, idCol, vecCol, nDirs = nDirs)
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .join(buckets.select(col("id").as("neighbor_id"), col("bucket")),
+        "neighbor_id")
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .join(buckets.select(col("id").as("query_id"), col("bucket")),
+        "query_id")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF search: each query probes its `nprobe` nearest cells and ranks
     * only vectors assigned there by exact cosine.
     * Output: (query_id, neighbor_id, cosine, rank) — top k per query.

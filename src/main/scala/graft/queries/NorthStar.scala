@@ -66,6 +66,12 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "s04_lsh_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // ---- text analysis --------------------------------------------------
     "t01_token_stats" -> { (s, dir) =>
       TextAnalysis.withTokenStats(docs(s, dir))
@@ -258,6 +264,29 @@ object NorthStar {
                 JOIN n cn ON cn.vec_id = a.vec_id
                 JOIN n qn ON qn.vec_id = qp.query_id
         WHERE cn.vec_id != qp.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s04_lsh_search" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (SELECT dir_idx, dv FROM (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS dir_idx,
+                 v AS dv
+          FROM e WHERE vec_id % 83 = 5) WHERE dir_idx < 6),
+      b AS (SELECT e.vec_id, CAST(sum(
+            CASE WHEN list_dot_product(e.v, d.dv) > 0
+                 THEN (CAST(1 AS BIGINT) << dir_idx) ELSE 0 END)
+          AS BIGINT) AS bucket
+        FROM e, d GROUP BY e.vec_id),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)
+            WHERE vec_id % 100 = 0),
+      c AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, "rank" FROM r

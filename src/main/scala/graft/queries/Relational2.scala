@@ -95,6 +95,18 @@ object Relational2 {
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // Two-stage salted aggregation (skew mitigation): result is
+    // salt-independent, so the oracle is the plain GROUP BY.
+    "q27_salted_agg" -> { (s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          t(s, dir, "events"), "event_type",
+          col("value").cast("decimal(18,2)"), "sum_value",
+          col("event_id"), buckets = 16)
+        .select(col("event_type"), col("sum_value").cast("double")
+          .as("sum_value"), col("n"))
+        .orderBy(col("event_type"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -140,5 +152,11 @@ object Relational2 {
       FROM orders JOIN events
         ON o_custkey = user_id
        AND ts >= o_orderdate AND ts < o_orderdate + INTERVAL 7 DAY
-      GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q27_salted_agg" -> """
+      SELECT event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")
 }

@@ -128,6 +128,15 @@ object KafkaSource {
       .load())
   }
 
+  /** Alias for [[stream]] under the name the reference README advertises
+    * (`kafquack(...)`, README.md:13,19) even though its code registers
+    * `kafka_consumer` (cpp:223) — both names work here, `kafka_consumer`
+    * (= [[stream]]) being canonical. See SURVEY.md "Important discrepancy".
+    */
+  def kafquack(spark: SparkSession, brokers: String, topic: String,
+      groupId: String, sasl: Option[SaslConfig] = None): DataFrame =
+    stream(spark, brokers, topic, groupId, sasl)
+
   /** Batch twin (earliest→latest snapshot) for testability. */
   def read(spark: SparkSession, brokers: String, topic: String,
       groupId: String, sasl: Option[SaslConfig] = None): DataFrame =
