@@ -84,8 +84,58 @@ case class MinhashSignature(child: Expression, k: Int, w: Int)
       : MinhashSignature = copy(child = c)
 }
 
+/** Native 60-bit SimHash over whitespace tokens (duplicates weighted):
+  * bit j set iff strictly more than half the token hashes have bit j set,
+  * token hash = first 15 hex digits of md5 (the CrossHash convention).
+  * Bit-identical to the expr-based fold it replaces and the DuckDB oracle.
+  */
+case class Simhash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+
+  @transient private lazy val ws = "\\s+".r.pattern
+  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val ones = new Array[Int](60)
+    val md = digest.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val d = md.digest(toks(t).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+      h = h >>> 4
+      var j = 0
+      while (j < 60) { ones(j) += ((h >> j) & 1L).toInt; j += 1 }
+      t += 1
+    }
+    var sh = 0L
+    var j = 0
+    while (j < 60) {
+      if (2 * ones(j) > toks.length) sh |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sh)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Simhash60 =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** MinHash signature column: array<long> of length k. */
   def minhash_signature(text: Column, k: Int = 16, w: Int = 3): Column =
     Bridge.toColumn(MinhashSignature(Bridge.toExpression(text), k, w))
+
+  /** 60-bit SimHash column. */
+  def simhash60(text: Column): Column =
+    Bridge.toColumn(Simhash60(Bridge.toExpression(text)))
 }

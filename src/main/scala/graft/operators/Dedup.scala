@@ -144,14 +144,18 @@ object Dedup {
 
   /** 60-bit SimHash over whitespace tokens (duplicates weighted). Bit j is
     * set iff strictly more than half the token hashes have bit j set.
-    * Map-only expression work; cross-engine via md5 hashing. Adds columns
-    * `th` (token hashes) and `sh` (the simhash).
-    *
-    * The bit fold is an expr because the Scala `shiftright`/`shiftleft`
-    * helpers only take literal shift amounts; SQL-level shifts accept the
-    * lambda-bound bit index.
+    * Map-only via the native one-pass [[graft.functions.Simhash60]].
     */
   def withSimhash(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("sh",
+      graft.functions.TextFunctions.simhash60(col(textCol)))
+
+  /** Declarative formulation of the same simhash (nested higher-order
+    * folds; SQL-level shifts because the Scala shift helpers only take
+    * literal amounts) — the spec cross-checks the native expression
+    * against it.
+    */
+  def withSimhashHof(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("__th",
         transform(split(col(textCol), "\\s+"), t => md5Long(t)))
       .withColumn("sh", expr("""

@@ -46,6 +46,19 @@ object NorthStar {
       Dedup.embeddingNearDupPairs(emb(s, dir)).orderBy(col("a"), col("b"))
     },
 
+    // Sketch composability through the typed-Aggregator UDAF surface:
+    // per-source union MinHash = element-wise min over doc signatures.
+    "d06_minhash_union" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          graft.functions.TextFunctions.minhash_signature(col("text"))
+            .as("sig"))
+        .groupBy(col("source"))
+        .agg(graft.functions.MinhashUnion.minhash_union()(col("sig"))
+          .as("union_sig"), count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    },
+
     // ---- similarity search ---------------------------------------------
     "s01_knn_brute" -> { (s, dir) =>
       val e = emb(s, dir)
@@ -177,6 +190,24 @@ object NorthStar {
                   JOIN sig sb ON sb.doc_id = cand.b)
       SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
       FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    "d06_minhash_union" -> s"""
+      WITH $ShinglesCte,
+      hp AS (SELECT doc_id, list_transform(sh, s ->
+          {'h1': ${h("s")},
+           'h2r': ('0x' || substr(md5(s), 17, 15))::BIGINT >> 3}) AS hp
+        FROM sgl),
+      sig AS (SELECT doc_id, list_transform(generate_series(0, 15), i ->
+          list_min(list_transform(hp,
+            p -> (p.h1 + i * p.h2r) % 2305843009213693951))) AS sig
+        FROM hp),
+      s2 AS (SELECT d.source, sig FROM sig JOIN documents d USING (doc_id)),
+      u AS (SELECT source, i, min(sig[i + 1]) AS m
+        FROM s2, generate_series(0, 15) t(i) GROUP BY source, i)
+      SELECT source, list(m ORDER BY i) AS union_sig,
+        (SELECT count(*) FROM documents d2
+         WHERE d2.source = u.source) AS n_docs
+      FROM u GROUP BY source ORDER BY source""",
 
     "d03_simhash_pairs" -> s"""
       WITH th AS (SELECT doc_id,

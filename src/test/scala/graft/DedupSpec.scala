@@ -19,6 +19,14 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native simhash == declarative higher-order formulation") {
+    val a = Dedup.withSimhash(docs).select("doc_id", "sh").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Dedup.withSimhashHof(docs).select("doc_id", "sh").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("banded simhash pairs == brute-force pairs (exact recall to hamming 3)") {
     val sh = Dedup.withSimhash(docs).select(col("doc_id").as("id"), col("sh"))
     val l = sh.select(col("id").as("a"), col("sh").as("sa"))
