@@ -130,6 +130,44 @@ case class Simhash60(child: Expression)
     copy(child = c)
 }
 
+/** Native distinct w-word shingles (first-occurrence order, matching
+  * array_distinct over the declarative transform); documents shorter than
+  * w tokens contribute their whole text as one shingle.
+  */
+case class WordShingles(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0)
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  @transient private lazy val ws = "\\s+".r.pattern
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val set = new java.util.LinkedHashSet[String]()
+    if (toks.length >= w) {
+      var i = 0
+      while (i + w <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
+        set.add(sb.toString)
+        i += 1
+      }
+    } else set.add(String.join(" ", toks: _*))
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** MinHash signature column: array<long> of length k. */
   def minhash_signature(text: Column, k: Int = 16, w: Int = 3): Column =
@@ -138,4 +176,8 @@ object TextFunctions {
   /** 60-bit SimHash column. */
   def simhash60(text: Column): Column =
     Bridge.toColumn(Simhash60(Bridge.toExpression(text)))
+
+  /** Distinct w-word shingles column. */
+  def word_shingles(text: Column, w: Int = 3): Column =
+    Bridge.toColumn(WordShingles(Bridge.toExpression(text), w))
 }

@@ -25,8 +25,14 @@ object Dedup {
 
   /** Distinct w-word shingles of whitespace-tokenized text; documents with
     * fewer than w tokens contribute their whole text as one shingle.
+    * Native one-pass expression; [[shinglesHof]] is the declarative twin
+    * the spec cross-checks.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.functions.TextFunctions.word_shingles(text, w)
+
+  /** Declarative shingle formulation (higher-order builtins). */
+  def shinglesHof(text: Column, w: Int = 3): Column = {
     val tk = split(text, "\\s+")
     array_distinct(
       when(size(tk) >= w,

@@ -19,6 +19,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native shingles == declarative higher-order formulation") {
+    val a = docs.select(col("doc_id"),
+        Dedup.shingles(col("text")).as("sh")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val b = docs.select(col("doc_id"),
+        Dedup.shinglesHof(col("text")).as("sh")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("native simhash == declarative higher-order formulation") {
     val a = Dedup.withSimhash(docs).select("doc_id", "sh").orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

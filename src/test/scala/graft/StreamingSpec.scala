@@ -58,6 +58,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("session_end") < col("session_start")).count() === 0)
   }
 
+  test("stream-stream join with watermarks matches the records paired in-range") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    clicks.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(40)))
+    buys.addData((1L, ts(3)), (2L, ts(30)), (4L, ts(6)))
+    val c = clicks.toDF().toDF("user", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    val b = buys.toDF().toDF("buser", "buy_ts")
+      .withWatermark("buy_ts", "10 minutes")
+    // purchases within 10 minutes after a click by the same user
+    val joined = c.join(b,
+      expr("""user = buser AND buy_ts >= click_ts AND
+              buy_ts < click_ts + INTERVAL 10 MINUTES"""))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val pairs = spark.table("ssj").select("user").collect()
+      .map(_.getLong(0)).toSet
+    assert(pairs === Set(1L)) // user 2 bought too late, 3/4 unmatched
+  }
+
   test("streaming replay preserves the value/error exclusivity invariant") {
     val q = StreamOps.replayStream(spark, sf)
       .writeStream.outputMode("append")
