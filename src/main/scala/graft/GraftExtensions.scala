@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions, so the pure-SQL surface (the way reference
+  * users interact — `SELECT ... FROM kafka_consumer(...)`, README.md:13)
+  * can call them too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  * spark.sql("SELECT minhash_signature(text) FROM docs")
+  * }}}
+  *
+  * Also usable via spark.sql.extensions=graft.GraftExtensions on submit.
+  * No optimizer rules or strategies are injected: SURVEY.md §4.2 found none
+  * needed — every operator composes from built-ins whose plans Catalyst
+  * already optimizes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, b) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), b))
+    }
+}
+
+object GraftExtensions {
+  private[graft] val builders
+      : Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("array_dot_product", "_FUNC_(a, b) - left-fold double dot product",
+      es => ArrayDotProduct(es(0), es(1))),
+    ("array_squared_distance",
+      "_FUNC_(a, b) - left-fold squared euclidean distance",
+      es => ArraySquaredDistance(es(0), es(1))),
+    ("minhash_signature",
+      "_FUNC_(text) - 16-permutation MinHash over 3-word shingles",
+      es => MinhashSignature(es.head, 16, 3)),
+    ("simhash60", "_FUNC_(text) - 60-bit SimHash over whitespace tokens",
+      es => Simhash60(es.head)),
+    ("word_shingles", "_FUNC_(text) - distinct 3-word shingles",
+      es => WordShingles(es.head, 3)))
+
+  /** Register into an already-created session (withExtensions only applies
+    * at session build time).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+}

@@ -44,6 +44,26 @@ object Multimodal {
         (md5LongSeeded(2, p.cast("string")) % 300).cast("int"))
   }
 
+  /** Frame sampling: `n` evenly-strided fixed-width byte windows per
+    * payload — the shape a video pipeline uses to pick keyframes before
+    * decode. Pure expression work (posexplode over a sequence); emits
+    * (idCol, frame_idx, frame, frame_md5). Frames beyond the payload end
+    * are dropped.
+    */
+  def withFrameSamples(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id", n: Int = 4, width: Int = 16): DataFrame = {
+    val p = col(payloadCol)
+    val stride = greatest(lit(1), expr(s"length($payloadCol) div $n"))
+    df.select(col(idCol), p, stride.as("__stride"))
+      .select(col(idCol), p,
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          j => j * col("__stride") + 1)).as(Seq("frame_idx", "__off")))
+      .filter(col("__off") <= length(p))
+      .withColumn("frame", p.substr(col("__off").cast("int"), lit(width)))
+      .withColumn("frame_md5", md5(col("frame").cast("string")))
+      .select(col(idCol), col("frame_idx"), col("frame_md5"))
+  }
+
   /** Deterministic stand-in for a real media decoder. Batched per partition:
     * real codecs amortize context setup across the batch exactly like this.
     */

@@ -131,6 +131,13 @@ object NorthStar {
         .toDF().orderBy(col("doc_id"))
     },
 
+    // Frame sampling over binary payloads (video keyframe shape).
+    "m03_frame_sample" -> { (s, dir) =>
+      Multimodal.withFrameSamples(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // ---- as-of join -----------------------------------------------------
     "q20_asof_join" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -378,6 +385,15 @@ object NorthStar {
         CAST(${h("'1:' || text")} % 720 AS INT) AS height,
         CAST(${h("'2:' || text")} % 300 AS INT) AS n_frames
       FROM documents ORDER BY doc_id""",
+
+    "m03_frame_sample" -> """
+      WITH f AS (SELECT doc_id, j AS frame_idx,
+          j * greatest(1, length(text) // 4) + 1 AS off, text
+        FROM documents, generate_series(0, 3) t(j))
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             md5(substr(text, CAST(off AS INT), 16)) AS frame_md5
+      FROM f WHERE off <= length(text)
+      ORDER BY doc_id, frame_idx""",
 
     "q20_asof_join" -> """
       WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
