@@ -17,7 +17,8 @@ object SparkEntry {
     (Relational.defs, Relational.oracles),
     (Relational2.defs, Relational2.oracles),
     (KafkaParity.defs, KafkaParity.oracles),
-    (NorthStar.defs, NorthStar.oracles))
+    (NorthStar.defs, NorthStar.oracles),
+    (Pipeline.defs, Pipeline.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CrossHash._
+
+/** Training-data pipeline queries beyond the dedup/search cores: TF-IDF
+  * term scoring, deterministic hash sampling, train/val/test splitting,
+  * and per-label embedding centroids.
+  *
+  * Sampling/splitting use the cross-engine md5 hash instead of RNG — at
+  * 100 TB a sample must be reproducible across reruns and engines, which
+  * `rand()` cannot give; hash-of-content sharding is the standard answer.
+  * Centroid sums fold over per-key vec_id-sorted lists so the double
+  * addition order is fixed (bit-reproducible); swap for a tree/Kahan sum
+  * in production if bit-reproducibility can be relaxed.
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TF-IDF: the canonical explode→agg→join shuffle pipeline. df-counts
+    // broadcast back onto tf pairs; top-5 terms per doc.
+    "t05_tfidf" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"),
+        explode(split(col("text"), "\\s+")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tok.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDf = d.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dft), "term")
+        .crossJoin(broadcast(nDf))
+        .withColumn("score", round(col("tf") *
+          log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
+    // Deterministic 10% content-hash sample per source.
+    "t06_hash_sample" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(md5Long(col("text")) % 100 < 10, 1)).as("n_sampled"))
+        .orderBy(col("source"))
+    },
+
+    // Reproducible 80/10/10 train/val/test assignment by content hash.
+    "d07_split_assign" -> { (s, dir) =>
+      val h = md5Long(concat(lit("split:"), col("text"))) % 100
+      docs(s, dir)
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+
+    // Per-label embedding centroids: posexplode → per-(label,idx) ordered
+    // fold → reassembled array. One shuffle on (label, idx).
+    "s05_label_centroids" -> { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("idx", "comp")))
+        .groupBy(col("label"), col("idx"))
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("vec_id"), col("comp")))),
+              e => e.getField("comp")),
+            lit(0.0), (acc, x) => acc + x).as("s"),
+          count(lit(1)).as("c"))
+        .groupBy(col("label"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("idx"),
+              (col("s") / col("c")).as("m")))),
+            e => e.getField("m")).as("centroid"),
+          min(col("c")).as("n_vectors"))
+        .orderBy(col("label"))
+    })
+
+  // NOTE: must precede `oracles` — Scala object vals initialize in
+  // declaration order and these are used in its interpolations.
+  private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
+  private def h(x: String) = H.format(x)
+
+  val oracles: Map[String, String] = Map(
+    "t05_tfidf" -> raw"""
+      WITH tok AS (SELECT doc_id,
+          unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT doc_id, tf.term,
+          round(tf * ln((CAST(n_docs AS DOUBLE) + 1.0) /
+                        (CAST(df AS DOUBLE) + 1.0)), 6) AS score
+        FROM tf JOIN dft ON tf.term = dft.term, n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS "rank" FROM sc)
+      SELECT doc_id, term, score, "rank" FROM r WHERE "rank" <= 5
+      ORDER BY doc_id, "rank"""",
+
+    "t06_hash_sample" -> s"""
+      SELECT source, count(*) AS n_total,
+        count(CASE WHEN ${h("text")} % 100 < 10 THEN 1 END) AS n_sampled
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "d07_split_assign" -> s"""
+      WITH a AS (SELECT doc_id,
+          CASE WHEN ${h("'split:' || text")} % 100 < 80 THEN 'train'
+               WHEN ${h("'split:' || text")} % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, count(*) AS n, min(doc_id) AS min_doc,
+             max(doc_id) AS max_doc
+      FROM a GROUP BY split ORDER BY split""",
+
+    "s05_label_centroids" -> """
+      WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      x AS (SELECT label, vec_id, i, v[i] AS comp
+            FROM e, generate_series(1, 64) t(i) WHERE i <= len(v)),
+      g AS (SELECT label, i,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS s,
+              count(*) AS c
+            FROM x GROUP BY label, i)
+      SELECT label, list(s / c ORDER BY i) AS centroid, min(c) AS n_vectors
+      FROM g GROUP BY label ORDER BY label""")
+}
