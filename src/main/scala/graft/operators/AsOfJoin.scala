@@ -34,6 +34,9 @@ object AsOfJoin {
       keyL: String, timeL: String, keyR: String, timeR: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with " +
+        "left-side columns; rename before joining")
     val l = payload.foldLeft(
       left.withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
         .withColumn("__side", lit(1)))(

@@ -97,6 +97,42 @@ object Relational2 {
         countDistinct(col("l_partkey")).as("exact_parts"))
     },
 
+    // NULL ordering made explicit: Spark defaults to NULLS FIRST on ASC,
+    // DuckDB to NULLS LAST — cross-engine queries must always pin it
+    // (SURVEY.md §7 watch item).
+    "q28_null_ordering" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .withColumn("maybe_type",
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")))
+        .select(col("event_id"), col("maybe_type"))
+        .orderBy(col("maybe_type").asc_nulls_first, col("event_id"))
+    },
+
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep multiplicity).
+    "q29_setops_all" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+      def ck(status: String) =
+        ord.filter(col("o_orderstatus") === status).select(col("o_custkey"))
+      def cnt(df: DataFrame, name: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+      cnt(ck("F").intersectAll(ck("O")), "f_intersect_all_o")
+        .unionAll(cnt(ck("F").exceptAll(ck("O")), "f_except_all_o"))
+        .orderBy(col("op"))
+    },
+
+    // Pivot: per-user event counts spread into one column per type.
+    "q30_pivot" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -158,5 +194,31 @@ object Relational2 {
       SELECT event_type,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              count(*) AS n
-      FROM events GROUP BY event_type ORDER BY event_type""")
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q28_null_ordering" -> """
+      SELECT event_id,
+        CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+          AS maybe_type
+      FROM events WHERE event_id < 500
+      ORDER BY maybe_type ASC NULLS FIRST, event_id""",
+
+    "q29_setops_all" -> """
+      SELECT 'f_intersect_all_o' AS op, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+      UNION ALL
+      SELECT 'f_except_all_o' AS op, count(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+      ORDER BY op""",
+
+    "q30_pivot" -> """
+      SELECT user_id,
+        count(*) FILTER (WHERE event_type = 'click') AS click,
+        count(*) FILTER (WHERE event_type = 'error') AS error,
+        count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        count(*) FILTER (WHERE event_type = 'view') AS view
+      FROM events GROUP BY user_id ORDER BY user_id""")
 }
