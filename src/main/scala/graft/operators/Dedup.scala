@@ -124,9 +124,11 @@ object Dedup {
       textCol: String = "text", k: Int = 16, bands: Int = 4,
       minJaccardPct: Int = 50): DataFrame = {
     // Repartition before the (expensive, map-only) signature stage: a
-    // single-file source otherwise pins all hashing onto one task.
+    // single-file source otherwise pins all hashing onto one task. The
+    // three downstream uses share one computation via ReuseExchange on
+    // the repartition shuffle — no cache needed.
     val sigs = minhashSignatures(
-      df.repartition(col(idCol)), idCol, textCol, k).cache()
+      df.repartition(col(idCol)), idCol, textCol, k)
     val bandedL = minhashBands(sigs, k, bands)
       .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val bandedR = bandedL
@@ -181,7 +183,7 @@ object Dedup {
       textCol: String = "text", maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-band LSH over 60 bits is exact only to 3")
     val sh = withSimhash(df.repartition(col(idCol)), textCol)
-      .select(col(idCol).as("id"), col("sh")).cache()
+      .select(col(idCol).as("id"), col("sh"))
     val banded = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
@@ -211,7 +213,7 @@ object Dedup {
     val tk = split(col(textCol), "\\s+")
     val keyed = df.repartition(col(idCol)).select(col(idCol).as("id"),
       md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
-      shingles(col(textCol), w).as("sh")).cache()
+      shingles(col(textCol), w).as("sh"))
     val l = keyed.select(col("id").as("a"), col("block"),
       col("sh").as("sh_a"))
     val r = keyed.select(col("id").as("b"), col("block"),
