@@ -227,6 +227,50 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
+  // ---- pair clustering --------------------------------------------------
+
+  /** Connected components over an undirected pair list (a, b): the dedup
+    * endgame — near-dup PAIRS become duplicate CLUSTERS, each labeled with
+    * its minimum member id (the canonical "keep" document).
+    *
+    * Algorithm: min-label propagation — each node repeatedly takes the
+    * minimum label among itself and its neighbors until a fixpoint. This
+    * is the shuffle-friendly formulation that scales (joins + aggregations
+    * only, no driver-side graph); iterations are O(component diameter),
+    * and near-dup components are shallow in practice. Lineage is cut with
+    * an eager localCheckpoint per round so plans don't snowball.
+    *
+    * Output: (id, cluster) for every node appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col("a").cast("long").as("src"),
+      col("b").cast("long").as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("lbl")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("id2"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).as("changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.drop("changed")
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster"))
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Cosine near-duplicate pairs over an embedding column. Exact all-pairs

@@ -46,6 +46,15 @@ object NorthStar {
       Dedup.embeddingNearDupPairs(emb(s, dir)).orderBy(col("a"), col("b"))
     },
 
+    // Pairs → clusters: min-label propagation over the minhash pair graph
+    // (each cluster labeled by its minimum doc_id, the canonical keeper).
+    "d08_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docs(s, dir)).select(col("a"), col("b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sketch composability through the typed-Aggregator UDAF surface:
     // per-source union MinHash = element-wise min over doc signatures.
     "d06_minhash_union" -> { (s, dir) =>
@@ -169,13 +178,8 @@ object NorthStar {
                           i -> array_to_string(w[i:i+2], ' '))
       ELSE [array_to_string(w, ' ')] END) AS sh FROM wt)"""
 
-  val oracles: Map[String, String] = Map(
-    "d01_exact_dedup" -> """
-      SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
-      FROM documents GROUP BY 1 ORDER BY text_md5""",
-
-    "d02_minhash_pairs" -> s"""
-      WITH $ShinglesCte,
+  /** Full MinHash pipeline through candidate pairs (shared by d02/d08). */
+  private val MinhashCtes = s"""$ShinglesCte,
       hp AS (SELECT doc_id, list_transform(sh, s ->
           {'h1': ${h("s")},
            'h2r': ('0x' || substr(md5(s), 17, 15))::BIGINT >> 3}) AS hp
@@ -194,9 +198,30 @@ object NorthStar {
           list_zip(sa.sig, sb.sig),
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_eq
         FROM cand JOIN sig sa ON sa.doc_id = cand.a
-                  JOIN sig sb ON sb.doc_id = cand.b)
+                  JOIN sig sb ON sb.doc_id = cand.b)"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT md5(text) AS text_md5, count(*) AS n, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1 ORDER BY text_md5""",
+
+    "d02_minhash_pairs" -> s"""
+      WITH $MinhashCtes
       SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
       FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    "d08_dup_clusters" -> s"""
+      WITH RECURSIVE $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS doc_id,
+             least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src ORDER BY doc_id""",
 
     "d06_minhash_union" -> s"""
       WITH $ShinglesCte,

@@ -22,6 +22,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size === 4) // left-join: nothing dropped
   }
 
+  test("forward as-of picks the earliest right row at or after the left time") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 16L, "e2"), (2L, 1L, "e3"))
+      .toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 15L, "c"))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("payload"), direction = "forward").collect()
+      .map(r => (r.getAs[String]("ev"), r.getAs[String]("payload"))).toMap
+    assert(out("e1") === "b") // inclusive at equal time
+    assert(out("e2") === null) // nothing at or after 16
+    assert(out("e3") === null) // key 2 has no right rows
+  }
+
+  test("tolerance nulls matches that are too far away") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "e1"), (1L, 7L, "e2")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, "a")).toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("payload"), tolerance = Some(10L)).collect()
+      .map(r => (r.getAs[String]("ev"), r.getAs[String]("payload"))).toMap
+    assert(out("e2") === "a")  // within 10
+    assert(out("e1") === null) // 95 away
+  }
+
   test("randomized as-of scenarios match an in-memory reference model") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
