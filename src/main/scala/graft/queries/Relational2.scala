@@ -133,6 +133,42 @@ object Relational2 {
         .orderBy(col("user_id"))
     },
 
+    // Math + string scalar battery: one row per part, a dozen builtins
+    // whose semantics must match DuckDB exactly.
+    "q31_scalar_battery" -> { (s, dir) =>
+      t(s, dir, "part").select(col("p_partkey"),
+        abs(col("p_retailprice") - 950.0).as("abs_diff"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        floor(col("p_retailprice")).as("floor_price"),
+        round(col("p_retailprice"), 1).as("round_price"),
+        sqrt(col("p_size").cast("double")).as("sqrt_size"),
+        pmod(col("p_partkey"), lit(7)).as("mod7"),
+        signum(col("p_retailprice") - 950.0).as("sign_diff"),
+        lpad(col("p_brand"), 12, "*").as("lpadded"),
+        rtrim(rpad(col("p_type"), 30, " ")).as("padded_trimmed"),
+        reverse(col("p_brand")).as("rev_brand"),
+        instr(col("p_name"), "ar").as("ar_pos"),
+        translate(col("p_brand"), "#", "_").as("translated"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("repeated"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Datetime scalar battery over order dates.
+    "q32_datetime_battery" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        quarter(col("o_orderdate")).as("q"),
+        add_months(col("o_orderdate"), 2).cast("date").as("plus2m"),
+        date_add(col("o_orderdate").cast("date"), 45).as("plus45d"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -195,6 +231,37 @@ object Relational2 {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q31_scalar_battery" -> """
+      SELECT p_partkey,
+        abs(p_retailprice - 950.0) AS abs_diff,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        round(p_retailprice, 1) AS round_price,
+        sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+        p_partkey % 7 AS mod7,
+        CAST(sign(p_retailprice - 950.0) AS DOUBLE) AS sign_diff,
+        lpad(p_brand, 12, '*') AS lpadded,
+        rtrim(rpad(p_type, 30, ' ')) AS padded_trimmed,
+        reverse(p_brand) AS rev_brand,
+        CAST(instr(p_name, 'ar') AS INT) AS ar_pos,
+        translate(p_brand, '#', '_') AS translated,
+        repeat(substr(p_brand, 1, 2), 3) AS repeated
+      FROM part ORDER BY p_partkey""",
+
+    "q32_datetime_battery" -> """
+      SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INT) AS y,
+        CAST(month(o_orderdate) AS INT) AS m,
+        CAST(day(o_orderdate) AS INT) AS d,
+        CAST(isodow(o_orderdate) AS INT) AS isodow,
+        CAST(quarter(o_orderdate) AS INT) AS q,
+        CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        CAST(o_orderdate AS DATE) + 45 AS plus45d,
+        CAST(last_day(o_orderdate) AS DATE) AS month_end,
+        date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+          AS days_to_2002
+      FROM orders ORDER BY o_orderkey""",
 
     "q28_null_ordering" -> """
       SELECT event_id,
