@@ -245,9 +245,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val half = pairs.select(col("a").cast("long").as("src"),
       col("b").cast("long").as("dst"))
+    // Materialize once: every iteration joins against edges, and without
+    // this the full upstream pair-generation pipeline re-runs per round.
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
