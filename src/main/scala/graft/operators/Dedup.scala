@@ -276,9 +276,40 @@ object Dedup {
 
   // ---- embedding near-dup ----------------------------------------------
 
+  /** The 100 TB path for [[embeddingNearDupPairs]]: candidates come from
+    * multi-table random-hyperplane LSH buckets instead of the all-pairs
+    * cross join, then the exact cosine filter confirms — so precision is 1
+    * by construction (every emitted pair passes the same exact test) and
+    * recall is the LSH 1-(1-p^planes)^tables tradeoff. One shuffle on the
+    * (table, bucket) key; bucket sizes bound the quadratic work.
+    */
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.45,
+      tables: Int = 8, planes: Int = 4): DataFrame = {
+    val buckets = Similarity.lshBucketsMulti(df, idCol, vecCol,
+      tables, planes)
+    val cand = buckets.select(col("id").as("a"), col("table"), col("bucket"))
+      .join(buckets.select(col("id").as("b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    val withNorm = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
+    val l = withNorm.select(col("id").as("a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val r = withNorm.select(col("id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cand.join(l, "a").join(r, "b")
+      .withColumn("cosine",
+        round(Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
   /** Cosine near-duplicate pairs over an embedding column. Exact all-pairs
-    * at test scale; the 100 TB path buckets by [[Similarity.ivfAssign]]
-    * cells (or random-hyperplane LSH) first and compares within buckets.
+    * at test scale; the 100 TB path is [[embeddingNearDupPairsLsh]].
     * Threshold on round(cos, 6) so a last-ulp wobble can't flip membership.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String = "vec_id",

@@ -88,6 +88,34 @@ object Similarity {
       .select(col("id"), col("centroid_id").as("cell"), col("d2"))
   }
 
+  /** Multi-table random-hyperplane LSH bucketing: `tables` independent
+    * bucket assignments of `planes` sign bits each. A pair is a candidate
+    * if it shares a bucket in ANY table — recall 1-(1-p^planes)^tables for
+    * sign-agreement probability p = 1 - angle/pi. Output: (id, table,
+    * bucket); direction vectors are a deterministic corpus sample so the
+    * whole index is reproducible.
+    */
+  def lshBucketsMulti(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", tables: Int = 8,
+      planes: Int = 4, dirModulus: Int = 17,
+      dirResidue: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dw = Window.orderBy(col(idCol))
+    val dirs = corpus.filter(col(idCol) % dirModulus === dirResidue)
+      .withColumn("gidx", row_number().over(dw) - 1)
+      .filter(col("gidx") < tables * planes)
+      .select((col("gidx") / planes).cast("int").as("table"),
+        pmod(col("gidx"), lit(planes)).as("plane"),
+        col(vecCol).cast("array<double>").as("dv"))
+    c.crossJoin(broadcast(dirs))
+      .withColumn("__bit",
+        when(dot(col("v"), col("dv")) > 0.0,
+          expr("shiftleft(cast(1 as bigint), plane)")).otherwise(0L))
+      .groupBy(col("id"), col("table"))
+      .agg(sum(col("__bit")).cast("long").as("bucket"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nDirs` deterministic direction
     * vectors (a fixed sample of the corpus itself — reproducible in the
     * oracle), one sign bit per direction, bucket = the packed bit vector.

@@ -145,6 +145,17 @@ object KafkaSource {
       .option("startingOffsets", "earliest")
       .load())
 
+  /** Typed view of any 7-column kafka_consumer relation, for consumers who
+    * want compile-time field checks (SURVEY.md §1.3).
+    */
+  def typed(records: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[KafkaRecord] = {
+    import org.apache.spark.sql.Encoders
+    records
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+      .as[KafkaRecord](Encoders.product[KafkaRecord])
+  }
+
   // ---------------------------------------------------------------------
   // FileReplaySource: the events fixture projected into the exact 7-column
   // kafka_consumer shape, so the whole downstream surface is testable with

@@ -77,6 +77,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup path has precision 1 against the exact path") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every LSH hit is an exact hit with the identical cosine (precision 1)
+    lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
+  }
+
+  test("typed KafkaRecord dataset roundtrips the replay") {
+    val ds = graft.sources.KafkaSource.typed(
+      graft.sources.KafkaSource.replay(Tables.load(spark, sf, "events")))
+    val r = ds.filter((k: graft.sources.KafkaRecord) => k.error != null)
+    assert(r.count() > 0)
+    assert(ds.count() === Tables.load(spark, sf, "events").count())
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb).collect()
