@@ -283,16 +283,13 @@ object Dedup {
     * recall is the LSH 1-(1-p^planes)^tables tradeoff. One shuffle on the
     * (table, bucket) key; bucket sizes bound the quadratic work.
     */
-  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", minCosine: Double = 0.45,
-      tables: Int = 8, planes: Int = 4): DataFrame = {
-    val buckets = Similarity.lshBucketsMulti(df, idCol, vecCol,
-      tables, planes)
-    val cand = buckets.select(col("id").as("a"), col("table"), col("bucket"))
-      .join(buckets.select(col("id").as("b"), col("table"), col("bucket")),
-        Seq("table", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
+  /** Exact-cosine confirmation shared by both near-dup paths: joins the
+    * candidate (a, b) pairs back to vectors and keeps those with
+    * round(cos, 6) >= minCosine. Both paths go through this one block, so
+    * the precision-1 relationship between them can't silently diverge.
+    */
+  private def confirmCosine(df: DataFrame, cand: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
@@ -308,24 +305,29 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  def embeddingNearDupPairsLsh(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.45,
+      tables: Int = 8, planes: Int = 4): DataFrame = {
+    val buckets = Similarity.lshBucketsMulti(df, idCol, vecCol,
+      tables, planes)
+    val cand = buckets.select(col("id").as("a"), col("table"), col("bucket"))
+      .join(buckets.select(col("id").as("b"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    confirmCosine(df, cand, idCol, vecCol, minCosine)
+  }
+
   /** Cosine near-duplicate pairs over an embedding column. Exact all-pairs
     * at test scale; the 100 TB path is [[embeddingNearDupPairsLsh]].
     * Threshold on round(cos, 6) so a last-ulp wobble can't flip membership.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.45): DataFrame = {
-    val withNorm = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(Similarity.dot(col("v"), col("v"))))
-    val l = withNorm.select(col("id").as("a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val r = withNorm.select(col("id").as("b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    l.crossJoin(r).filter(col("a") < col("b"))
-      .withColumn("cosine",
-        round(Similarity.dot(col("va"), col("vb")) /
-          (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= minCosine)
-      .select(col("a"), col("b"), col("cosine"))
+    val ids = df.select(col(idCol).as("id"))
+    val cand = ids.select(col("id").as("a"))
+      .crossJoin(ids.select(col("id").as("b")))
+      .filter(col("a") < col("b"))
+    confirmCosine(df, cand, idCol, vecCol, minCosine)
   }
 }

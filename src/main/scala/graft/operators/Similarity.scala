@@ -88,12 +88,49 @@ object Similarity {
       .select(col("id"), col("centroid_id").as("cell"), col("d2"))
   }
 
+  /** Deterministic direction sample for hyperplane LSH: the first `n`
+    * residue-matching corpus vectors by id, via TakeOrderedAndProject (no
+    * corpus-wide single-partition window); falls back to the first `n`
+    * corpus vectors outright when the residue sample is short, and fails
+    * loudly if the corpus itself can't supply `n` directions. One
+    * index-build-time action — acceptable for an offline index.
+    * Output: (gidx, dv) with gidx in [0, n).
+    */
+  private def sampleDirections(corpus: DataFrame, idCol: String,
+      vecCol: String, n: Int, modulus: Int, residue: Int): DataFrame = {
+    def firstN(df: DataFrame) = df
+      .select(col(idCol).as("did"), col(vecCol).cast("array<double>").as("dv"))
+      .orderBy(col("did")).limit(n)
+    val sampled = firstN(corpus.filter(col(idCol) % modulus === residue))
+    val base = if (sampled.count() == n) sampled else firstN(corpus)
+    require(base.count() == n,
+      s"corpus has fewer than $n rows; cannot build an LSH direction set")
+    // tiny (≤ n rows) by construction — the unpartitioned window is fine
+    base.withColumn("gidx",
+      row_number().over(Window.orderBy(col("did"))) - 1).drop("did")
+  }
+
+  private def packBits(c: DataFrame, dirs: DataFrame): DataFrame =
+    c.crossJoin(broadcast(dirs))
+      .withColumn("__bit",
+        when(dot(col("v"), col("dv")) > 0.0,
+          expr("shiftleft(cast(1 as bigint), plane)")).otherwise(0L))
+      .groupBy(col("id"), col("table"))
+      .agg(sum(col("__bit")).cast("long").as("bucket"))
+
   /** Multi-table random-hyperplane LSH bucketing: `tables` independent
     * bucket assignments of `planes` sign bits each. A pair is a candidate
     * if it shares a bucket in ANY table — recall 1-(1-p^planes)^tables for
     * sign-agreement probability p = 1 - angle/pi. Output: (id, table,
     * bucket); direction vectors are a deterministic corpus sample so the
     * whole index is reproducible.
+    *
+    * Sizing: expected bucket population is N / 2^planes per table, so
+    * `planes` must grow ~log2(N / targetBucketSize) with the corpus — the
+    * defaults fit the test fixtures, not 100 TB. Skewed corpora (e.g.
+    * all-positive sentence embeddings vs corpus-sampled directions) can
+    * still produce hot buckets; cap or salt those upstream like the
+    * MinHash band buckets.
     */
   def lshBucketsMulti(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", tables: Int = 8,
@@ -101,45 +138,21 @@ object Similarity {
       dirResidue: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val dw = Window.orderBy(col(idCol))
-    val dirs = corpus.filter(col(idCol) % dirModulus === dirResidue)
-      .withColumn("gidx", row_number().over(dw) - 1)
-      .filter(col("gidx") < tables * planes)
+    val dirs = sampleDirections(corpus, idCol, vecCol, tables * planes,
+        dirModulus, dirResidue)
       .select((col("gidx") / planes).cast("int").as("table"),
-        pmod(col("gidx"), lit(planes)).as("plane"),
-        col(vecCol).cast("array<double>").as("dv"))
-    c.crossJoin(broadcast(dirs))
-      .withColumn("__bit",
-        when(dot(col("v"), col("dv")) > 0.0,
-          expr("shiftleft(cast(1 as bigint), plane)")).otherwise(0L))
-      .groupBy(col("id"), col("table"))
-      .agg(sum(col("__bit")).cast("long").as("bucket"))
+        pmod(col("gidx"), lit(planes)).as("plane"), col("dv"))
+    packBits(c, dirs)
   }
 
-  /** Random-hyperplane LSH bucketing: `nDirs` deterministic direction
-    * vectors (a fixed sample of the corpus itself — reproducible in the
-    * oracle), one sign bit per direction, bucket = the packed bit vector.
-    * Vectors only compete against bucket-mates at query time; at 100 TB
-    * the corpus is written partitioned by bucket. Output: (id, bucket).
+  /** Single-table random-hyperplane bucketing (the tables=1 special case
+    * of [[lshBucketsMulti]]). Output: (id, bucket).
     */
   def lshBuckets(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", dirModulus: Int = 83,
-      dirResidue: Int = 5, nDirs: Int = 6): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val dw = Window.orderBy(col(idCol))
-    val dirs = corpus.filter(col(idCol) % dirModulus === dirResidue)
-      .withColumn("dir_idx", row_number().over(dw) - 1)
-      .filter(col("dir_idx") < nDirs)
-      .select(col("dir_idx"),
-        col(vecCol).cast("array<double>").as("dv"))
-    c.crossJoin(broadcast(dirs))
-      .withColumn("__bit",
-        when(dot(col("v"), col("dv")) > 0.0,
-          expr("shiftleft(cast(1 as bigint), dir_idx)")).otherwise(0L))
-      .groupBy(col("id"))
-      .agg(sum(col("__bit")).cast("long").as("bucket"))
-  }
+      dirResidue: Int = 5, nDirs: Int = 6): DataFrame =
+    lshBucketsMulti(corpus, idCol, vecCol, tables = 1, planes = nDirs,
+      dirModulus = dirModulus, dirResidue = dirResidue).drop("table")
 
   /** LSH-bucketed ANN: queries rank only their own bucket's vectors by
     * exact cosine. Recall trades against bucket size via nDirs.

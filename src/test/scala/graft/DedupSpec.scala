@@ -85,6 +85,9 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // every LSH hit is an exact hit with the identical cosine (precision 1)
     lsh.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    // recall floor: a silently-empty candidate set must fail, not pass
+    assert(lsh.size * 2 >= exact.size,
+      s"LSH recall collapsed: ${lsh.size}/${exact.size}")
     info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
   }
 
