@@ -276,13 +276,6 @@ object Dedup {
 
   // ---- embedding near-dup ----------------------------------------------
 
-  /** The 100 TB path for [[embeddingNearDupPairs]]: candidates come from
-    * multi-table random-hyperplane LSH buckets instead of the all-pairs
-    * cross join, then the exact cosine filter confirms — so precision is 1
-    * by construction (every emitted pair passes the same exact test) and
-    * recall is the LSH 1-(1-p^planes)^tables tradeoff. One shuffle on the
-    * (table, bucket) key; bucket sizes bound the quadratic work.
-    */
   /** Exact-cosine confirmation shared by both near-dup paths: joins the
     * candidate (a, b) pairs back to vectors and keeps those with
     * round(cos, 6) >= minCosine. Both paths go through this one block, so
@@ -305,6 +298,14 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** The 100 TB path for [[embeddingNearDupPairs]]: candidates come from
+    * multi-table random-hyperplane LSH buckets instead of the all-pairs
+    * cross join, then [[confirmCosine]] filters — so precision is 1 by
+    * construction (every emitted pair passes the same exact test) and
+    * recall is the LSH 1-(1-p^planes)^tables tradeoff. One shuffle on the
+    * (table, bucket) key; bucket count 2^planes must scale with corpus
+    * size (see [[Similarity.lshBucketsMulti]]).
+    */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.45,
       tables: Int = 8, planes: Int = 4): DataFrame = {

@@ -88,23 +88,24 @@ object Similarity {
       .select(col("id"), col("centroid_id").as("cell"), col("d2"))
   }
 
-  /** Deterministic direction sample for hyperplane LSH: the first `n`
-    * residue-matching corpus vectors by id, via TakeOrderedAndProject (no
-    * corpus-wide single-partition window); falls back to the first `n`
-    * corpus vectors outright when the residue sample is short, and fails
-    * loudly if the corpus itself can't supply `n` directions. One
-    * index-build-time action — acceptable for an offline index.
-    * Output: (gidx, dv) with gidx in [0, n).
+  /** Deterministic direction sample for hyperplane LSH: the first (up to)
+    * `n` residue-matching corpus vectors by id, via TakeOrderedAndProject
+    * (no corpus-wide single-partition window). Residue-only — no fallback —
+    * so the DuckDB oracle's formulation reproduces the index exactly; a
+    * short sample just yields fewer planes (lower selectivity, same
+    * correctness). Fails loudly only when the sample is EMPTY, the one
+    * case that silently disables bucketing; that guard is the single
+    * index-build-time action here (cheap: it scans until the first match).
+    * Output: (gidx, dv) with gidx in [0, sample size).
     */
   private def sampleDirections(corpus: DataFrame, idCol: String,
       vecCol: String, n: Int, modulus: Int, residue: Int): DataFrame = {
-    def firstN(df: DataFrame) = df
+    val base = corpus.filter(col(idCol) % modulus === residue)
       .select(col(idCol).as("did"), col(vecCol).cast("array<double>").as("dv"))
       .orderBy(col("did")).limit(n)
-    val sampled = firstN(corpus.filter(col(idCol) % modulus === residue))
-    val base = if (sampled.count() == n) sampled else firstN(corpus)
-    require(base.count() == n,
-      s"corpus has fewer than $n rows; cannot build an LSH direction set")
+    require(!base.isEmpty,
+      s"no corpus ids satisfy id % $modulus == $residue; " +
+        "cannot build an LSH direction set")
     // tiny (≤ n rows) by construction — the unpartitioned window is fine
     base.withColumn("gidx",
       row_number().over(Window.orderBy(col("did"))) - 1).drop("did")
@@ -134,7 +135,7 @@ object Similarity {
     */
   def lshBucketsMulti(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", tables: Int = 8,
-      planes: Int = 4, dirModulus: Int = 17,
+      planes: Int = 4, dirModulus: Int = 13,
       dirResidue: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
