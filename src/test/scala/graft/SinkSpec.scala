@@ -29,6 +29,26 @@ class SinkSpec extends SparkSpec {
     assert(back.filter(col("partition") === 0).count() < rec.count())
   }
 
+  test("range-clustered write produces disjoint per-file key ranges") {
+    val out = tmp("sink_range")
+    Sinks.writeRangeClustered(
+      Tables.load(spark, sf, "orders"), out, Seq("o_orderkey"), 8)
+    // per-file min/max must not overlap across files
+    val ranges = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+        val r = d.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+          .collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file ranges: $hi >= $lo2")
+    }
+    assert(spark.read.parquet(out).count() ===
+      Tables.load(spark, sf, "orders").count())
+  }
+
   test("streaming parquet sink is exactly-once across a restart") {
     val out = tmp("sink_stream_out")
     val ckpt = tmp("sink_stream_ckpt")

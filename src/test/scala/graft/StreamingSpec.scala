@@ -58,6 +58,26 @@ class StreamingSpec extends SparkSpec {
     assert(rows.filter(col("session_end") < col("session_start")).count() === 0)
   }
 
+  test("streaming near-dedup by canonical fingerprint drops reworded dupes") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    mem.addData((1L, t0, "The quick  Brown fox"),
+      (2L, t0, "the quick brown fox"), // same canonical form as 1
+      (3L, t0, "something else"))
+    val withFp = graft.operators.TextAnalysis.withFingerprint(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+    val dedup = StreamOps.dedupWithinWatermark(withFp, Seq("fp_md5"), "ts")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("fpdd").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val kept = spark.table("fpdd").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept.size === 2 && kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size === 1)
+  }
+
   test("stream-stream join with watermarks matches the records paired in-range") {
     import spark.implicits._
     implicit val sqlCtx = classic.sqlContext
