@@ -63,7 +63,7 @@ object KafkaParity {
 
     "k02_decode_errors" -> s"""
       SELECT count(*) AS n_total, count("error") AS n_errors,
-        sum(CAST(json_extract_string("value", '$$.k') AS INT)) AS sum_k,
+        CAST(sum(CAST(json_extract_string("value", '$$.k') AS INT)) AS BIGINT) AS sum_k,
         count(*) FILTER (WHERE ("value" IS NULL) = ("error" IS NULL))
           AS n_invariant_violations
       FROM ($replaySql)""",

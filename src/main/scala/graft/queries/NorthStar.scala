@@ -287,7 +287,7 @@ object NorthStar {
         FROM q, n c WHERE c.vec_id != q.vec_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM s)
-      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
     "s02_ivf_assign" -> """
@@ -329,7 +329,7 @@ object NorthStar {
         WHERE cn.vec_id != qp.query_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
-      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
     "s04_lsh_search" -> """
@@ -352,7 +352,7 @@ object NorthStar {
         FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
-      SELECT query_id, neighbor_id, cosine, "rank" FROM r
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
     "t01_token_stats" -> s"""

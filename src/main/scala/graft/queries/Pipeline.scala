@@ -112,7 +112,7 @@ object Pipeline {
         FROM tf JOIN dft ON tf.term = dft.term, n),
       r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
           ORDER BY score DESC, term) AS "rank" FROM sc)
-      SELECT doc_id, term, score, "rank" FROM r WHERE "rank" <= 5
+      SELECT doc_id, term, score, CAST("rank" AS INT) AS "rank" FROM r WHERE "rank" <= 5
       ORDER BY doc_id, "rank"""",
 
     "t06_hash_sample" -> s"""

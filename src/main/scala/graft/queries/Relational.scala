@@ -315,7 +315,7 @@ object Relational {
       GROUP BY r_name, n_name ORDER BY r_name, n_name""",
 
     "q05_window_topk" -> """
-      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_custkey
             ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -365,7 +365,7 @@ object Relational {
 
     "q11_string_funcs" -> """
       SELECT p_partkey, upper(substr(p_name, 1, 8)) AS up8,
-             length(p_name) AS name_len,
+             CAST(length(p_name) AS INT) AS name_len,
              regexp_replace(p_brand, '#', '-', 'g') AS brand2,
              concat_ws('|', p_brand, p_type) AS brand_type
       FROM part WHERE p_name LIKE '%ar%' ORDER BY p_partkey""",
@@ -378,7 +378,7 @@ object Relational {
 
     "q13_json_extract" -> """
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
              min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
              max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       FROM events GROUP BY event_type ORDER BY event_type""",
@@ -413,7 +413,7 @@ object Relational {
                THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
       FROM flagged GROUP BY user_id ORDER BY user_id""",
 
     "q18_exists_agg" -> """

@@ -208,7 +208,7 @@ object Relational2 {
 
     "q24_analytics" -> """
       SELECT o_custkey, o_orderkey,
-             ntile(4) OVER w AS quartile,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
              lag(o_orderkey, 1) OVER w AS prev_key,
              lead(o_orderkey, 1) OVER w AS next_key,
              first_value(o_orderkey) OVER
@@ -259,8 +259,8 @@ object Relational2 {
         CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
         CAST(o_orderdate AS DATE) + 45 AS plus45d,
         CAST(last_day(o_orderdate) AS DATE) AS month_end,
-        date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
-          AS days_to_2002
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+          AS INT) AS days_to_2002
       FROM orders ORDER BY o_orderkey""",
 
     "q28_null_ordering" -> """
