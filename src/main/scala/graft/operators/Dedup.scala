@@ -274,6 +274,20 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
+  /** Keep-policy materializer: given the corpus and its near-dup pairs,
+    * return only cluster representatives (the min-id member of each
+    * connected component) plus all unpaired documents — the actual
+    * deduplicated corpus a training pipeline feeds downstream. One anti
+    * join against the (tiny) set of dropped ids.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val dropped = connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Exact-cosine confirmation shared by both near-dup paths: joins the

@@ -55,6 +55,18 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // The full dedup pipeline end-to-end: pairs → clusters → keep-one.
+    // Output is corpus-level stats of the surviving documents.
+    "d09_dedup_corpus" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      Dedup.dropNearDuplicates(d, pairs)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    },
+
     // Sketch composability through the typed-Aggregator UDAF surface:
     // per-source union MinHash = element-wise min over doc signatures.
     "d06_minhash_union" -> { (s, dir) =>
@@ -240,6 +252,22 @@ object NorthStar {
         (SELECT count(*) FROM documents d2
          WHERE d2.source = u.source) AS n_docs
       FROM u GROUP BY source ORDER BY source""",
+
+    "d09_dedup_corpus" -> s"""
+      WITH RECURSIVE $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+      SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
 
     "d03_simhash_pairs" -> s"""
       WITH th AS (SELECT doc_id,

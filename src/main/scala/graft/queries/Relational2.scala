@@ -169,6 +169,19 @@ object Relational2 {
         .orderBy(col("o_orderkey"))
     },
 
+    // Correlated scalar subqueries in the select list (rewritten by
+    // Catalyst into aggregated left outer joins).
+    "q33_scalar_subquery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+            AS n_orders,
+          (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+            AS max_price
+        FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -262,6 +275,14 @@ object Relational2 {
         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
           AS INT) AS days_to_2002
       FROM orders ORDER BY o_orderkey""",
+
+    "q33_scalar_subquery" -> """
+      SELECT c_custkey,
+        (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+          AS n_orders,
+        (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+          AS max_price
+      FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""",
 
     "q28_null_ordering" -> """
       SELECT event_id,
