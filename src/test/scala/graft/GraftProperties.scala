@@ -63,6 +63,38 @@ object GraftProperties extends Properties("graft") {
     got.length == 16 && got.forall(v => v >= 0 && v < P)
   }
 
+  private def refSimhash(text: String): Long = {
+    val toks = text.split("\\s+", -1)
+    val md = MessageDigest.getInstance("MD5")
+    val ones = new Array[Int](60)
+    toks.foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((v, i) =>
+        (v << 8) | (d(i) & 0xFFL)) >>> 4
+      (0 until 60).foreach(j => ones(j) += ((h >> j) & 1L).toInt)
+      md.reset()
+    }
+    (0 until 60).foldLeft(0L)((acc, j) =>
+      if (2 * ones(j) > toks.length) acc | (1L << j) else acc)
+  }
+
+  property("simhash matches reference impl") = forAll(text) { t =>
+    graft.functions.Simhash60(Literal(UTF8String.fromString(t)))
+      .nullSafeEval(UTF8String.fromString(t)) == refSimhash(t)
+  }
+
+  property("word shingles match reference impl") = forAll(text) { t =>
+    val toks = t.split("\\s+", -1)
+    val ref =
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      else Seq(toks.mkString(" "))
+    val got = graft.functions.WordShingles(
+        Literal(UTF8String.fromString(t)), 3)
+      .nullSafeEval(UTF8String.fromString(t))
+      .asInstanceOf[GenericArrayData].array.toSeq.map(_.toString)
+    got == ref
+  }
+
   // ---- vector expressions vs plain scala folds ---------------------------
 
   private val vec = Gen.choose(1, 64).flatMap(n =>
