@@ -20,6 +20,7 @@ class MinhashUnion(k: Int) extends Aggregator[Seq[Long], Array[Long], Seq[Long]]
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], sig: Seq[Long]): Array[Long] = {
+    if (sig == null) return buf // null text → null signature: skip, don't NPE
     var i = 0
     while (i < k && i < sig.length) {
       if (sig(i) < buf(i)) buf(i) = sig(i)

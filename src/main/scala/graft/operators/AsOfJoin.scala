@@ -45,16 +45,22 @@ object AsOfJoin {
       s"payload columns ${payload.filter(leftCols.contains)} collide with " +
         "left-side columns; rename before joining")
     require(direction == "backward" || direction == "forward", direction)
-    val l = payload.foldLeft(
-      left.withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
-        .withColumn("__bt", lit(null)).withColumn("__side", lit(1)))(
-      (d, p) => d.withColumn(p, lit(null)))
+    // The whole match — every payload column plus the matched right time —
+    // travels as ONE struct through ONE last(ignoreNulls) window, so all
+    // output fields come atomically from the same right row. (Carrying the
+    // columns independently would back-fill a legitimately-NULL payload
+    // value from an OLDER right row and mix fields across matches.)
+    val matchStruct = struct(
+      payload.map(col) :+ col(timeR).as("__bt"): _*)
+    val mType = right.select(matchStruct.as("__m")).schema("__m").dataType
+    val l = left.withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
+      .withColumn("__side", lit(1))
+      .withColumn("__m", lit(null).cast(mType))
     val r = leftCols.foldLeft(
       right.withColumn("__k", col(keyR)).withColumn("__t", col(timeR))
-        .withColumn("__bt", col(timeR)).withColumn("__side", lit(0)))(
-      (d, c) => if (payload.contains(c)) d else d.withColumn(c, lit(null)))
-    val cols = (leftCols ++ Seq("__k", "__t", "__bt", "__side") ++
-      payload.filterNot(leftCols.contains)).map(col)
+        .withColumn("__side", lit(0)).withColumn("__m", matchStruct))(
+      (d, c) => d.withColumn(c, lit(null)))
+    val cols = (leftCols ++ Seq("__k", "__t", "__side", "__m")).map(col)
 
     // Right rows (side 0) sort before left rows at equal time → inclusive.
     // Backward scans time ascending (last right ≤ t); forward scans it
@@ -64,17 +70,18 @@ object AsOfJoin {
     else Seq(col("__t").desc, col("__side").asc)
     val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (payload :+ "__bt").foldLeft(l.select(cols: _*)
-        .unionByName(r.select(cols: _*))) { (d, p) =>
-      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = l.select(cols: _*).unionByName(r.select(cols: _*))
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+    // Tolerance nulls out the WHOLE match struct — a too-distant match
+    // can't leave stale fields behind.
     val bounded = tolerance.fold(carried) { tol =>
-      val dist = if (direction == "backward") col("__t") - col("__bt")
-        else col("__bt") - col("__t")
-      payload.foldLeft(carried)((d, p) =>
-        d.withColumn(p, when(dist <= tol, col(p))))
+      val dist = if (direction == "backward")
+        col("__t") - col("__m").getField("__bt")
+      else col("__m").getField("__bt") - col("__t")
+      carried.withColumn("__m", when(dist <= tol, col("__m")))
     }
-    bounded.filter(col("__side") === 1)
-      .drop("__k", "__t", "__bt", "__side")
+    payload.foldLeft(bounded.filter(col("__side") === 1))(
+        (d, p) => d.withColumn(p, col("__m").getField(p)))
+      .drop("__k", "__t", "__side", "__m")
   }
 }

@@ -15,11 +15,47 @@ import graft.functions.CrossHash._
   *  - Candidate generation shuffles once on the band/block key; only
   *    candidate pairs (a tiny fraction of the corpus) are joined back for
   *    exact comparison — never all pairs.
-  *  - Hot band-buckets (boilerplate text) explode quadratically; cap or
-  *    salt them upstream in a production run. Thresholds are compared in
-  *    integer space (2*eq >= k) so float rounding can't flip a decision.
+  *  - Hot band-buckets (boilerplate text) explode quadratically, so every
+  *    candidate generator caps bucket population deterministically (keep
+  *    the `maxBucket` lowest ids per bucket; see [[capBucket]]) — one
+  *    pathological cluster then contributes O(maxBucket²) pairs instead of
+  *    O(cluster²). Recall cost: pairs between two DROPPED members of the
+  *    same hot bucket are missed unless another band catches them; for
+  *    dedup this is usually recovered transitively through the kept members
+  *    (connected components), and [[bucketOverflow]] reports exactly which
+  *    buckets were truncated. Thresholds are compared in integer space
+  *    (2*eq >= k) so float rounding can't flip a decision.
   */
 object Dedup {
+
+  /** Deterministic bucket cap: keep the `maxBucket` lowest-`idCol` rows per
+    * bucket key. Deterministic (not sampled) so reruns — and the DuckDB
+    * oracle — reproduce the exact same candidate set. The row_number
+    * window partitions by the same key the candidate self-join shuffles
+    * on, so it adds no extra exchange. `maxBucket <= 0` disables.
+    */
+  private def capBucket(df: DataFrame, keys: Seq[String], idCol: String,
+      maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col(idCol))
+      df.withColumn("__bp", row_number().over(w))
+        .filter(col("__bp") <= maxBucket).drop("__bp")
+    }
+
+  /** Truncation report for a capped candidate generator: bucket keys whose
+    * population exceeds `maxBucket`, with kept/dropped counts. Run it on
+    * the same banded frame (e.g. [[minhashBands]] output with keys
+    * (band_idx, band_val)) when a production run needs the recall impact
+    * quantified; one aggregation, no join.
+    */
+  def bucketOverflow(banded: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("population"))
+      .filter(col("population") > maxBucket)
+      .withColumn("n_dropped", col("population") - maxBucket)
 
   // ---- shingling --------------------------------------------------------
 
@@ -118,18 +154,21 @@ object Dedup {
   /** Near-dup candidate pairs via MinHash LSH, verified against the full
     * signatures: (a, b, n_eq, est_jaccard), keeping pairs with
     * n_eq/k >= minJaccard (integer comparison). One shuffle on the band key
-    * + one on the pair ids.
+    * + one on the pair ids. Band buckets larger than `maxBucket` are
+    * truncated deterministically (see [[capBucket]]) so a hot boilerplate
+    * cluster can't go quadratic.
     */
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 16, bands: Int = 4,
-      minJaccardPct: Int = 50): DataFrame = {
+      minJaccardPct: Int = 50, maxBucket: Int = 200): DataFrame = {
     // Repartition before the (expensive, map-only) signature stage: a
     // single-file source otherwise pins all hashing onto one task. The
     // three downstream uses share one computation via ReuseExchange on
     // the repartition shuffle — no cache needed.
     val sigs = minhashSignatures(
       df.repartition(col(idCol)), idCol, textCol, k)
-    val bandedL = minhashBands(sigs, k, bands)
+    val bandedL = capBucket(minhashBands(sigs, k, bands),
+        Seq("band_idx", "band_val"), idCol, maxBucket)
       .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val bandedR = bandedL
       .select(col("a").as("b"), col("band_idx"), col("band_val"))
@@ -180,14 +219,20 @@ object Dedup {
     * and verified with bit_count(xor). Output: (a, b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 3): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 3,
+      maxBucket: Int = 200): DataFrame = {
     require(maxHamming <= 3, "4-band LSH over 60 bits is exact only to 3")
     val sh = withSimhash(df.repartition(col(idCol)), textCol)
       .select(col(idCol).as("id"), col("sh"))
-    val banded = sh.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
-        .as(Seq("band_idx", "band_val")))
+    // NOTE: the cap trades the pigeonhole exactness guarantee for bounded
+    // candidate counts — pairs whose shared bands were ALL truncated are
+    // missed. Inert below maxBucket-sized buckets (all test fixtures).
+    val banded = capBucket(
+      sh.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"), "id", maxBucket)
     val l = banded.select(col("id").as("a"), col("sh").as("sh_a"),
       col("band_idx"), col("band_val"))
     val r = banded.select(col("id").as("b"), col("sh").as("sh_b"),
@@ -209,11 +254,13 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 3,
-      prefixWords: Int = 3): DataFrame = {
+      prefixWords: Int = 3, maxBucket: Int = 200): DataFrame = {
     val tk = split(col(textCol), "\\s+")
-    val keyed = df.repartition(col(idCol)).select(col(idCol).as("id"),
-      md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
-      shingles(col(textCol), w).as("sh"))
+    val keyed = capBucket(
+      df.repartition(col(idCol)).select(col(idCol).as("id"),
+        md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
+        shingles(col(textCol), w).as("sh")),
+      Seq("block"), "id", maxBucket)
     val l = keyed.select(col("id").as("a"), col("block"),
       col("sh").as("sh_a"))
     val r = keyed.select(col("id").as("b"), col("block"),
@@ -247,9 +294,13 @@ object Dedup {
       col("b").cast("long").as("dst"))
     // Materialize once: every iteration joins against edges, and without
     // this the full upstream pair-generation pipeline re-runs per round.
+    // Hash-partitioned on dst BEFORE the checkpoint — LogicalRDD keeps the
+    // physical partitioning, so the per-round edges⋈labels join reuses the
+    // layout instead of re-exchanging the (big) edge list every iteration.
     val edges = half
       .union(half.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
@@ -271,6 +322,13 @@ object Dedup {
       labels = next.drop("changed")
       iter += 1
     }
+    if (!converged)
+      // Non-minimal labels would silently keep/drop the WRONG documents
+      // downstream (dropNearDuplicates), so exiting early is an error,
+      // not a degraded answer.
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+          "a component has diameter > maxIter; raise maxIter")
     labels.select(col("id"), col("lbl").as("cluster"))
   }
 
@@ -322,9 +380,10 @@ object Dedup {
     */
   def embeddingNearDupPairsLsh(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCosine: Double = 0.45,
-      tables: Int = 8, planes: Int = 4): DataFrame = {
-    val buckets = Similarity.lshBucketsMulti(df, idCol, vecCol,
-      tables, planes)
+      tables: Int = 8, planes: Int = 4, maxBucket: Int = 200): DataFrame = {
+    val buckets = capBucket(
+      Similarity.lshBucketsMulti(df, idCol, vecCol, tables, planes),
+      Seq("table", "bucket"), "id", maxBucket)
     val cand = buckets.select(col("id").as("a"), col("table"), col("bucket"))
       .join(buckets.select(col("id").as("b"), col("table"), col("bucket")),
         Seq("table", "bucket"))

@@ -72,20 +72,35 @@ object Similarity {
         col(vecCol).cast("array<double>").as("cv"))
 
   /** Inverted-file assignment: nearest centroid per vector (squared
-    * euclidean, round(d2,6), ties to the lowest centroid id). Centroids are
-    * broadcast; assignment is map-side — no shuffle of the corpus.
-    * Output: corpus columns' id + (cell, d2).
+    * euclidean, round(d2,6), ties to the lowest centroid id). The centroid
+    * set is packed into ONE broadcast row holding a sorted array of
+    * (centroid_id, cv) structs and the argmin is a per-row fold over it —
+    * truly map-side: no N×C intermediate, no shuffle of the corpus at all
+    * (the old crossJoin + row_number formulation shuffled N×C rows).
+    * Output: (id, cell, d2).
     */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val scored = c.crossJoin(broadcast(centroids))
-      .withColumn("d2", round(dist2(col("v"), col("cv")), 6))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("d2"), col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("centroid_id").as("cell"), col("d2"))
+    // sort_array orders by centroid_id (first struct field), so the strict
+    // `<` in the fold resolves distance ties to the lowest centroid id —
+    // same tie-break as ORDER BY d2, centroid_id.
+    val packed = centroids
+      .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
+        .as("cents"))
+    c.crossJoin(broadcast(packed))
+      .withColumn("best",
+        aggregate(col("cents"),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell")),
+          (acc, ct) => {
+            val nd = round(dist2(col("v"), ct.getField("cv")), 6)
+            when(nd < acc.getField("d2"),
+              struct(nd.as("d2"), ct.getField("centroid_id").as("cell")))
+              .otherwise(acc)
+          }))
+      .select(col("id"), col("best").getField("cell").as("cell"),
+        col("best").getField("d2").as("d2"))
   }
 
   /** Deterministic direction sample for hyperplane LSH: the first (up to)
@@ -111,13 +126,32 @@ object Similarity {
       row_number().over(Window.orderBy(col("did"))) - 1).drop("did")
   }
 
-  private def packBits(c: DataFrame, dirs: DataFrame): DataFrame =
-    c.crossJoin(broadcast(dirs))
-      .withColumn("__bit",
-        when(dot(col("v"), col("dv")) > 0.0,
-          expr("shiftleft(cast(1 as bigint), plane)")).otherwise(0L))
-      .groupBy(col("id"), col("table"))
-      .agg(sum(col("__bit")).cast("long").as("bucket"))
+  /** Map-side bucket packing: the (tiny) direction set is collapsed into
+    * ONE broadcast row of (table, plane, dv) structs; each corpus row folds
+    * over it to produce its per-table buckets in place. No N×dirs
+    * intermediate and no (id, table) aggregation shuffle — the old
+    * crossJoin + groupBy formulation exchanged N×tables rows. Tables with
+    * no sampled direction emit no bucket row (same as the old groupBy).
+    */
+  private def packBits(c: DataFrame, dirs: DataFrame): DataFrame = {
+    val packed = dirs.agg(
+      collect_list(struct(col("table"), col("plane"), col("dv"))).as("dirs"))
+    c.crossJoin(broadcast(packed))
+      .withColumn("__bits", transform(col("dirs"), d =>
+        struct(d.getField("table").as("t"),
+          when(dot(col("v"), d.getField("dv")) > 0.0,
+            call_function("shiftleft", lit(1L), d.getField("plane")))
+            .otherwise(lit(0L)).as("bit"))))
+      .select(col("id"), explode(
+        transform(
+          array_sort(array_distinct(
+            transform(col("dirs"), d => d.getField("table")))),
+          t => struct(t.as("table"),
+            aggregate(filter(col("__bits"), b => b.getField("t") === t),
+              lit(0L), (a, x) => a + x.getField("bit")).as("bucket"))))
+        .as("tb"))
+      .select(col("id"), col("tb.table"), col("tb.bucket"))
+  }
 
   /** Multi-table random-hyperplane LSH bucketing: `tables` independent
     * bucket assignments of `planes` sign bits each. A pair is a candidate

@@ -46,6 +46,14 @@ object NorthStar {
       Dedup.embeddingNearDupPairs(emb(s, dir)).orderBy(col("a"), col("b"))
     },
 
+    // The 100 TB embedding-dedup path: multi-table hyperplane-LSH candidate
+    // buckets (capped) + exact-cosine confirmation. d05 above is the
+    // all-pairs ground truth; THIS is the plan you'd run at scale, so it
+    // carries its own oracle certification.
+    "d10_embedding_neardup_lsh" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(emb(s, dir)).orderBy(col("a"), col("b"))
+    },
+
     // Pairs → clusters: min-label propagation over the minhash pair graph
     // (each cluster labeled by its minimum doc_id, the canonical keeper).
     "d08_dup_clusters" -> { (s, dir) =>
@@ -69,6 +77,9 @@ object NorthStar {
 
     // Sketch composability through the typed-Aggregator UDAF surface:
     // per-source union MinHash = element-wise min over doc signatures.
+    // Output exploded to scalar rows (source, i, sig_i, n_docs) so the
+    // driver's hash compare can certify it (array columns can't be hashed
+    // by its pandas sort).
     "d06_minhash_union" -> { (s, dir) =>
       docs(s, dir)
         .select(col("source"),
@@ -77,7 +88,10 @@ object NorthStar {
         .groupBy(col("source"))
         .agg(graft.functions.MinhashUnion.minhash_union()(col("sig"))
           .as("union_sig"), count(lit(1)).as("n_docs"))
-        .orderBy(col("source"))
+        .select(col("source"),
+          posexplode(col("union_sig")).as(Seq("i", "sig_i")),
+          col("n_docs"))
+        .orderBy(col("source"), col("i"))
     },
 
     // ---- similarity search ---------------------------------------------
@@ -200,9 +214,13 @@ object NorthStar {
           list_min(list_transform(hp,
             p -> (p.h1 + i * p.h2r) % 2305843009213693951))) AS sig
         FROM hp),
-      bands AS (SELECT doc_id, b,
+      bands0 AS (SELECT doc_id, b,
           ${h("array_to_string(sig[b*4+1:b*4+4], ',')")} AS bv
         FROM sig, generate_series(0, 3) t(b)),
+      bands AS (SELECT doc_id, b, bv FROM (
+          SELECT doc_id, b, bv, row_number()
+            OVER (PARTITION BY b, bv ORDER BY doc_id) AS bp FROM bands0)
+        WHERE bp <= 200),
       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         FROM bands x JOIN bands y
           ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
@@ -247,11 +265,11 @@ object NorthStar {
         FROM hp),
       s2 AS (SELECT d.source, sig FROM sig JOIN documents d USING (doc_id)),
       u AS (SELECT source, i, min(sig[i + 1]) AS m
-        FROM s2, generate_series(0, 15) t(i) GROUP BY source, i)
-      SELECT source, list(m ORDER BY i) AS union_sig,
-        (SELECT count(*) FROM documents d2
-         WHERE d2.source = u.source) AS n_docs
-      FROM u GROUP BY source ORDER BY source""",
+        FROM s2, generate_series(0, 15) t(i) GROUP BY source, i),
+      nd AS (SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source)
+      SELECT u.source, CAST(u.i AS INT) AS i, u.m AS sig_i, nd.n_docs
+      FROM u JOIN nd USING (source) ORDER BY source, i""",
 
     "d09_dedup_corpus" -> s"""
       WITH RECURSIVE $MinhashCtes,
@@ -286,8 +304,12 @@ object NorthStar {
 
     "d04_ngram_jaccard" -> s"""
       WITH $ShinglesCte,
-      k AS (SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS block, sh
+      k0 AS (SELECT doc_id, md5(array_to_string(w[1:3], ' ')) AS block, sh
         FROM sgl),
+      k AS (SELECT doc_id, block, sh FROM (
+          SELECT doc_id, block, sh, row_number()
+            OVER (PARTITION BY block ORDER BY doc_id) AS bp FROM k0)
+        WHERE bp <= 200),
       p AS (SELECT x.doc_id AS a, y.doc_id AS b,
           len(list_intersect(x.sh, y.sh)) AS n_inter,
           len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS n_union
@@ -304,6 +326,30 @@ object NorthStar {
         round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
       FROM n x JOIN n y ON x.vec_id < y.vec_id
       WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.45
+      ORDER BY a, b""",
+
+    "d10_embedding_neardup_lsh" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS gidx, v AS dv
+             FROM e WHERE vec_id % 13 = 3),
+      d AS (SELECT CAST(gidx // 4 AS INT) AS tbl, CAST(gidx % 4 AS INT) AS plane,
+                   dv FROM d0 WHERE gidx < 32),
+      b AS (SELECT e.vec_id, d.tbl,
+              CAST(sum(CASE WHEN list_dot_product(e.v, d.dv) > 0
+                THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS bucket
+            FROM e, d GROUP BY e.vec_id, d.tbl),
+      bc AS (SELECT vec_id, tbl, bucket FROM (
+              SELECT vec_id, tbl, bucket, row_number()
+                OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS bp FROM b)
+             WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM bc x JOIN bc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                 AND x.vec_id < y.vec_id),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT cand.a, cand.b,
+        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+      FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b
+      WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.45
       ORDER BY a, b""",
 
     "s01_knn_brute" -> """

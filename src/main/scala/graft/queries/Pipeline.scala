@@ -70,7 +70,10 @@ object Pipeline {
     },
 
     // Per-label embedding centroids: posexplode → per-(label,idx) ordered
-    // fold → reassembled array. One shuffle on (label, idx).
+    // fold. One shuffle on (label, idx). Output is scalar rows
+    // (label, idx, mean, n_vectors) — one per centroid component — so the
+    // driver's hash compare can certify it (array columns can't be hashed
+    // by its pandas sort).
     "s05_label_centroids" -> { (s, dir) =>
       Tables.load(s, dir, "embeddings")
         .select(col("label"), col("vec_id"),
@@ -83,15 +86,10 @@ object Pipeline {
               array_sort(collect_list(struct(col("vec_id"), col("comp")))),
               e => e.getField("comp")),
             lit(0.0), (acc, x) => acc + x).as("s"),
-          count(lit(1)).as("c"))
-        .groupBy(col("label"))
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("idx"),
-              (col("s") / col("c")).as("m")))),
-            e => e.getField("m")).as("centroid"),
-          min(col("c")).as("n_vectors"))
-        .orderBy(col("label"))
+          count(lit(1)).as("n_vectors"))
+        .select(col("label"), col("idx"),
+          (col("s") / col("n_vectors")).as("mean"), col("n_vectors"))
+        .orderBy(col("label"), col("idx"))
     })
 
   // NOTE: must precede `oracles` — Scala object vals initialize in
@@ -133,12 +131,11 @@ object Pipeline {
     "s05_label_centroids" -> """
       WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
                  FROM embeddings),
-      x AS (SELECT label, vec_id, i, v[i] AS comp
-            FROM e, generate_series(1, 64) t(i) WHERE i <= len(v)),
-      g AS (SELECT label, i,
-              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS s,
-              count(*) AS c
-            FROM x GROUP BY label, i)
-      SELECT label, list(s / c ORDER BY i) AS centroid, min(c) AS n_vectors
-      FROM g GROUP BY label ORDER BY label""")
+      x AS (SELECT label, vec_id, t.i, v[t.i] AS comp
+            FROM e, unnest(generate_series(1, len(v))) AS t(i))
+      SELECT label, CAST(i - 1 AS INT) AS idx,
+             list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b)
+               / count(*) AS mean,
+             count(*) AS n_vectors
+      FROM x GROUP BY label, i ORDER BY label, idx""")
 }
