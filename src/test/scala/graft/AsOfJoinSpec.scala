@@ -47,6 +47,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e1") === null) // 95 away
   }
 
+  test("a matched row's NULL payload stays NULL — no back-fill, no mixing") {
+    import spark.implicits._
+    // The matched right row (rt=10) has p1 = NULL; an older row (rt=5) has
+    // p1 = "old". Carrying columns independently would back-fill p1 from
+    // the older row and emit a frankenstein match (old p1, new p2). The
+    // whole match must come atomically from the rt=10 row.
+    val left = Seq((1L, 20L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, Option("old"), Option("oldB")),
+      (1L, 10L, Option.empty[String], Option("newB")))
+      .toDF("rk", "rt", "p1", "p2")
+    val r = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("p1", "p2")).collect()(0)
+    assert(r.getAs[String]("p1") === null)
+    assert(r.getAs[String]("p2") === "newB")
+  }
+
+  test("tolerance applies to the match time even when its payload is NULL") {
+    import spark.implicits._
+    // rt=10 (NULL payload) is the match for t=20; rt=5 ("old") is outside
+    // any reasonable per-field reconstruction. With tolerance 15 the match
+    // stands (dist 10) and p1 is genuinely NULL; with tolerance 3 the whole
+    // match nulls out.
+    val left = Seq((1L, 20L, "e1")).toDF("k", "t", "ev")
+    val right = Seq((1L, 5L, Option("old"), Option("oldB")),
+      (1L, 10L, Option.empty[String], Option("newB")))
+      .toDF("rk", "rt", "p1", "p2")
+    val within = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("p1", "p2"), tolerance = Some(15L)).collect()(0)
+    assert(within.getAs[String]("p1") === null)   // genuinely NULL match field
+    assert(within.getAs[String]("p2") === "newB") // match itself stands
+    val outside = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("p1", "p2"), tolerance = Some(3L)).collect()(0)
+    assert(outside.getAs[String]("p1") === null)  // whole match nulled
+    assert(outside.getAs[String]("p2") === null)
+  }
+
   test("randomized as-of scenarios match an in-memory reference model") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

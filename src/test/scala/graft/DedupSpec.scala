@@ -91,6 +91,33 @@ class DedupSpec extends SparkSpec {
     info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
   }
 
+  test("hot-bucket cap keeps candidate counts linear on pathological input") {
+    import spark.implicits._
+    // 500 identical documents: every band bucket holds all 500 ids, so an
+    // uncapped generator would emit C(500,2) = 124,750 candidate pairs.
+    val boiler = (0L until 500L).map(i => (i, "the same boilerplate text " +
+      "repeated in every single document of this hot cluster"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(boiler, maxBucket = 10).collect()
+    // Capped: only the 10 lowest ids survive per bucket (the same 10 in
+    // every band here) → exactly C(10,2) verified pairs, all among ids 0-9.
+    assert(pairs.length === 45, s"expected 45 capped pairs, got ${pairs.length}")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("b") <= 9, p)
+      assert(p.getAs[Double]("est_jaccard") === 1.0)
+    }
+    // The truncation is observable, not silent: every one of the 4 band
+    // buckets reports its dropped population.
+    val overflow = Dedup.bucketOverflow(
+      Dedup.minhashBands(Dedup.minhashSignatures(boiler)),
+      Seq("band_idx", "band_val"), 10).collect()
+    assert(overflow.length === 4)
+    overflow.foreach(o => assert(o.getAs[Long]("n_dropped") === 490L))
+    // Same linearity guarantee on the simhash and jaccard generators.
+    assert(Dedup.simhashPairs(boiler, maxBucket = 10).count() === 45L)
+    assert(Dedup.ngramJaccardPairs(boiler, maxBucket = 10).count() === 45L)
+  }
+
   test("typed KafkaRecord dataset roundtrips the replay") {
     val ds = graft.sources.KafkaSource.typed(
       graft.sources.KafkaSource.replay(Tables.load(spark, sf, "events")))

@@ -73,6 +73,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("IVF assignment is map-side: no shuffle or window over the corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = graft.operators.Similarity
+      .ivfAssign(emb, graft.operators.Similarity.sampleCentroids(emb))
+      .queryExecution.explainString(FormattedMode)
+    // The corpus flows scan → broadcast-join → project. The only exchanges
+    // allowed are the tiny centroid-side SinglePartition collect and its
+    // broadcast — never a hash repartition or a per-id window.
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("range join keeps the equi-key hash join with range residual (q25)") {
     val p = plan("q25_range_join")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
