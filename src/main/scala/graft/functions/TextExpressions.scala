@@ -4,37 +4,24 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native MinHash signature: tokenize → w-word shingles → md5 → k linear
-  * minima, in one pass of plain JVM code per row.
-  *
-  * Bit-compatible with the declarative formulation (and the DuckDB oracle):
-  *   h1 = first 15 hex digits of md5(shingle)  = (bytes[0..7]  as u64) >>> 4
-  *   h2 = hex digits 17..31                    = (bytes[8..15] as u64) >>> 4
-  *   sig_i = (h1 + i * (h2 >> 3)) mod (2^61 - 1)
-  * Tokenization matches Spark's split(text, '\\s+') (Java regex, limit -1);
-  * shingles are distinct (set semantics), matching array_distinct.
-  *
-  * Why an Expression and not the equivalent transform/aggregate chain:
-  * higher-order functions are CodegenFallback and evaluate their lambda per
-  * element through the interpreter — measured ~6x slower at sf0.1. This is
-  * the SURVEY §4.2 promotion path: same semantics, tight loop.
+/** Per-row text-sketch kernels, shared by the interpreted `eval` path and
+  * the generated code path of the expressions below. A top-level Scala
+  * object gets static forwarders, so janino-generated code can call
+  * `graft.functions.TextKernels.minhash(...)` directly — the expressions'
+  * `doGenCode` is a one-line static call, which keeps them INSIDE
+  * whole-stage codegen with no boxed row access and no references-array
+  * indirection (the two costs of CodegenFallback).
   */
-case class MinhashSignature(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k > 0 && w > 0)
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_signature"
-
+object TextKernels {
   private val P = 2305843009213693951L // 2^61 - 1
-  @transient private lazy val ws = "\\s+".r.pattern
-  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
+  private val ws = "\\s+".r.pattern
+  private val digest = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }
@@ -46,25 +33,30 @@ case class MinhashSignature(child: Expression, k: Int, w: Int)
     v
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  /** Distinct w-word shingles in first-occurrence order (array_distinct
+    * semantics); texts shorter than w tokens yield their whole text.
+    */
+  private def shingleSet(text: String, w: Int): java.util.LinkedHashSet[String] = {
     val toks = ws.split(text, -1)
-    val shingleSet = new java.util.LinkedHashSet[String]()
+    val set = new java.util.LinkedHashSet[String]()
     if (toks.length >= w) {
       var i = 0
       while (i + w <= toks.length) {
         val sb = new java.lang.StringBuilder(toks(i))
         var j = 1
         while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
-        shingleSet.add(sb.toString)
+        set.add(sb.toString)
         i += 1
       }
-    } else {
-      shingleSet.add(String.join(" ", toks: _*))
-    }
+    } else set.add(String.join(" ", toks: _*))
+    set
+  }
+
+  def minhash(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val set = shingleSet(text.toString, w)
     val mins = Array.fill(k)(Long.MaxValue)
     val md = digest.get()
-    val it = shingleSet.iterator()
+    val it = set.iterator()
     while (it.hasNext) {
       md.reset()
       val d = md.digest(it.next().getBytes("UTF-8"))
@@ -80,29 +72,8 @@ case class MinhashSignature(child: Expression, k: Int, w: Int)
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression)
-      : MinhashSignature = copy(child = c)
-}
-
-/** Native 60-bit SimHash over whitespace tokens (duplicates weighted):
-  * bit j set iff strictly more than half the token hashes have bit j set,
-  * token hash = first 15 hex digits of md5 (the CrossHash convention).
-  * Bit-identical to the expr-based fold it replaces and the DuckDB oracle.
-  */
-case class Simhash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "simhash60"
-
-  @transient private lazy val ws = "\\s+".r.pattern
-  @transient private lazy val digest = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+  def simhash60(text: UTF8String): Long = {
+    val toks = ws.split(text.toString, -1)
     val ones = new Array[Int](60)
     val md = digest.get()
     var t = 0
@@ -123,8 +94,70 @@ case class Simhash60(child: Expression)
       if (2 * ones(j) > toks.length) sh |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(sh)
+    sh
   }
+
+  def shingles(text: UTF8String, w: Int): ArrayData = {
+    val set = shingleSet(text.toString, w)
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native MinHash signature: tokenize → w-word shingles → md5 → k linear
+  * minima, in one pass of plain JVM code per row.
+  *
+  * Bit-compatible with the declarative formulation (and the DuckDB oracle):
+  *   h1 = first 15 hex digits of md5(shingle)  = (bytes[0..7]  as u64) >>> 4
+  *   h2 = hex digits 17..31                    = (bytes[8..15] as u64) >>> 4
+  *   sig_i = (h1 + i * (h2 >> 3)) mod (2^61 - 1)
+  * Tokenization matches Spark's split(text, '\\s+') (Java regex, limit -1);
+  * shingles are distinct (set semantics), matching array_distinct.
+  *
+  * Why an Expression and not the equivalent transform/aggregate chain:
+  * higher-order functions are CodegenFallback and evaluate their lambda per
+  * element through the interpreter — measured ~6x slower at sf0.1. This is
+  * the SURVEY §4.2 promotion path: same semantics, tight loop, and a real
+  * `doGenCode` (static [[TextKernels]] call) so the signature stage stays
+  * inside whole-stage codegen.
+  */
+case class MinhashSignature(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k > 0 && w > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.minhash($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression)
+      : MinhashSignature = copy(child = c)
+}
+
+/** Native 60-bit SimHash over whitespace tokens (duplicates weighted):
+  * bit j set iff strictly more than half the token hashes have bit j set,
+  * token hash = first 15 hex digits of md5 (the CrossHash convention).
+  * Bit-identical to the expr-based fold it replaces and the DuckDB oracle.
+  */
+case class Simhash60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextKernels.simhash60(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.simhash60($c)")
 
   override protected def withNewChildInternal(c: Expression): Simhash60 =
     copy(child = c)
@@ -134,35 +167,19 @@ case class Simhash60(child: Expression)
   * array_distinct over the declarative transform); documents shorter than
   * w tokens contribute their whole text as one shingle.
   */
-case class WordShingles(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
   require(w > 0)
 
-  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
-    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  @transient private lazy val ws = "\\s+".r.pattern
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], w)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
-    val set = new java.util.LinkedHashSet[String]()
-    if (toks.length >= w) {
-      var i = 0
-      while (i + w <= toks.length) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = 1
-        while (j < w) { sb.append(' ').append(toks(i + j)); j += 1 }
-        set.add(sb.toString)
-        i += 1
-      }
-    } else set.add(String.join(" ", toks: _*))
-    val out = new Array[Any](set.size)
-    val it = set.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
-    new GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.shingles($c, $w)")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)

@@ -47,8 +47,12 @@ object Multimodal {
   /** Frame sampling: `n` evenly-strided fixed-width byte windows per
     * payload — the shape a video pipeline uses to pick keyframes before
     * decode. Pure expression work (posexplode over a sequence); emits
-    * (idCol, frame_idx, frame, frame_md5). Frames beyond the payload end
-    * are dropped.
+    * (idCol, frame_idx, frame_md5). Frames beyond the payload end are
+    * dropped. The fingerprint is md5 of the HEX encoding of the byte
+    * window: a raw byte slice can split a multi-byte codepoint (not valid
+    * UTF-8, so not castable to string in either engine), while the hex
+    * string is byte-exact and portable — the DuckDB oracle slices
+    * hex(payload) at 2 chars/byte and md5s the identical string.
     */
   def withFrameSamples(df: DataFrame, payloadCol: String = "payload",
       idCol: String = "doc_id", n: Int = 4, width: Int = 16): DataFrame = {
@@ -60,20 +64,34 @@ object Multimodal {
           j => j * col("__stride") + 1)).as(Seq("frame_idx", "__off")))
       .filter(col("__off") <= length(p))
       .withColumn("frame", p.substr(col("__off").cast("int"), lit(width)))
-      .withColumn("frame_md5", md5(col("frame").cast("string")))
+      .withColumn("frame_md5", md5(hex(col("frame"))))
       .select(col(idCol), col("frame_idx"), col("frame_md5"))
   }
 
   /** Deterministic stand-in for a real media decoder. Batched per partition:
     * real codecs amortize context setup across the batch exactly like this.
+    * Features derive from the CrossHash md5 convention (first 15 hex digits
+    * as a 60-bit integer) over the raw payload bytes, so the whole decode —
+    * although it runs as JVM code inside mapPartitions — is reproducible in
+    * oracle SQL and hash-certified by the correctness gate.
     */
   object StubDecoder {
     def decodeBatch(rows: Iterator[(Long, Array[Byte])])
         : Iterator[MediaFeatures] = {
       // Real impl: val codec = Codec.open(...)  — once per partition/task.
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(bytes: Array[Byte]): Long = {
+        md.reset()
+        val d = md.digest(bytes)
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+        v >>> 4
+      }
       rows.map { case (id, bytes) =>
-        val h = java.util.Arrays.hashCode(bytes) & 0x7FFFFFFF
-        MediaFeatures(id, h % 1280, (h / 1280) % 720,
+        val h = h60(bytes)
+        val h1 = h60("1:".getBytes("UTF-8") ++ bytes)
+        MediaFeatures(id, (h % 1280).toInt, (h1 % 720).toInt,
           (h % 1000) / 1000.0, bytes.length / 256 + 1)
       }
     }

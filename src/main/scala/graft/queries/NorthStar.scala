@@ -157,9 +157,9 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
-    // Partition-batched stub decode (mapPartitions plumbing; JVM-hash
-    // features are not SQL-expressible → deliberately oracle-free,
-    // driver runs the weaker rows-only check).
+    // Partition-batched stub decode (mapPartitions plumbing). The stub's
+    // features are md5-derived (CrossHash convention) so even this JVM
+    // decode path is fully oracle-checkable.
     "m02_decode_features" -> { (s, dir) =>
       Multimodal.decodeFeatures(
           docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
@@ -475,23 +475,40 @@ object NorthStar {
       SELECT doc_id, md5(nt) AS fp_md5, ${h("nt")} AS fp60
       FROM n ORDER BY doc_id""",
 
+    // Byte semantics on BOTH sides (octet_length, not length): the Spark
+    // operator works on the binary payload, and char-based SQL would
+    // silently diverge on any multi-byte text.
     "m01_multimodal_meta" -> s"""
-      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-        CASE WHEN length(text) % 3 = 0 THEN 'image'
-             WHEN length(text) % 3 = 1 THEN 'audio' ELSE 'video' END
-          AS media_type,
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+             WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
         CAST(${h("text")} % 1280 AS INT) AS width,
         CAST(${h("'1:' || text")} % 720 AS INT) AS height,
         CAST(${h("'2:' || text")} % 300 AS INT) AS n_frames
       FROM documents ORDER BY doc_id""",
 
+    "m02_decode_features" -> s"""
+      WITH m AS (SELECT doc_id, ${h("text")} AS h, ${h("'1:' || text")} AS h1,
+          octet_length(encode(text)) AS nb FROM documents)
+      SELECT doc_id, CAST(h % 1280 AS INT) AS width,
+        CAST(h1 % 720 AS INT) AS height,
+        (h % 1000) / 1000.0 AS brightness,
+        CAST(nb // 256 + 1 AS INT) AS n_patches
+      FROM m ORDER BY doc_id""",
+
+    // Byte-window fingerprints via the hex encoding (2 chars/byte): a raw
+    // byte slice may split a codepoint and is not portably castable to
+    // string, but slicing hex(payload) is byte-exact in both engines.
     "m03_frame_sample" -> """
       WITH f AS (SELECT doc_id, j AS frame_idx,
-          j * greatest(1, length(text) // 4) + 1 AS off, text
+          j * greatest(1, octet_length(encode(text)) // 4) + 1 AS off,
+          hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
         FROM documents, generate_series(0, 3) t(j))
       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-             md5(substr(text, CAST(off AS INT), 16)) AS frame_md5
-      FROM f WHERE off <= length(text)
+             md5(substring(hx, CAST((off - 1) * 2 + 1 AS INT), 32))
+               AS frame_md5
+      FROM f WHERE off <= nb
       ORDER BY doc_id, frame_idx""",
 
     "q20_asof_join" -> """

@@ -59,6 +59,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m.select("media_type").distinct().count() <= 3)
   }
 
+  test("multimodal metadata and frames use byte semantics on non-ASCII text") {
+    import spark.implicits._
+    val txt = "héllo wörld 中文 payload" // 22 chars, 28 UTF-8 bytes
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val m = Multimodal.withMediaMeta(df).collect()(0)
+    assert(m.getAs[Long]("n_bytes") ===
+      txt.getBytes("UTF-8").length.toLong) // bytes, not chars
+    // Frame windows are byte windows; the fingerprint hashes the hex
+    // encoding so a split codepoint can't corrupt it. Reproduce frame 1
+    // by hand from the raw bytes.
+    val frames = Multimodal.withFrameSamples(df).collect()
+      .map(r => r.getAs[Int]("frame_idx") -> r.getAs[String]("frame_md5"))
+      .toMap
+    val bytes = txt.getBytes("UTF-8")
+    val stride = math.max(1, bytes.length / 4)
+    val slice = bytes.slice(stride, math.min(stride + 16, bytes.length))
+    val hex = slice.map("%02X".format(_)).mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(hex.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(frames(1) === expected)
+  }
+
+  test("stub decoder features are md5-derived (oracle-reproducible)") {
+    import spark.implicits._
+    val txt = "stub decode determinism probe"
+    val df = Seq((7L, txt)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val f = Multimodal.decodeFeatures(df).collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(b: Array[Byte]): Long = {
+      val d = md.digest(b)
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+      v >>> 4
+    }
+    val h = h60(txt.getBytes("UTF-8"))
+    assert(f.width === (h % 1280).toInt)
+    assert(f.brightness === (h % 1000) / 1000.0)
+    assert(f.n_patches === txt.getBytes("UTF-8").length / 256 + 1)
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
