@@ -22,11 +22,16 @@ import graft.functions._
   * already optimizes.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, b) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft", null, name, usage, ""), b))
     }
+    GraftExtensions.tableBuilders.foreach { case (name, usage, b) =>
+      ext.injectTableFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", null, name, usage, ""), b))
+    }
+  }
 }
 
 object GraftExtensions {
@@ -45,12 +50,35 @@ object GraftExtensions {
     ("word_shingles", "_FUNC_(text) - distinct 3-word shingles",
       es => WordShingles(es.head, 3)))
 
+  /** Table-valued functions: the reference's SQL front door, under both
+    * the registered name (kafka_consumer, cpp:223) and the README's alias
+    * (kafquack, README.md:13).
+    */
+  private[graft] val tableBuilders: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    val build: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      es => graft.sources.KafkaSource.consumerPlan(
+        org.apache.spark.sql.SparkSession.active, es)
+    Seq(
+      ("kafka_consumer",
+        "_FUNC_(brokers, topic, group_id) - 7-column Kafka consumer scan",
+        build),
+      ("kafquack",
+        "_FUNC_(brokers, topic, group_id) - alias of kafka_consumer",
+        build))
+  }
+
   /** Register into an already-created session (withExtensions only applies
     * at session build time).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, _, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "scala_udf")
     }
+    tableBuilders.foreach { case (name, _, b) =>
+      spark.sessionState.tableFunctionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
 }

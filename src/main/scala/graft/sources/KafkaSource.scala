@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, NamedArgumentExpression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,6 +146,62 @@ object KafkaSource {
       .options(kafkaOptions(brokers, topic, groupId, sasl))
       .option("startingOffsets", "earliest")
       .load())
+
+  /** Session conf: when set to a testdata directory, the SQL
+    * `kafka_consumer(...)` table function reads the deterministic
+    * [[replay]] of that directory's `events` table instead of a live
+    * broker — the zero-infrastructure test harness for the SQL surface.
+    */
+  val ReplayConfKey = "spark.graft.kafka.replayDir"
+
+  /** SQL table-function surface — the reference's front door:
+    * `SELECT * FROM kafka_consumer('host:9092', 'topic', 'group')`
+    * (reference: README.md:13, registration src/kafquack_extension.cpp:223-229).
+    *
+    * Positional arguments are (brokers, topic, group_id); the reference's
+    * named security parameters arrive as SQL named arguments
+    * (`security_protocol => 'SASL_SSL', username => ..., password => ...`)
+    * and reproduce the reference's bind-time error surface exactly,
+    * including "Unknown named parameter" (cpp:92-94). A SQL SELECT returns
+    * rows, so this maps to the batch snapshot [[read]] (earliest→latest);
+    * the continuous pipeline is [[stream]]. With [[ReplayConfKey]] set the
+    * relation is the broker-free [[replay]] source instead.
+    */
+  def consumerPlan(spark: SparkSession, args: Seq[Expression]): LogicalPlan = {
+    def str(e: Expression, what: String): String = e match {
+      case l if l.foldable && l.dataType == StringType =>
+        val v = l.eval()
+        if (v == null) null else v.toString
+      case other => throw new IllegalArgumentException(
+        s"kafka_consumer: $what must be a string literal, got $other")
+    }
+    val (namedArgs, positional) =
+      args.partition(_.isInstanceOf[NamedArgumentExpression])
+    if (positional.length != 3)
+      throw new IllegalArgumentException(
+        "kafka_consumer requires 3 positional arguments: " +
+          "(brokers, topic, group_id)")
+    val named = namedArgs.collect {
+      case NamedArgumentExpression(k, v) => k -> str(v, k)
+    }.toMap
+    validateNamedParams(named)
+    val Seq(brokers, topic, groupId) = positional.zip(
+      Seq("brokers", "topic", "group_id")).map((str _).tupled)
+    val sasl = named.get("security_protocol").map(sp =>
+      SaslConfig(sp, named.getOrElse("sasl_mechanism", "PLAIN"),
+        named.getOrElse("username", null), named.getOrElse("password", null)))
+    val df = spark.conf.getOption(ReplayConfKey) match {
+      case Some(dir) =>
+        // Broker-free harness path: same validation, same 7-col schema.
+        require(brokers != null && brokers.nonEmpty, "brokers is required")
+        require(topic != null && topic.nonEmpty, "topic is required")
+        require(groupId != null && groupId.nonEmpty, "group_id is required")
+        validate(sasl)
+        replay(graft.Tables.load(spark, dir, "events"), topic)
+      case None => read(spark, brokers, topic, groupId, sasl)
+    }
+    df.queryExecution.logical
+  }
 
   /** Typed view of any 7-column kafka_consumer relation, for consumers who
     * want compile-time field checks (SURVEY.md §1.3). Normalizes the

@@ -79,4 +79,54 @@ class KafkaSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       KafkaSource.stream(spark, "b:9092", "topic", ""))
   }
+
+  // ---- SQL table-function front door (README.md:13, cpp:223-229) --------
+
+  /** The reference README example, verbatim modulo host: the SQL surface is
+    * `SELECT * FROM kafka_consumer(brokers, topic, group_id)`. Runs against
+    * the broker-free replay relation (no Kafka infra in this environment;
+    * the conf only swaps the leaf relation — validation and schema are the
+    * production path).
+    */
+  test("SQL kafka_consumer(...) resolves and scans the 7-col relation") {
+    GraftExtensions.register(spark)
+    spark.conf.set(KafkaSource.ReplayConfKey, sf)
+    try {
+      val df = spark.sql(
+        "SELECT * FROM kafka_consumer('localhost:9092', 'test-topic', 'duckdb-group')")
+      assert(df.columns.toSeq ===
+        Seq("topic", "partition", "offset", "timestamp", "key", "value", "error"))
+      assert(df.count() === Tables.load(spark, sf, "events").count())
+      assert(df.select("topic").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("test-topic"))
+      // the README alias resolves to the same relation
+      val alias = spark.sql(
+        "SELECT * FROM kafquack('localhost:9092', 'test-topic', 'duckdb-group')")
+      assert(alias.count() === df.count())
+    } finally spark.conf.unset(KafkaSource.ReplayConfKey)
+  }
+
+  test("SQL kafka_consumer reproduces the reference bind-error surface") {
+    GraftExtensions.register(spark)
+    spark.conf.set(KafkaSource.ReplayConfKey, sf)
+    try {
+      def err(sql: String): String =
+        intercept[Throwable](spark.sql(sql).collect()).getMessage
+      assert(err("""SELECT * FROM kafka_consumer('b:9092', 't', 'g',
+          security_protocol => 'PLAINTEXT')""")
+        .contains("security_protocol must be either SASL_SSL or SASL_PLAINTEXT"))
+      assert(err("""SELECT * FROM kafka_consumer('b:9092', 't', 'g',
+          security_protocol => 'SASL_SSL', sasl_mechanism => 'GSSAPI',
+          username => 'u', password => 'p')""")
+        .contains("sasl_mechanism must be either SCRAM-SHA-256 or PLAIN"))
+      assert(err("""SELECT * FROM kafka_consumer('b:9092', 't', 'g',
+          security_protocol => 'SASL_SSL')""")
+        .contains("username and password are required"))
+      assert(err("""SELECT * FROM kafka_consumer('b:9092', 't', 'g',
+          frobnicate => 'x')""")
+        .contains("Unknown named parameter: frobnicate"))
+      assert(err("SELECT * FROM kafka_consumer('b:9092')")
+        .contains("3 positional arguments"))
+    } finally spark.conf.unset(KafkaSource.ReplayConfKey)
+  }
 }
