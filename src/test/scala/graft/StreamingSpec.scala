@@ -10,8 +10,14 @@ class StreamingSpec extends SparkSpec {
 
   private def classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
-  test("streaming replay + windowed counts == batch aggregation") {
-    val agg = StreamOps.windowedCounts(StreamOps.replayStream(spark, sf))
+  /** Stream==batch equivalence runs at sf0.01 (10k events), not the smoke
+    * fixture — enough volume to exercise real watermark advancement and
+    * multi-batch session merging.
+    */
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("streaming replay + windowed counts == batch aggregation (sf0.01)") {
+    val agg = StreamOps.windowedCounts(StreamOps.replayStream(spark, sf01))
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("wc").start()
     try { q.processAllAvailable() } finally { q.stop() }
@@ -19,11 +25,12 @@ class StreamingSpec extends SparkSpec {
       .select(col("bucket"), col("key"), col("n")).collect()
       .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
 
-    val batch = KafkaSource.replay(Tables.load(spark, sf, "events"))
+    val batch = KafkaSource.replay(Tables.load(spark, sf01, "events"))
       .groupBy(window(col("timestamp"), "5 minutes")("start").as("bucket"),
         col("key"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.size === batch.size)
     assert(got === batch)
   }
 
@@ -47,15 +54,28 @@ class StreamingSpec extends SparkSpec {
     assert(offsets.toSeq === Seq(1L, 2L, 3L))
   }
 
-  test("session windows emit per-key sessions") {
+  test("streaming session windows == batch session windows (sf0.01)") {
     val sess = StreamOps.sessionCounts(
-      StreamOps.replayStream(spark, sf), keyCol = "key")
+      StreamOps.replayStream(spark, sf01), keyCol = "key")
     val q = sess.writeStream.outputMode("complete")
       .format("memory").queryName("sess").start()
     try { q.processAllAvailable() } finally { q.stop() }
-    val rows = spark.table("sess")
+    val rows = spark.table("sess").cache()
     assert(rows.count() > 0)
     assert(rows.filter(col("session_end") < col("session_start")).count() === 0)
+    // exact equivalence with the batch twin (same session_window operator)
+    val got = rows
+      .select(col("key"), col("session_start"), col("session_end"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)) -> r.getLong(3)).toMap
+    val batch = KafkaSource.replay(Tables.load(spark, sf01, "events"))
+      .groupBy(session_window(col("timestamp"), "30 minutes").as("sess"),
+        col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("key"), col("sess.start"), col("sess.end"), col("n"))
+      .collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2)) -> r.getLong(3)).toMap
+    assert(got === batch)
   }
 
   test("streaming near-dedup by canonical fingerprint drops reworded dupes") {
