@@ -100,4 +100,62 @@ object TextAnalysis {
     df.withColumn("fp_md5", md5(norm))
       .withColumn("fp60", md5Long(norm))
   }
+
+  /** Repetition / composition filters in the C4-Gopher style: the signals a
+    * pretraining pipeline uses to drop boilerplate and degenerate documents.
+    * Per-row higher-order array work only (map-only at 100 TB — the
+    * most-frequent-word scan is O(distinct·n) per row but touches no other
+    * row). Emits:
+    *  - n_words, frac_dup_words (1 - distinct/total)
+    *  - dup_bigram_frac (repeated word-bigrams / bigrams)
+    *  - top_word_frac (occurrences of the most frequent word / words)
+    *  - frac_words_alpha (words containing a letter / words)
+    *  - keep: the composite gate (length bounds + repetition + alpha ratio)
+    */
+  def withRepetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = split(lower(col(textCol)), "\\s+")
+    val n = size(w)
+    val nDup = (n - size(array_distinct(w))).cast("double") / n
+    val bg = when(n >= 2,
+      transform(sequence(lit(0), n - 2),
+        i => concat_ws(" ", slice(w, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val fracAlpha = size(filter(w, t => t.rlike("[a-z]")))
+      .cast("double") / n
+    df.withColumn("n_words", n)
+      .withColumn("frac_dup_words", nDup)
+      .withColumn("__bg", bg)
+      .withColumn("dup_bigram_frac",
+        when(size(col("__bg")) > 0,
+          (size(col("__bg")) - size(array_distinct(col("__bg"))))
+            .cast("double") / size(col("__bg")))
+          .otherwise(lit(0.0)))
+      .drop("__bg")
+      .withColumn("top_word_frac",
+        array_max(transform(array_distinct(w),
+          d => size(filter(w, x => x === d)))).cast("double") / n)
+      .withColumn("frac_words_alpha", fracAlpha)
+      .withColumn("keep",
+        n.between(5, 10000) && nDup <= 0.3 && fracAlpha >= 0.8)
+  }
+
+  /** PII-style redaction: emails and URLs replaced by typed placeholders,
+    * with per-row match counts. Patterns are restricted to the regex subset
+    * Java and RE2 interpret identically (character classes, +, no
+    * backtracking constructs) so the DuckDB oracle reproduces the exact
+    * output. URLs are redacted first — an email-looking substring inside a
+    * URL counts as URL, not email. Map-only.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  def withRedaction(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val urls = regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))
+    val noUrl = regexp_replace(col(textCol), UrlPattern, "<URL>")
+    val emails = regexp_extract_all(noUrl, lit(EmailPattern), lit(0))
+    df.withColumn("n_urls", size(urls))
+      .withColumn("n_emails", size(emails))
+      .withColumn("clean_text",
+        regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
+  }
 }

@@ -148,6 +148,27 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // C4/Gopher-style repetition + composition filters with the composite
+    // keep gate — the per-document signals a pretraining pipeline filters on.
+    "t07_repetition_filters" -> { (s, dir) =>
+      TextAnalysis.withRepetitionStats(docs(s, dir))
+        .select(col("doc_id"), col("n_words"), col("frac_dup_words"),
+          col("dup_bigram_frac"), col("top_word_frac"),
+          col("frac_words_alpha"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII-style URL/email redaction. The fixture contains no matches, so
+    // this entry certifies cross-engine pass-through (md5 of clean_text);
+    // the active redaction path is pinned by TextAnalysisSpec with
+    // synthetic PII.
+    "t08_redaction" -> { (s, dir) =>
+      TextAnalysis.withRedaction(docs(s, dir))
+        .select(col("doc_id"), col("n_urls"), col("n_emails"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -478,6 +499,40 @@ object NorthStar {
     // Byte semantics on BOTH sides (octet_length, not length): the Spark
     // operator works on the binary payload, and char-based SQL would
     // silently diverge on any multi-byte text.
+    "t07_repetition_filters" -> raw"""
+      WITH b AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+                 FROM documents),
+      m AS (SELECT doc_id, w, len(w) AS n, len(list_distinct(w)) AS nd,
+          CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w)-1),
+            i -> array_to_string(w[i:i+1], ' ')) ELSE []::VARCHAR[] END AS bg
+        FROM b)
+      SELECT doc_id, CAST(n AS INT) AS n_words,
+        CAST(n - nd AS DOUBLE) / n AS frac_dup_words,
+        CASE WHEN len(bg) > 0
+          THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+          ELSE 0.0 END AS dup_bigram_frac,
+        CAST(list_max(list_transform(list_distinct(w),
+          d -> len(list_filter(w, x -> x = d)))) AS DOUBLE) / n AS top_word_frac,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n
+          AS frac_words_alpha,
+        (n BETWEEN 5 AND 10000)
+          AND (CAST(n - nd AS DOUBLE) / n <= 0.3)
+          AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / n >= 0.8)
+          AS keep
+      FROM m ORDER BY doc_id""",
+
+    "t08_redaction" -> raw"""
+      WITH u AS (SELECT doc_id,
+          len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+          regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        FROM documents)
+      SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+        CAST(len(regexp_extract_all(no_url,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        md5(regexp_replace(no_url,
+          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS clean_md5
+      FROM u ORDER BY doc_id""",
+
     "m01_multimodal_meta" -> s"""
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'

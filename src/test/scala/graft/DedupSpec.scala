@@ -91,6 +91,20 @@ class DedupSpec extends SparkSpec {
     info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
   }
 
+  test("connected components converge on deep chains (pointer jumping)") {
+    import spark.implicits._
+    // A 120-node path plus a disjoint 50-node path: plain min-label
+    // propagation needs O(diameter) ≈ 119 rounds (far past maxIter=20 —
+    // it would throw); pointer jumping needs ~2·log2(120) ≈ 14.
+    val pairs = ((0L until 119L).map(i => (i, i + 1)) ++
+      (1000L until 1049L).map(i => (i, i + 1))).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 170)
+    (0L to 119L).foreach(i => assert(cc(i) === 0L, s"node $i"))
+    (1000L to 1049L).foreach(i => assert(cc(i) === 1000L, s"node $i"))
+  }
+
   test("hot-bucket cap keeps candidate counts linear on pathological input") {
     import spark.implicits._
     // 500 identical documents: every band bucket holds all 500 ids, so an

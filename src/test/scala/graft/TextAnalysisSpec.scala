@@ -50,6 +50,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps === 1)
   }
 
+  test("repetition filters flag degenerate documents and keep healthy ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),       // all dup
+      (2L, "a healthy sentence with entirely distinct words here"),
+      (3L, "12 34 56 78 90 11 22"),                          // no alpha words
+      (4L, "too short"))                                     // < 5 words
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withRepetitionStats(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("frac_dup_words") === 7.0 / 8)
+    assert(r(1L).getAs[Double]("top_word_frac") === 1.0)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") === 6.0 / 7)
+    assert(!r(1L).getAs[Boolean]("keep"))
+    assert(r(2L).getAs[Double]("frac_dup_words") === 0.0)
+    assert(r(2L).getAs[Boolean]("keep"))
+    assert(r(3L).getAs[Double]("frac_words_alpha") === 0.0)
+    assert(!r(3L).getAs[Boolean]("keep"))
+    assert(!r(4L).getAs[Boolean]("keep"))
+  }
+
+  test("redaction replaces urls and emails and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "contact bob@example.com or visit https://example.com/a?b=c now"),
+      (2L, "mail root@host.org and sue@x.io twice"),
+      (3L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.withRedaction(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Int]("n_urls") === 1)
+    assert(r(1L).getAs[Int]("n_emails") === 1)
+    assert(r(1L).getAs[String]("clean_text") ===
+      "contact <EMAIL> or visit <URL> now")
+    assert(r(2L).getAs[Int]("n_emails") === 2)
+    assert(r(2L).getAs[String]("clean_text") ===
+      "mail <EMAIL> and <EMAIL> twice")
+    assert(r(3L).getAs[String]("clean_text") === "no pii here at all")
+  }
+
   test("multimodal metadata is deterministic and bounded") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
