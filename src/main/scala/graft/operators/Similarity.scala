@@ -79,13 +79,13 @@ object Similarity {
     * (the old crossJoin + row_number formulation shuffled N×C rows).
     * Output: (id, cell, d2).
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    // sort_array orders by centroid_id (first struct field), so the strict
-    // `<` in the fold resolves distance ties to the lowest centroid id —
-    // same tie-break as ORDER BY d2, centroid_id.
+  /** Shared map-side assignment core: (id, v) × broadcast centroid array →
+    * (id, v, cell, d2). sort_array orders the packed centroids by
+    * centroid_id (first struct field), so the strict `<` in the fold
+    * resolves distance ties to the lowest centroid id — same tie-break as
+    * ORDER BY d2, centroid_id.
+    */
+  private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
         .as("cents"))
@@ -99,8 +99,53 @@ object Similarity {
               struct(nd.as("d2"), ct.getField("centroid_id").as("cell")))
               .otherwise(acc)
           }))
-      .select(col("id"), col("best").getField("cell").as("cell"),
+      .select(col("id"), col("v"), col("best").getField("cell").as("cell"),
         col("best").getField("d2").as("d2"))
+  }
+
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCells(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), centroids)
+      .select(col("id"), col("cell"), col("d2"))
+
+  /** Lloyd's k-means refinement of the deterministic sample centroids —
+    * the production replacement for [[sampleCentroids]] as the IVF index
+    * quality knob. Each iteration: map-side fold assignment (no corpus
+    * shuffle, see [[assignCells]]) + one (cell, idx) aggregation for the
+    * new means. Component sums fold over per-cell vec_id-sorted lists so
+    * the double addition order is fixed — the whole trainer is
+    * bit-reproducible and DuckDB-oracle-checkable (s06). Cells that lose
+    * all members drop out (standard Lloyd degeneracy; k shrinks).
+    * Output: (centroid_id, cv, n_members) after `nIter` iterations.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidModulus: Int = 50,
+      nIter: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+      .withColumn("n_members", lit(0L))
+    var i = 0
+    while (i < nIter) {
+      cents = assignCells(c, cents.select(col("centroid_id"), col("cv")))
+        .select(col("cell"), col("id"),
+          posexplode(col("v")).as(Seq("idx", "comp")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(aggregate(
+            transform(array_sort(collect_list(struct(col("id"), col("comp")))),
+              e => e.getField("comp")),
+            lit(0.0), (a, x) => a + x).as("s"),
+          count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("idx"),
+            (col("s") / col("cnt")).as("m")))),
+            e => e.getField("m")).as("cv"),
+          min(col("cnt")).as("n_members"))
+        .select(col("cell").as("centroid_id"), col("cv"), col("n_members"))
+      i += 1
+    }
+    cents
   }
 
   /** Deterministic direction sample for hyperplane LSH: the first (up to)

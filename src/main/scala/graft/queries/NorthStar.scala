@@ -120,6 +120,16 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
+    // is scalar rows (cell, idx, mean, n_members) — the full trained
+    // codebook, bit-certified against an unrolled SQL oracle.
+    "s06_kmeans_centroids" -> { (s, dir) =>
+      Similarity.kmeansCentroids(emb(s, dir))
+        .select(col("centroid_id").as("cell"),
+          posexplode(col("cv")).as(Seq("idx", "mean")), col("n_members"))
+        .orderBy(col("cell"), col("idx"))
+    },
+
     // ---- text analysis --------------------------------------------------
     "t01_token_stats" -> { (s, dir) =>
       TextAnalysis.withTokenStats(docs(s, dir))
@@ -449,6 +459,42 @@ object NorthStar {
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s06_kmeans_centroids" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      s1 AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c0 c),
+      a1 AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s1) WHERE rn = 1),
+      x1 AS (SELECT a1.cell, e.vec_id, t.i, e.v[t.i] AS comp
+        FROM a1 JOIN e USING (vec_id),
+             unnest(generate_series(1, len(e.v))) AS t(i)),
+      g1 AS (SELECT cell, i,
+          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m,
+          count(*) AS cnt
+        FROM x1 GROUP BY cell, i),
+      c1 AS (SELECT cell AS centroid_id, list(m ORDER BY i) AS cv
+             FROM g1 GROUP BY cell),
+      s2 AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c1 c),
+      a2 AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s2) WHERE rn = 1),
+      x2 AS (SELECT a2.cell, e.vec_id, t.i, e.v[t.i] AS comp
+        FROM a2 JOIN e USING (vec_id),
+             unnest(generate_series(1, len(e.v))) AS t(i)),
+      g2 AS (SELECT cell, i,
+          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m,
+          count(*) AS cnt
+        FROM x2 GROUP BY cell, i)
+      SELECT cell, CAST(i - 1 AS INT) AS idx, m AS mean, cnt AS n_members
+      FROM g2 ORDER BY cell, idx""",
 
     "t01_token_stats" -> s"""
       SELECT doc_id, CAST(len($W) AS INT) AS n_tokens,

@@ -56,4 +56,22 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.count() === emb.count())
     assert(assign.select("id").distinct().count() === emb.count())
   }
+
+  test("k-means refinement never increases inertia over the sampled seed") {
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssign(emb, cents)
+        .agg(sum(col("d2"))).collect()(0).getDouble(0)
+    val seed = inertia(Similarity.sampleCentroids(emb))
+    val i1 = inertia(Similarity.kmeansCentroids(emb, nIter = 1)
+      .select(col("centroid_id"), col("cv")))
+    val i2 = inertia(Similarity.kmeansCentroids(emb, nIter = 2)
+      .select(col("centroid_id"), col("cv")))
+    assert(i1 <= seed, s"$i1 > $seed")
+    assert(i2 <= i1, s"$i2 > $i1")
+    info(f"inertia seed=$seed%.3f iter1=$i1%.3f iter2=$i2%.3f")
+    // membership counts partition the corpus
+    val n = Similarity.kmeansCentroids(emb, nIter = 2)
+      .agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(n === emb.count())
+  }
 }
