@@ -230,6 +230,17 @@ object Relational {
         .orderBy(col("bucket"), col("event_type"))
     },
 
+    // Sliding (hopping) windows: 10-minute windows every 5 minutes — each
+    // event lands in exactly two overlapping windows. Same shuffle shape as
+    // q16 (the expand is map-side).
+    "q34_sliding_window" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes")
+          .getField("start").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
     // Sessionization via gap detection: lag + conditional flag + prefix sum —
     // the batch analogue of session_window (single shuffle on user_id).
     "q17_sessionize" -> { (s, dir) =>
@@ -404,6 +415,16 @@ object Relational {
              count(*) AS n,
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""",
+
+    "q34_sliding_window" -> """
+      WITH w AS (SELECT event_type, value,
+          unnest([time_bucket(INTERVAL '5 minutes', ts),
+                  time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+            AS bucket
+        FROM events)
+      SELECT bucket, event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY bucket, event_type""",
 
     "q17_sessionize" -> """
       WITH flagged AS (

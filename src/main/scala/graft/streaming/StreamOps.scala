@@ -108,6 +108,21 @@ object StreamOps {
       joinKeys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), joinKeys, "left")
 
+  /** Streaming corpus sketch: per-key union MinHash maintained across
+    * micro-batches — drives the typed [[graft.functions.MinhashUnion]]
+    * Aggregator through the streaming engine's partial-agg + state-merge
+    * path (buffer serialization included). At 100 TB/day this is the
+    * incremental dedup-index builder: the per-key state is one 16-long
+    * array regardless of volume.
+    */
+  def sketchByKey(docs: DataFrame, keyCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(col(keyCol))
+      .agg(graft.functions.MinhashUnion.minhash_union()(
+        graft.functions.TextFunctions.minhash_signature(col(textCol)))
+        .as("union_sig"),
+        count(lit(1)).as("n_docs"))
+
   /** Session windows (gap-based) per key — the streaming twin of the batch
     * q17 sessionization.
     */

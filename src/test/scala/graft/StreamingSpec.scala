@@ -122,6 +122,41 @@ class StreamingSpec extends SparkSpec {
     assert(pairs === Set(1L)) // user 2 bought too late, 3/4 unmatched
   }
 
+  test("streaming minhash-union sketch across micro-batches == batch UDAF") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val rows = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog"),
+      (2L, "web", "a completely different document about spark engines"),
+      (3L, "books", "call me ishmael some years ago never mind how long"),
+      (4L, "web", "the quick brown fox jumps over the lazy dog again"),
+      (5L, "books", "it was the best of times it was the worst of times"))
+    // two micro-batches force a state merge (partial-agg + buffer
+    // serialization) inside the streaming engine
+    mem.addData(rows.take(2): _*)
+    mem.addData(rows.drop(2): _*)
+    val agg = StreamOps.sketchByKey(
+      mem.toDF().toDF("doc_id", "source", "text"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("sketch").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sketch").collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val batch = StreamOps.sketchByKey(rows.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    assert(got === batch)
+    assert(got("web")._2 === 3L)
+    // the union signature is the element-wise min of the member signatures
+    val sigs = rows.toDF("doc_id", "source", "text")
+      .filter(col("source") === "web")
+      .select(graft.functions.TextFunctions.minhash_signature(col("text")))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val expected = sigs.transpose.map(_.min)
+    assert(got("web")._1 === expected)
+  }
+
   test("streaming replay preserves the value/error exclusivity invariant") {
     val q = StreamOps.replayStream(spark, sf)
       .writeStream.outputMode("append")
