@@ -87,6 +87,21 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("dedup candidate generation never degrades to a cartesian product") {
+    Seq("d02_minhash_pairs", "d03_simhash_pairs", "d04_ngram_jaccard",
+      "d10_embedding_neardup_lsh").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("minhash pipeline shares the signature stage via exchange reuse (d02)") {
+    // reuse is decided adaptively — inspect the post-AQE executed plan
+    val df = SparkEntry.queries("d02_minhash_pairs")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.explainString(FormattedMode)
+      .contains("ReusedExchange"))
+  }
+
   test("range join keeps the equi-key hash join with range residual (q25)") {
     val p = plan("q25_range_join")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
