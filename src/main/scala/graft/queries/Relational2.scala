@@ -192,6 +192,19 @@ object Relational2 {
         .select(col("event_type"), col("sum_value").cast("double")
           .as("sum_value"), col("n"))
         .orderBy(col("event_type"))
+    },
+
+    // Replicated-salt join (skew mitigation): each hot left key spreads
+    // over `buckets` tasks against a replicated right side. The result is
+    // salt-independent, so the oracle is the plain join.
+    "q35_salted_join" -> { (s, dir) =>
+      graft.operators.Skew.saltedJoin(
+          t(s, dir, "lineitem"),
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          "l_suppkey", "s_suppkey", col("l_orderkey"), buckets = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_nationkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +257,12 @@ object Relational2 {
              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
              count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q35_salted_join" -> """
+      SELECT s_nationkey, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey""",
 
     "q31_scalar_battery" -> """
       SELECT p_partkey,

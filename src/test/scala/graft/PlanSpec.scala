@@ -95,7 +95,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("minhash pipeline shares the signature stage via exchange reuse (d02)") {
-    // reuse is decided adaptively — inspect the post-AQE executed plan
+    // Reuse is decided adaptively — inspect the post-AQE executed plan.
+    // Other suites may have cached the fixture table (shared session),
+    // which changes stats and hence the chosen exchanges; clear it so the
+    // asserted shape is the uncached production plan.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("d02_minhash_pairs")(spark, sf)
     df.collect()
     assert(df.queryExecution.explainString(FormattedMode)
