@@ -83,6 +83,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(outside.getAs[String]("p2") === null)
   }
 
+  test("forward as-of with tolerance bounds the future match") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 40L, "e2")).toDF("k", "t", "ev")
+    val right = Seq((1L, 12L, "soon"), (1L, 90L, "late"))
+      .toDF("rk", "rt", "payload")
+    val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+      Seq("payload"), direction = "forward", tolerance = Some(5L)).collect()
+      .map(r => (r.getAs[String]("ev"), r.getAs[String]("payload"))).toMap
+    assert(out("e1") === "soon") // 2 ahead, within 5
+    assert(out("e2") === null)   // nearest future row is 50 ahead
+  }
+
   test("randomized as-of scenarios match an in-memory reference model") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

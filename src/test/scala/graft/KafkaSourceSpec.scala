@@ -127,6 +127,10 @@ class KafkaSourceSpec extends SparkSpec {
         .contains("Unknown named parameter: frobnicate"))
       assert(err("SELECT * FROM kafka_consumer('b:9092')")
         .contains("3 positional arguments"))
+      // valid security arguments pass bind and the scan runs
+      assert(spark.sql("""SELECT * FROM kafka_consumer('b:9092', 't', 'g',
+          security_protocol => 'SASL_SSL', sasl_mechanism => 'SCRAM-SHA-256',
+          username => 'u', password => 'p')""").count() > 0)
     } finally spark.conf.unset(KafkaSource.ReplayConfKey)
   }
 }
