@@ -109,4 +109,39 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => StubDecoder.decodeBatch(rows))
   }
+
+  /** Stub resize result: source/destination sizes + a fingerprint of the
+    * downsampled payload (md5 of its hex encoding — byte-exact and
+    * SQL-reproducible regardless of UTF-8 alignment).
+    */
+  case class ResizedMedia(doc_id: Long, src_bytes: Long, dst_bytes: Long,
+      resized_md5: String)
+
+  /** Batched stub resize: deterministic stride-`factor` downsample of the
+    * payload bytes — the mapPartitions shape a real image/audio resampler
+    * plugs into (codec state once per task, rows streamed through).
+    * Narrow, no shuffle. The output fingerprint is oracle-checkable: the
+    * DuckDB side picks the same bytes out of hex(payload) at 2 chars/byte.
+    */
+  def resizeStub(df: DataFrame, factor: Int = 4, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Dataset[ResizedMedia] = {
+    require(factor > 0)
+    implicit val enc = Encoders.product[ResizedMedia]
+    implicit val tupEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // Real impl: resampler context opens here, once per task.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) =>
+          val dst = Array.range(0, bytes.length, factor).map(bytes(_))
+          val hx = dst.map(b => f"${b & 0xFF}%02X").mkString
+          md.reset()
+          val fp = md.digest(hx.getBytes("UTF-8"))
+            .map(b => f"${b & 0xFF}%02x").mkString
+          ResizedMedia(id, bytes.length.toLong, dst.length.toLong, fp)
+        }
+      }
+  }
 }

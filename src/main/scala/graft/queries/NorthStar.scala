@@ -204,6 +204,14 @@ object NorthStar {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Batched stub resize (stride downsample through mapPartitions — the
+    // real resampler shape), fingerprint fully oracle-checked.
+    "m04_resize_stub" -> { (s, dir) =>
+      Multimodal.resizeStub(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .toDF().orderBy(col("doc_id"))
+    },
+
     // ---- as-of join -----------------------------------------------------
     "q20_asof_join" -> { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
@@ -611,6 +619,15 @@ object NorthStar {
                AS frame_md5
       FROM f WHERE off <= nb
       ORDER BY doc_id, frame_idx""",
+
+    "m04_resize_stub" -> """
+      WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS nb FROM documents)
+      SELECT doc_id, CAST(nb AS BIGINT) AS src_bytes,
+        CAST((nb - 1) // 4 + 1 AS BIGINT) AS dst_bytes,
+        md5(array_to_string(list_transform(generate_series(0, (nb - 1) // 4),
+          i -> substring(hx, i * 8 + 1, 2)), '')) AS resized_md5
+      FROM h ORDER BY doc_id""",
 
     "q20_asof_join" -> """
       WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice

@@ -142,6 +142,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.n_patches === txt.getBytes("UTF-8").length / 256 + 1)
   }
 
+  test("stub resize downsamples bytes with a reproducible fingerprint") {
+    import spark.implicits._
+    val txt = "héllo wörld 中文 resize probe" // multibyte: byte semantics
+    val df = Seq((1L, txt)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val r = Multimodal.resizeStub(df).collect()(0)
+    val bytes = txt.getBytes("UTF-8")
+    assert(r.src_bytes === bytes.length.toLong)
+    assert(r.dst_bytes === ((bytes.length - 1) / 4 + 1).toLong)
+    val dst = Array.range(0, bytes.length, 4).map(bytes(_))
+    val hx = dst.map(b => f"${b & 0xFF}%02X").mkString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest(hx.getBytes("UTF-8"))
+      .map(b => f"${b & 0xFF}%02x").mkString
+    assert(r.resized_md5 === expected)
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
