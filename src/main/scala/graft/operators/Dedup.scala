@@ -411,8 +411,33 @@ object Dedup {
     confirmCosine(df, cand, idCol, vecCol, minCosine)
   }
 
+  /** Cluster-blocked near-dup (the SemDedup shape): candidates are pairs
+    * sharing an IVF cell — cluster the corpus once, then compare only
+    * within clusters. Complements [[embeddingNearDupPairsLsh]]: one
+    * assignment pass (map-side broadcast fold) + one shuffle on the cell
+    * key; precision 1 via the shared [[confirmCosine]]; recall = the
+    * probability both members of a near-dup pair land in the same cell
+    * (high for tight duplicates, lower near the threshold boundary).
+    * Cells are capped like every other candidate generator.
+    */
+  def embeddingNearDupPairsIvf(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.45,
+      centroidModulus: Int = 50, maxBucket: Int = 200): DataFrame = {
+    val assign = capBucket(
+      Similarity.ivfAssign(df,
+        Similarity.sampleCentroids(df, idCol, vecCol, centroidModulus),
+        idCol, vecCol).select(col("id"), col("cell")),
+      Seq("cell"), "id", maxBucket)
+    val cand = assign.select(col("id").as("a"), col("cell"))
+      .join(assign.select(col("id").as("b"), col("cell")), Seq("cell"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    confirmCosine(df, cand, idCol, vecCol, minCosine)
+  }
+
   /** Cosine near-duplicate pairs over an embedding column. Exact all-pairs
-    * at test scale; the 100 TB path is [[embeddingNearDupPairsLsh]].
+    * at test scale; the 100 TB paths are [[embeddingNearDupPairsLsh]] and
+    * [[embeddingNearDupPairsIvf]].
     * Threshold on round(cos, 6) so a last-ulp wobble can't flip membership.
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String = "vec_id",

@@ -54,6 +54,13 @@ object NorthStar {
       Dedup.embeddingNearDupPairsLsh(emb(s, dir)).orderBy(col("a"), col("b"))
     },
 
+    // Cluster-blocked near-dup (SemDedup shape): one IVF assignment pass,
+    // candidates only within cells. Second certified scale path next to
+    // the hyperplane-LSH one (d10).
+    "d11_embedding_neardup_ivf" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairsIvf(emb(s, dir)).orderBy(col("a"), col("b"))
+    },
+
     // Pairs → clusters: min-label propagation over the minhash pair graph
     // (each cluster labeled by its minimum doc_id, the canonical keeper).
     "d08_dup_clusters" -> { (s, dir) =>
@@ -384,6 +391,28 @@ object NorthStar {
       cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
                FROM bc x JOIN bc y ON x.tbl = y.tbl AND x.bucket = y.bucket
                  AND x.vec_id < y.vec_id),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      SELECT cand.a, cand.b,
+        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
+      FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b
+      WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.45
+      ORDER BY a, b""",
+
+    "d11_embedding_neardup_ivf" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      ac AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY vec_id) AS bp FROM a) WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM ac x JOIN ac y ON x.cell = y.cell AND x.vec_id < y.vec_id),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
       SELECT cand.a, cand.b,
         round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine

@@ -91,6 +91,17 @@ class DedupSpec extends SparkSpec {
     info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
   }
 
+  test("IVF-blocked near-dup path has precision 1 and non-empty recall") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Dedup.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Dedup.embeddingNearDupPairsIvf(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (k, c) => assert(exact.get(k).contains(c), k) }
+    assert(ivf.nonEmpty, "IVF candidate blocking yielded no pairs")
+    info(s"IVF-block recall on fixture: ${ivf.size}/${exact.size}")
+  }
+
   test("connected components converge on deep chains (pointer jumping)") {
     import spark.implicits._
     // A 120-node path plus a disjoint 50-node path: plain min-label
