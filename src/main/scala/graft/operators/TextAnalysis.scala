@@ -101,6 +101,33 @@ object TextAnalysis {
       .withColumn("fp60", md5Long(norm))
   }
 
+  /** MOSS-style winnowing fingerprints: hash every k-char gram, then keep
+    * the minimum hash of each sliding window of w grams (distinct). The
+    * standard local-fingerprint selection for overlap detection — robust
+    * to insertions/reorderings that break whole-document hashes, with
+    * density ~2/(w+1) of the gram count. Map-only per row (O(n·w) hash
+    * comparisons); short texts (< k chars) contribute one whole-text
+    * fingerprint. Char-gram semantics (not bytes) so both engines slice
+    * identically on any text.
+    */
+  def withWinnowing(df: DataFrame, textCol: String = "text", k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0)
+    val text = col(textCol)
+    val grams = when(length(text) >= k,
+      transform(sequence(lit(1), length(text) - (k - 1)),
+        i => md5Long(text.substr(i, lit(k)))))
+      .otherwise(array(md5Long(text)))
+    df.withColumn("__grams", grams)
+      .withColumn("fps",
+        array_distinct(
+          when(size(col("__grams")) <= w,
+            array(array_min(col("__grams"))))
+            .otherwise(transform(sequence(lit(0), size(col("__grams")) - w),
+              j => array_min(slice(col("__grams"), j + 1, lit(w)))))))
+      .drop("__grams")
+  }
+
   /** Repetition / composition filters in the C4-Gopher style: the signals a
     * pretraining pipeline uses to drop boilerplate and degenerate documents.
     * Per-row higher-order array work only (map-only at 100 TB — the

@@ -165,6 +165,18 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing (rolling k-gram hash, per-window minima): the fingerprint
+    // SET is summarized as (count, md5 of the sorted list) so the driver
+    // gate can hash it; the selection itself is fully certified.
+    "t09_winnow_fingerprint" -> { (s, dir) =>
+      TextAnalysis.withWinnowing(docs(s, dir))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          md5(concat_ws(",",
+            transform(array_sort(col("fps")), x => x.cast("string"))))
+            .as("fps_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // C4/Gopher-style repetition + composition filters with the composite
     // keep gate — the per-document signals a pretraining pipeline filters on.
     "t07_repetition_filters" -> { (s, dir) =>
@@ -582,6 +594,19 @@ object NorthStar {
     // Byte semantics on BOTH sides (octet_length, not length): the Spark
     // operator works on the binary payload, and char-based SQL would
     // silently diverge on any multi-byte text.
+    "t09_winnow_fingerprint" -> s"""
+      WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 8
+            THEN list_transform(generate_series(1, length(text) - 7),
+              i -> ${h("substr(text, i, 8)")})
+            ELSE [${h("text")}] END AS grams FROM documents),
+      m AS (SELECT doc_id, list_distinct(CASE WHEN len(grams) <= 4
+            THEN [list_min(grams)]
+            ELSE list_transform(generate_series(0, len(grams) - 4),
+              j -> list_min(grams[j+1:j+4])) END) AS fps FROM g)
+      SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+        md5(array_to_string(list_sort(fps), ',')) AS fps_md5
+      FROM m ORDER BY doc_id""",
+
     "t07_repetition_filters" -> raw"""
       WITH b AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
                  FROM documents),

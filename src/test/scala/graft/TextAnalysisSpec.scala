@@ -50,6 +50,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps === 1)
   }
 
+  test("winnowing selects per-window gram minima with full window coverage") {
+    import spark.implicits._
+    import graft.functions.CrossHash.md5Long
+    val long = "the quick brown fox jumps over the lazy dog"
+    val df = Seq((1L, "abcdefghij"), (2L, "tiny"), (3L, long))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.withWinnowing(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](r.fieldIndex("fps"))).toMap
+    def gramHashes(s: String): Seq[Long] =
+      spark.range(1).select(
+        (1 to s.length - 7).map(i =>
+          md5Long(lit(s.substring(i - 1, i + 7)))): _*)
+        .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    // 10 chars → 3 grams ≤ w=4 → single fingerprint: the global min
+    assert(out(1L) === Seq(gramHashes("abcdefghij").min))
+    // short text (< k chars) → one whole-text fingerprint
+    val tiny = spark.range(1).select(md5Long(lit("tiny")))
+      .collect()(0).getLong(0)
+    assert(out(2L) === Seq(tiny))
+    // winnowing guarantee: every window of w=4 grams contains a selected fp
+    val grams = gramHashes(long)
+    val fps = out(3L).toSet
+    grams.sliding(4).foreach { win =>
+      assert(win.exists(fps.contains), s"uncovered window $win")
+    }
+    // and every selected fp IS some window's minimum
+    val mins = grams.sliding(4).map(_.min).toSet
+    assert(fps.subsetOf(mins))
+  }
+
   test("repetition filters flag degenerate documents and keep healthy ones") {
     import spark.implicits._
     val df = Seq(
