@@ -82,6 +82,30 @@ object NorthStar {
           max(col("doc_id")).as("max_doc"))
     },
 
+    // Capstone: the full pretraining-corpus pipeline composed end-to-end —
+    // quality gate (t07 keep) → PII redaction (t08) → exact dedup on the
+    // clean text → MinHash near-dedup → reproducible hash split — with one
+    // oracle certifying the whole composition, not just the stages.
+    "d12_pipeline_corpus" -> { (s, dir) =>
+      val kept = TextAnalysis.withRepetitionStats(docs(s, dir))
+        .filter(col("keep"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val redacted = TextAnalysis.withRedaction(kept)
+        .select(col("doc_id"), col("clean_text"), col("n_chars"))
+      val exactDeduped = Dedup.dropExact(redacted, "doc_id", "clean_text")
+      val pairs = Dedup.minhashPairs(exactDeduped, textCol = "clean_text")
+        .select(col("a"), col("b"))
+      val fin = Dedup.dropNearDuplicates(exactDeduped, pairs)
+      val h = graft.functions.CrossHash.md5Long(
+        concat(lit("split:"), col("clean_text"))) % 100
+      fin.withColumn("split",
+          when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+
     // Sketch composability through the typed-Aggregator UDAF surface:
     // per-source union MinHash = element-wise min over doc signatures.
     // Output exploded to scalar rows (source, i, sig_i, n_docs) so the
@@ -253,17 +277,20 @@ object NorthStar {
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
 
-  /** tokens / shingles fragments shared by several oracles. */
+  /** tokens / shingles fragments shared by several oracles. `src` is any
+    * CTE/table exposing (doc_id, text) — defaults to the documents table.
+    */
   private val W = raw"string_split_regex(text, '\s+')"
-  private val ShinglesCte = s"""
-    wt AS (SELECT doc_id, $W AS w FROM documents),
+  private def shinglesCte(src: String = "documents") = s"""
+    wt AS (SELECT doc_id, $W AS w FROM $src),
     sgl AS (SELECT doc_id, w, list_distinct(CASE WHEN len(w) >= 3
       THEN list_transform(generate_series(1, len(w) - 2),
                           i -> array_to_string(w[i:i+2], ' '))
       ELSE [array_to_string(w, ' ')] END) AS sh FROM wt)"""
+  private val ShinglesCte = shinglesCte()
 
-  /** Full MinHash pipeline through candidate pairs (shared by d02/d08). */
-  private val MinhashCtes = s"""$ShinglesCte,
+  /** Full MinHash pipeline through candidate pairs (shared by d02/d08/d12). */
+  private def minhashCtes(src: String = "documents") = s"""${shinglesCte(src)},
       hp AS (SELECT doc_id, list_transform(sh, s ->
           {'h1': ${h("s")},
            'h2r': ('0x' || substr(md5(s), 17, 15))::BIGINT >> 3}) AS hp
@@ -287,6 +314,7 @@ object NorthStar {
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_eq
         FROM cand JOIN sig sa ON sa.doc_id = cand.a
                   JOIN sig sb ON sb.doc_id = cand.b)"""
+  private val MinhashCtes = minhashCtes()
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> """
@@ -328,6 +356,42 @@ object NorthStar {
         GROUP BY source)
       SELECT u.source, CAST(u.i AS INT) AS i, u.m AS sig_i, nd.n_docs
       FROM u JOIN nd USING (source) ORDER BY source, i""",
+
+    "d12_pipeline_corpus" -> (raw"""
+      WITH RECURSIVE
+      w0 AS (SELECT doc_id, text, n_chars,
+          string_split_regex(lower(text), '\s+') AS w FROM documents),
+      gate AS (SELECT doc_id, text, n_chars FROM w0
+        WHERE len(w) BETWEEN 5 AND 10000
+          AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.3
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / len(w) >= 0.8),
+      red AS (SELECT doc_id, n_chars,
+          regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS text
+        FROM gate),
+      ex AS (SELECT doc_id, n_chars, text FROM (
+          SELECT doc_id, n_chars, text, row_number()
+            OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM red)
+        WHERE rn = 1),
+      """ + s"""${minhashCtes("ex")},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (SELECT src, dst FROM edges
+        UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+      fin AS (SELECT * FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      sp AS (SELECT doc_id, n_chars,
+          CASE WHEN ${h("'split:' || text")} % 100 < 80 THEN 'train'
+               WHEN ${h("'split:' || text")} % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM fin)
+      SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM sp GROUP BY split ORDER BY split"""),
 
     "d09_dedup_corpus" -> s"""
       WITH RECURSIVE $MinhashCtes,
