@@ -259,6 +259,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Multiprobe LSH search: each query ranks its own bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the standard
+    * recall booster that trades `nDirs+1` probes for more tables/memory.
+    * A near-neighbor that disagrees on exactly one hyperplane is still
+    * found, so recall strictly dominates [[lshSearch]] at identical index
+    * cost; candidates stay bucket-bounded (no corpus-wide scan). Probe
+    * expansion is an explode on the (small) query side only.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def lshSearchMultiprobe(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nDirs: Int = 6, k: Int = 5): DataFrame = {
+    val buckets = lshBuckets(corpus, idCol, vecCol, nDirs = nDirs)
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .join(buckets.select(col("id").as("neighbor_id"), col("bucket")),
+        "neighbor_id")
+    val probes = buckets.select(col("id").as("query_id"),
+      explode(array(col("bucket") +:
+        (0 until nDirs).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+        .as("bucket"))
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .join(probes, "query_id")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF search: each query probes its `nprobe` nearest cells and ranks
     * only vectors assigned there by exact cosine.
     * Output: (query_id, neighbor_id, cosine, rank) — top k per query.

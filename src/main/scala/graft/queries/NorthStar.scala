@@ -151,6 +151,12 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "s07_lsh_multiprobe" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.lshSearchMultiprobe(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -564,6 +570,32 @@ object NorthStar {
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       q AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)
             WHERE vec_id % 100 = 0),
+      c AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q JOIN c ON q.bucket = c.bucket AND c.vec_id != q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
+      WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s07_lsh_multiprobe" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      d AS (SELECT dir_idx, dv FROM (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS dir_idx, v AS dv
+          FROM e WHERE vec_id % 83 = 5) WHERE dir_idx < 6),
+      b AS (SELECT e.vec_id, CAST(sum(
+            CASE WHEN list_dot_product(e.v, d.dv) > 0
+                 THEN (CAST(1 AS BIGINT) << dir_idx) ELSE 0 END)
+          AS BIGINT) AS bucket
+        FROM e, d GROUP BY e.vec_id),
+      n AS (SELECT vec_id, v, nrm FROM (
+          SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
+      q0 AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)
+            WHERE vec_id % 100 = 0),
+      q AS (SELECT vec_id, v, nrm, unnest([bucket] ||
+          list_transform(generate_series(0, 5),
+            p -> xor(bucket, CAST(1 AS BIGINT) << p))) AS bucket FROM q0),
       c AS (SELECT n.*, b.bucket FROM n JOIN b USING (vec_id)),
       sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine

@@ -57,6 +57,24 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.select("id").distinct().count() === emb.count())
   }
 
+  test("multiprobe LSH recall dominates single-bucket LSH at equal index") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val single = Similarity.lshSearch(emb, qs).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    val multi = Similarity.lshSearchMultiprobe(emb, qs).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getDouble(2)).toMap
+    // more candidates can only improve (or tie) the best hit per query
+    single.keys.filter(_._2 == 1).foreach { case (q, _) =>
+      assert(multi((q, 1)) >= single((q, 1)), s"query $q")
+    }
+    // every multiprobe hit carries the exact brute-force cosine
+    val brute = Similarity.bruteForceTopK(emb, qs, k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.lshSearchMultiprobe(emb, qs).collect().foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
+
   test("k-means refinement never increases inertia over the sampled seed") {
     def inertia(cents: org.apache.spark.sql.DataFrame): Double =
       Similarity.ivfAssign(emb, cents)
