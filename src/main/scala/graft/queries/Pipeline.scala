@@ -57,6 +57,24 @@ object Pipeline {
         .orderBy(col("source"))
     },
 
+    // Stratified deterministic sampling: per-(lang, source) stratum rates —
+    // the shape a data-mixture pipeline uses to rebalance sources. Rates
+    // come from a broadcast map expression (map lookup per row, map-only);
+    // membership is the same content-hash test as t06 so the sample is
+    // engine- and rerun-reproducible.
+    "t10_stratified_sample" -> { (s, dir) =>
+      val rate = coalesce(
+        map(lit("src0"), lit(5), lit("src1"), lit(20), lit("src2"), lit(50))
+          (col("source")),
+        lit(10))
+      docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(md5Long(concat(lit("strat:"), col("text"))) % 100
+            < rate, 1)).as("n_sampled"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // Reproducible 80/10/10 train/val/test assignment by content hash.
     "d07_split_assign" -> { (s, dir) =>
       val h = md5Long(concat(lit("split:"), col("text"))) % 100
@@ -127,6 +145,14 @@ object Pipeline {
       SELECT split, count(*) AS n, min(doc_id) AS min_doc,
              max(doc_id) AS max_doc
       FROM a GROUP BY split ORDER BY split""",
+
+    "t10_stratified_sample" -> s"""
+      SELECT lang, source, count(*) AS n_total,
+        count(CASE WHEN ${h("'strat:' || text")} % 100 <
+          CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 20
+                      WHEN 'src2' THEN 50 ELSE 10 END
+          THEN 1 END) AS n_sampled
+      FROM documents GROUP BY lang, source ORDER BY lang, source""",
 
     "s05_label_centroids" -> """
       WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v

@@ -106,6 +106,25 @@ class KafkaSourceSpec extends SparkSpec {
     } finally spark.conf.unset(KafkaSource.ReplayConfKey)
   }
 
+  /** The reference README's third flow (README.md:31-38): CREATE VIEW over
+    * the consumer, then query the view — 1:1 through spark.sql.
+    */
+  test("CREATE VIEW over kafka_consumer matches the reference view flow") {
+    GraftExtensions.register(spark)
+    spark.conf.set(KafkaSource.ReplayConfKey, sf)
+    try {
+      spark.sql("""CREATE OR REPLACE TEMPORARY VIEW kafka_messages AS
+        SELECT * FROM kafka_consumer('localhost:9092', 'events', 'grp')""")
+      val n = spark.sql("SELECT count(*) AS n FROM kafka_messages")
+        .collect()(0).getLong(0)
+      assert(n === Tables.load(spark, sf, "events").count())
+      // the view composes with the host engine like any relation
+      val byKey = spark.sql("""SELECT key, count(*) AS n
+        FROM kafka_messages WHERE error IS NULL GROUP BY key""")
+      assert(byKey.count() > 0)
+    } finally spark.conf.unset(KafkaSource.ReplayConfKey)
+  }
+
   test("SQL kafka_consumer reproduces the reference bind-error surface") {
     GraftExtensions.register(spark)
     spark.conf.set(KafkaSource.ReplayConfKey, sf)
