@@ -101,6 +101,28 @@ object TextAnalysis {
       .withColumn("fp60", md5Long(norm))
   }
 
+  /** Benchmark decontamination: flag training documents that share any
+    * w-word shingle with the evaluation corpus — the standard n-gram
+    * overlap check run before pretraining so eval answers don't leak into
+    * the training set. The eval gram set is packed into ONE broadcast row
+    * (exact set; swap in a bloom filter if the eval corpus outgrows
+    * executor memory) and each training row intersects against it —
+    * map-only over the training side, zero shuffle of the corpus.
+    * Output: (idCol, n_hits, contaminated).
+    */
+  def decontaminate(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      w: Int = 5): DataFrame = {
+    val evGrams = evalCorpus
+      .select(explode(Dedup.shingles(col(textCol), w)).as("g"))
+      .agg(collect_set(col("g")).as("__ev"))
+    train.select(col(idCol), Dedup.shingles(col(textCol), w).as("__sh"))
+      .crossJoin(broadcast(evGrams))
+      .select(col(idCol),
+        size(array_intersect(col("__sh"), col("__ev"))).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** MOSS-style winnowing fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of w grams (distinct). The
     * standard local-fingerprint selection for overlap detection — robust

@@ -82,6 +82,16 @@ object NorthStar {
           max(col("doc_id")).as("max_doc"))
     },
 
+    // Benchmark decontamination: the deterministic doc_id % 97 == 1 slice
+    // plays the eval set; every other doc is checked for 5-gram overlap.
+    "d13_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminate(
+          d.filter(col("doc_id") % 97 =!= 1),
+          d.filter(col("doc_id") % 97 === 1))
+        .orderBy(col("doc_id"))
+    },
+
     // Capstone: the full pretraining-corpus pipeline composed end-to-end —
     // quality gate (t07 keep) → PII redaction (t08) → exact dedup on the
     // clean text → MinHash near-dedup → reproducible hash split — with one
@@ -362,6 +372,21 @@ object NorthStar {
         GROUP BY source)
       SELECT u.source, CAST(u.i AS INT) AS i, u.m AS sig_i, nd.n_docs
       FROM u JOIN nd USING (source) ORDER BY source, i""",
+
+    "d13_decontaminate" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+          THEN list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh FROM wt),
+      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 1),
+      evl AS (SELECT list(g) AS gl FROM ev),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 1)
+      SELECT tr.doc_id, CAST(len(list_intersect(tr.sh, evl.gl)) AS INT)
+          AS n_hits,
+        len(list_intersect(tr.sh, evl.gl)) > 0 AS contaminated
+      FROM tr, evl ORDER BY doc_id""",
 
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE

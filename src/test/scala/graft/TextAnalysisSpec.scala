@@ -50,6 +50,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps === 1)
   }
 
+  test("decontamination flags exactly the n-gram-overlapping training docs") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),   // contains eval run
+      (2L, "a completely unrelated training document"),
+      (3L, "short doc"))                                 // < 5 words
+      .toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "xx alpha beta gamma delta epsilon yy"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, eval_).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L)._2 && out(1L)._1 === 1) // one shared 5-gram
+    assert(!out(2L)._2 && out(2L)._1 === 0)
+    assert(!out(3L)._2) // whole-text shingle not present in eval
+    assert(out.size === 3) // every training doc reported, hit or not
+  }
+
   test("winnowing selects per-window gram minima with full window coverage") {
     import spark.implicits._
     import graft.functions.CrossHash.md5Long
