@@ -51,11 +51,16 @@ object Dedup {
     * quantified; one aggregation, no join.
     */
   def bucketOverflow(banded: DataFrame, keys: Seq[String],
-      maxBucket: Int): DataFrame =
+      maxBucket: Int): DataFrame = {
+    // capBucket treats maxBucket <= 0 as "capping disabled"; a truncation
+    // report for a disabled cap would list every bucket as overflowing.
+    require(maxBucket > 0,
+      "bucketOverflow requires an enabled cap (maxBucket > 0)")
     banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("population"))
       .filter(col("population") > maxBucket)
       .withColumn("n_dropped", col("population") - maxBucket)
+  }
 
   // ---- shingling --------------------------------------------------------
 
@@ -323,12 +328,15 @@ object Dedup {
       // ids in the same component, so this is safe and only decreases).
       // Skipped for the first two rounds — shallow components (the common
       // near-dup case) converge there without the extra join; from round 3
-      // on, doubling bounds deep chains at O(log diameter) total.
+      // on, doubling bounds deep chains at O(log diameter) total. The
+      // stepped frame is materialized first so the self-join doesn't
+      // recompute the neighbor-min aggregation twice per round.
       val jumped = if (iter < 2) stepped.withColumnRenamed("l1", "lbl")
       else {
-        val parent = stepped
+        val steppedM = stepped.localCheckpoint(true)
+        val parent = steppedM
           .select(col("id").as("p_id"), col("l1").as("p_lbl"))
-        stepped.join(parent, stepped("l1") === parent("p_id"), "left")
+        steppedM.join(parent, steppedM("l1") === parent("p_id"), "left")
           .select(col("id"),
             least(col("l1"), coalesce(col("p_lbl"), col("l1"))).as("lbl"),
             col("old"))

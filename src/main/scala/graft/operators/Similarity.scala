@@ -86,6 +86,12 @@ object Similarity {
     * ORDER BY d2, centroid_id.
     */
   private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
+    // Fail loudly on an empty centroid set: the fold below would otherwise
+    // assign every row to a phantom cell -1 (one giant bucket) where the
+    // pre-fold formulation — and the SQL oracles — return no rows. Same
+    // deliberate index-build-time action as sampleDirections' guard.
+    require(!centroids.isEmpty,
+      "centroid set is empty; cannot build an IVF assignment")
     val packed = centroids
       .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
         .as("cents"))
@@ -234,20 +240,17 @@ object Similarity {
     lshBucketsMulti(corpus, idCol, vecCol, tables = 1, planes = nDirs,
       dirModulus = dirModulus, dirResidue = dirResidue).drop("table")
 
-  /** LSH-bucketed ANN: queries rank only their own bucket's vectors by
-    * exact cosine. Recall trades against bucket size via nDirs.
-    * Output: (query_id, neighbor_id, cosine, rank).
+  /** Shared LSH scoring core: join the bucketed corpus against the (small,
+    * broadcast) query probe set, score by exact cosine, keep the top k per
+    * query. `q` must carry (query_id, vq, nq, bucket) — one row per probe.
+    * Single definition so the scoring/tie-break convention of lshSearch and
+    * its multiprobe variant cannot diverge.
     */
-  def lshSearch(corpus: DataFrame, queries: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      nDirs: Int = 6, k: Int = 5): DataFrame = {
-    val buckets = lshBuckets(corpus, idCol, vecCol, nDirs = nDirs)
+  private def lshRank(corpus: DataFrame, buckets: DataFrame, q: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
       .join(buckets.select(col("id").as("neighbor_id"), col("bucket")),
         "neighbor_id")
-    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(buckets.select(col("id").as("query_id"), col("bucket")),
-        "query_id")
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -259,37 +262,42 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** LSH-bucketed ANN: queries rank only their own bucket's vectors by
+    * exact cosine. Recall trades against bucket size via nDirs.
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def lshSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nDirs: Int = 6, k: Int = 5): DataFrame = {
+    val buckets = lshBuckets(corpus, idCol, vecCol, nDirs = nDirs)
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .join(buckets.select(col("id").as("query_id"), col("bucket")),
+        "query_id")
+    lshRank(corpus, buckets, q, idCol, vecCol, k)
+  }
+
   /** Multiprobe LSH search: each query ranks its own bucket PLUS every
     * bucket at Hamming distance 1 (one sign bit flipped) — the standard
     * recall booster that trades `nDirs+1` probes for more tables/memory.
     * A near-neighbor that disagrees on exactly one hyperplane is still
     * found, so recall strictly dominates [[lshSearch]] at identical index
-    * cost; candidates stay bucket-bounded (no corpus-wide scan). Probe
-    * expansion is an explode on the (small) query side only.
-    * Output: (query_id, neighbor_id, cosine, rank).
+    * cost; candidates stay bucket-bounded (no corpus-wide scan). The probe
+    * explode runs AFTER the bucket index is narrowed to the query ids, so
+    * only |Q|·(nDirs+1) probe rows ever exist — the corpus side is
+    * untouched. Output: (query_id, neighbor_id, cosine, rank).
     */
   def lshSearchMultiprobe(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nDirs: Int = 6, k: Int = 5): DataFrame = {
     val buckets = lshBuckets(corpus, idCol, vecCol, nDirs = nDirs)
-    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
-      .join(buckets.select(col("id").as("neighbor_id"), col("bucket")),
-        "neighbor_id")
-    val probes = buckets.select(col("id").as("query_id"),
-      explode(array(col("bucket") +:
-        (0 until nDirs).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
-        .as("bucket"))
     val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(probes, "query_id")
-    val scored = c.join(broadcast(q), "bucket")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .join(buckets.select(col("id").as("query_id"), col("bucket")),
+        "query_id")
+      .select(col("query_id"), col("vq"), col("nq"),
+        explode(array(col("bucket") +:
+          (0 until nDirs).map(p =>
+            col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    lshRank(corpus, buckets, q, idCol, vecCol, k)
   }
 
   /** IVF search: each query probes its `nprobe` nearest cells and ranks

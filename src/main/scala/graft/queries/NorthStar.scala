@@ -440,6 +440,10 @@ object NorthStar {
              min(doc_id) AS min_doc, max(doc_id) AS max_doc
       FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""",
 
+    // Mirrors the Spark plan exactly — 4-band LSH candidates with the
+    // maxBucket=200 cap — so the certification holds at any scale, not
+    // just while buckets stay under the cap (the uncapped all-pairs
+    // formulation would diverge once a hot band bucket truncates).
     "d03_simhash_pairs" -> s"""
       WITH th AS (SELECT doc_id,
           list_transform($W, t -> ${h("t")}) AS th FROM documents),
@@ -448,11 +452,21 @@ object NorthStar {
           CASE WHEN 2 * list_sum(list_transform(th, h -> (h >> j) & 1))
                     > len(th)
                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
-        AS BIGINT) AS sh FROM th)
-      SELECT x.doc_id AS a, y.doc_id AS b,
-        CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
-      FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-      WHERE bit_count(xor(x.sh, y.sh)) <= 3
+        AS BIGINT) AS sh FROM th),
+      bands0 AS (SELECT doc_id, sh, bd, (sh >> (bd * 15)) & 32767 AS bv
+        FROM sh, generate_series(0, 3) t(bd)),
+      bands AS (SELECT doc_id, bd, bv FROM (
+          SELECT doc_id, bd, bv, row_number()
+            OVER (PARTITION BY bd, bv ORDER BY doc_id) AS bp FROM bands0)
+        WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y
+          ON x.bd = y.bd AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT cand.a, cand.b,
+        CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+      FROM cand JOIN sh sa ON sa.doc_id = cand.a
+                JOIN sh sb ON sb.doc_id = cand.b
+      WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
       ORDER BY a, b""",
 
     "d04_ngram_jaccard" -> s"""
@@ -712,9 +726,9 @@ object NorthStar {
       SELECT doc_id, md5(nt) AS fp_md5, ${h("nt")} AS fp60
       FROM n ORDER BY doc_id""",
 
-    // Byte semantics on BOTH sides (octet_length, not length): the Spark
-    // operator works on the binary payload, and char-based SQL would
-    // silently diverge on any multi-byte text.
+    // Char-gram semantics on BOTH sides (length/substr — deliberate, see
+    // TextAnalysis.withWinnowing): both engines slice the string column
+    // identically on any text, multi-byte included.
     "t09_winnow_fingerprint" -> s"""
       WITH g AS (SELECT doc_id, CASE WHEN length(text) >= 8
             THEN list_transform(generate_series(1, length(text) - 7),
@@ -762,6 +776,9 @@ object NorthStar {
           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS clean_md5
       FROM u ORDER BY doc_id""",
 
+    // Byte semantics on BOTH sides (octet_length, not length): the Spark
+    // operator works on the binary payload, and char-based SQL would
+    // silently diverge on any multi-byte text.
     "m01_multimodal_meta" -> s"""
       SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'

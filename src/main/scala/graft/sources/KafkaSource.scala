@@ -78,13 +78,22 @@ object KafkaSource {
       throw new IllegalArgumentException(s"Unknown named parameter: $k")
     }
 
-  private def kafkaOptions(
-      brokers: String, topic: String, groupId: String,
-      sasl: Option[SaslConfig]): Map[String, String] = {
+  /** The one bind-time argument check every entry point routes through —
+    * builder API, SQL table function, and the replay harness share this
+    * single error surface.
+    */
+  def validateArgs(brokers: String, topic: String, groupId: String,
+      sasl: Option[SaslConfig]): Unit = {
     require(brokers != null && brokers.nonEmpty, "brokers is required")
     require(topic != null && topic.nonEmpty, "topic is required")
     require(groupId != null && groupId.nonEmpty, "group_id is required")
     validate(sasl)
+  }
+
+  private def kafkaOptions(
+      brokers: String, topic: String, groupId: String,
+      sasl: Option[SaslConfig]): Map[String, String] = {
+    validateArgs(brokers, topic, groupId, sasl)
     val base = Map(
       "kafka.bootstrap.servers" -> brokers, // cpp:113 metadata.broker.list
       "subscribe" -> topic,                 // cpp:126
@@ -193,10 +202,7 @@ object KafkaSource {
     val df = spark.conf.getOption(ReplayConfKey) match {
       case Some(dir) =>
         // Broker-free harness path: same validation, same 7-col schema.
-        require(brokers != null && brokers.nonEmpty, "brokers is required")
-        require(topic != null && topic.nonEmpty, "topic is required")
-        require(groupId != null && groupId.nonEmpty, "group_id is required")
-        validate(sasl)
+        validateArgs(brokers, topic, groupId, sasl)
         replay(graft.Tables.load(spark, dir, "events"), topic)
       case None => read(spark, brokers, topic, groupId, sasl)
     }
