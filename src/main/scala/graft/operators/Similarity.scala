@@ -300,6 +300,25 @@ object Similarity {
     lshRank(corpus, buckets, q, idCol, vecCol, k)
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector symmetric
+    * absmax/127 scale, components rounded to [-127, 127] — the standard 4×
+    * memory lever that keeps a 100 TB-corpus ANN index resident in RAM.
+    * Pure map-only expression work; round-half-up is spelled as
+    * floor(x/scale + 0.5) so both engines quantize identically (their
+    * native round() ties differ). Output: input id + (v, scale, qv).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("qv",
+        when(col("scale") === 0.0, transform(col("v"), _ => lit(0.0)))
+          .otherwise(transform(col("v"), x =>
+            greatest(lit(-127.0),
+              least(lit(127.0), floor(x / col("scale") + 0.5))))))
+
   /** IVF search: each query probes its `nprobe` nearest cells and ranks
     * only vectors assigned there by exact cosine.
     * Output: (query_id, neighbor_id, cosine, rank) — top k per query.

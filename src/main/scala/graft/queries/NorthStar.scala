@@ -167,6 +167,19 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Int8 quantization stats per vector: scale, saturated components,
+    // reconstruction error — the memory-side half of the ANN story.
+    "s08_quantize_int8" -> { (s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("id").as("vec_id"), col("scale"),
+          size(filter(col("qv"), q => abs(q) === 127.0)).as("n_sat"),
+          round(sqrt(aggregate(
+            zip_with(col("v"), col("qv"),
+              (x, q) => (x - q * col("scale")) * (x - q * col("scale"))),
+            lit(0.0), (a, b) => a + b)), 6).as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -643,6 +656,22 @@ object NorthStar {
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s08_quantize_int8" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s AS (SELECT vec_id, v,
+          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      q AS (SELECT vec_id, v, scale,
+          CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+            ELSE list_transform(v, x ->
+              greatest(-127.0, least(127.0, floor(x / scale + 0.5)))) END AS qv
+        FROM s)
+      SELECT vec_id, scale,
+        CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS INT) AS n_sat,
+        round(sqrt(list_reduce(list_transform(list_zip(v, qv),
+          p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+          (a, b) -> a + b)), 6) AS recon_err
+      FROM q ORDER BY vec_id""",
 
     "s06_kmeans_centroids" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization bounds reconstruction error by the rounding step") {
+    val q = Similarity.quantizeInt8(emb)
+      .select(col("id"), col("scale"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("qv"),
+            (x, qc) => (x - qc * col("scale")) * (x - qc * col("scale"))),
+          lit(0.0), (a, b) => a + b)).as("err"),
+        size(col("v")).as("d"))
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val bound = math.sqrt(r.getAs[Int]("d").toDouble) *
+        r.getAs[Double]("scale") / 2.0
+      // per-component rounding error ≤ scale/2 → l2 error ≤ sqrt(d)·scale/2
+      assert(r.getAs[Double]("err") <= bound + 1e-12,
+        s"vec ${r.get(0)}: err ${r.get(2)} > bound $bound")
+    }
+  }
+
   test("k-means refinement never increases inertia over the sampled seed") {
     def inertia(cents: org.apache.spark.sql.DataFrame): Double =
       Similarity.ivfAssign(emb, cents)
