@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("text sketch expressions run inside whole-stage codegen") {
+    // With a real doGenCode the signature projection carries the codegen
+    // star marker; a CodegenFallback expression would exclude its node.
+    val df = graft.operators.Dedup.minhashSignatures(
+      Tables.load(spark, sf, "documents"))
+    df.collect()
+    val lines = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("minhash_signature")).toList
+    assert(lines.nonEmpty)
+    lines.filter(_.trim.startsWith("+- ")).foreach(l =>
+      assert(l.contains("*("), l))
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
   test("dedup candidate generation never degrades to a cartesian product") {
     Seq("d02_minhash_pairs", "d03_simhash_pairs", "d04_ngram_jaccard",
       "d10_embedding_neardup_lsh").foreach { q =>
