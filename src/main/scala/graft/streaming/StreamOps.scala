@@ -53,16 +53,18 @@ object StreamOps {
       topic)
   }
 
-  /** Tumbling-window counts with a watermark: the canonical streaming agg.
-    * Late rows beyond `lateness` are dropped; output in append mode once
-    * the watermark passes the window end.
+  /** Tumbling (or, with `slide`, hopping) window counts with a watermark:
+    * the canonical streaming agg. Late rows beyond `lateness` are dropped;
+    * output in append mode once the watermark passes the window end.
     */
   def windowedCounts(records: DataFrame, timeCol: String = "timestamp",
       windowLen: String = "5 minutes",
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      slide: Option[String] = None): DataFrame =
     records
       .withWatermark(timeCol, lateness)
-      .groupBy(window(col(timeCol), windowLen).as("win"), col("key"))
+      .groupBy(slide.fold(window(col(timeCol), windowLen))(s =>
+        window(col(timeCol), windowLen, s)).as("win"), col("key"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("bucket"), col("key"), col("n"))
 

@@ -87,6 +87,12 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("as-of join compiles to union + window — no join, no range explosion") {
+    val p = plan("q20_asof_join")
+    assert(!p.contains("Join"), p) // one sort-shuffle of |L|+|R|, per design
+    assert(p.contains("Window"), p)
+  }
+
   test("text sketch expressions run inside whole-stage codegen") {
     // With a real doGenCode the signature projection carries the codegen
     // star marker; a CodegenFallback expression would exclude its node.

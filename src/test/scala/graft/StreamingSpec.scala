@@ -34,6 +34,22 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming sliding windows == batch sliding windows (sf0.01)") {
+    val agg = StreamOps.windowedCounts(StreamOps.replayStream(spark, sf01),
+      windowLen = "10 minutes", slide = Some("5 minutes"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("swc").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("swc").collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = KafkaSource.replay(Tables.load(spark, sf01, "events"))
+      .groupBy(window(col("timestamp"), "10 minutes", "5 minutes")("start")
+        .as("bucket"), col("key"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === batch)
+  }
+
   test("dropDuplicatesWithinWatermark removes replayed duplicates") {
     import spark.implicits._
     implicit val sqlCtx = classic.sqlContext
