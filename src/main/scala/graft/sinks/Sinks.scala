@@ -71,4 +71,35 @@ object Sinks {
   /** Convenience: configured writer for a memory sink (tests/debug). */
   def memorySink(records: DataFrame, name: String): DataStreamWriter[Row] =
     records.writeStream.format("memory").queryName(name)
+
+  /** Small-file compaction: rewrite a parquet dataset into ~`targetFileMB`
+    * files. Streaming sinks emit one file per micro-batch per partition;
+    * left alone, at 100 TB the file-listing metadata throttles every
+    * downstream planning step. File count derives from the actual on-disk
+    * bytes; the rewrite lands in a sibling directory first and swaps in via
+    * rename, so a crash mid-compaction leaves the original data intact.
+    * Returns the target file count.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileMB: Int = 512, partitionCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileMB > 0)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val target = targetFileMB.toLong * 1024 * 1024
+    val nFiles = math.max(1L, (bytes + target - 1) / target)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    val df = spark.read.parquet(path)
+    val writer =
+      if (partitionCols.nonEmpty)
+        df.repartition(nFiles.toInt, partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(nFiles.toInt).write
+    writer.mode("overwrite").parquet(tmp.toString)
+    // swap: the new layout becomes `path` only after a complete write
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    nFiles
+  }
 }

@@ -29,6 +29,32 @@ class SinkSpec extends SparkSpec {
     assert(back.filter(col("partition") === 0).count() < rec.count())
   }
 
+  test("compaction collapses a fragmented dataset without losing a row") {
+    val out = tmp("sink_compact")
+    val rec = graft.sources.KafkaSource.replay(
+      Tables.load(spark, sf, "events"))
+    // fragment deliberately: many small files
+    rec.repartition(24).write.mode("overwrite").parquet(out)
+    def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val before = parquetFiles(new java.io.File(out)).size
+    assert(before >= 24)
+    val checksumBefore = spark.read.parquet(out)
+      .agg(sum(col("offset")), count(lit(1))).collect()(0)
+    val n = Sinks.compact(spark, out, targetFileMB = 512)
+    val after = parquetFiles(new java.io.File(out)).size
+    assert(n === 1L) // tiny dataset → one target file
+    assert(after < before)
+    val checksumAfter = spark.read.parquet(out)
+      .agg(sum(col("offset")), count(lit(1))).collect()(0)
+    assert(checksumAfter === checksumBefore)
+    // no leftover staging directory
+    assert(!new java.io.File(out + "__compacting").exists())
+  }
+
   test("range-clustered write produces disjoint per-file key ranges") {
     val out = tmp("sink_range")
     Sinks.writeRangeClustered(
