@@ -668,9 +668,10 @@ object NorthStar {
         FROM s)
       SELECT vec_id, scale,
         CAST(len(list_filter(qv, x -> abs(x) = 127.0)) AS INT) AS n_sat,
-        round(sqrt(list_reduce(list_transform(list_zip(v, qv),
-          p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
-          (a, b) -> a + b)), 6) AS recon_err
+        round(sqrt(CASE WHEN len(qv) = 0 THEN 0.0
+          ELSE list_reduce(list_transform(list_zip(v, qv),
+            p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+            (a, b) -> a + b) END), 6) AS recon_err
       FROM q ORDER BY vec_id""",
 
     "s06_kmeans_centroids" -> """

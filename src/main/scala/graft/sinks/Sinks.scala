@@ -72,34 +72,53 @@ object Sinks {
   def memorySink(records: DataFrame, name: String): DataStreamWriter[Row] =
     records.writeStream.format("memory").queryName(name)
 
-  /** Small-file compaction: rewrite a parquet dataset into ~`targetFileMB`
-    * files. Streaming sinks emit one file per micro-batch per partition;
-    * left alone, at 100 TB the file-listing metadata throttles every
-    * downstream planning step. File count derives from the actual on-disk
-    * bytes; the rewrite lands in a sibling directory first and swaps in via
-    * rename, so a crash mid-compaction leaves the original data intact.
+  /** Small-file compaction of ONE leaf parquet directory: rewrite it into
+    * ~`targetFileMB` files (count derived from the actual on-disk bytes).
+    * Streaming sinks emit one file per micro-batch; left alone, at 100 TB
+    * the file-listing metadata throttles every downstream planning step.
+    *
+    * Scope guards — both refusals are loud because silently proceeding
+    * corrupts data:
+    *  - a directory carrying a FileStreamSink `_spark_metadata` log is
+    *    rejected: deleting/ignoring the log makes log-aware readers drop
+    *    every compacted row once the sink appends its next batch (stop the
+    *    stream and remove the log first, or compact a downstream copy);
+    *  - a partitioned root (`key=value` subdirectories) is rejected:
+    *    rewriting it flat would change the layout and re-infer partition
+    *    value types. Compact each leaf directory individually — that is
+    *    also the right failure/memory domain at scale.
+    *
+    * Swap is rename-based and never destroys data: the original moves to
+    * `path__precompact`, the rewrite moves in, then the backup is deleted.
+    * A crash between the renames leaves the dataset intact at the backup
+    * path (readers see a brief absence, never a loss).
     * Returns the target file count.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileMB: Int = 512, partitionCols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.col
+      targetFileMB: Int = 512): Long = {
     require(targetFileMB > 0)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(p, "_spark_metadata")),
+      s"$path carries a FileStreamSink _spark_metadata log; compacting " +
+        "would desync it and log-aware readers would drop the compacted " +
+        "rows. Stop the stream and clear the log, or compact a copy.")
+    require(!fs.listStatus(p).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")),
+      s"$path is a partitioned root; compact its leaf directories " +
+        "individually")
     val bytes = fs.getContentSummary(p).getLength
     val target = targetFileMB.toLong * 1024 * 1024
     val nFiles = math.max(1L, (bytes + target - 1) / target)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    val df = spark.read.parquet(path)
-    val writer =
-      if (partitionCols.nonEmpty)
-        df.repartition(nFiles.toInt, partitionCols.map(col): _*)
-          .write.partitionBy(partitionCols: _*)
-      else df.repartition(nFiles.toInt).write
-    writer.mode("overwrite").parquet(tmp.toString)
-    // swap: the new layout becomes `path` only after a complete write
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
+    spark.read.parquet(path).repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "__precompact")
+    fs.delete(backup, true)
+    require(fs.rename(p, backup), s"rename $p -> $backup failed")
+    require(fs.rename(tmp, p),
+      s"rename $tmp -> $p failed; original data preserved at $backup")
+    fs.delete(backup, true)
     nFiles
   }
 }

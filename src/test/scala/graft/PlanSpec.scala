@@ -93,18 +93,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
-  test("text sketch expressions run inside whole-stage codegen") {
-    // With a real doGenCode the signature projection carries the codegen
-    // star marker; a CodegenFallback expression would exclude its node.
-    val df = graft.operators.Dedup.minhashSignatures(
-      Tables.load(spark, sf, "documents"))
-    df.collect()
-    val lines = df.queryExecution.executedPlan.toString.linesIterator
-      .filter(_.contains("minhash_signature")).toList
-    assert(lines.nonEmpty)
-    lines.filter(_.trim.startsWith("+- ")).foreach(l =>
-      assert(l.contains("*("), l))
-    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  test("text sketch expressions implement real codegen, not fallback") {
+    // WholeStageCodegen tolerates CodegenFallback expressions (it calls
+    // their interpreted eval through the references array), so the plan
+    // string can't distinguish the two — assert the property directly on
+    // the expression classes, and that the generated path produces the
+    // kernel's answer end-to-end.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.functions.{MinhashSignature, Simhash60, WordShingles}
+    val lit = Literal(org.apache.spark.unsafe.types.UTF8String
+      .fromString("a b c d"))
+    assert(!MinhashSignature(lit, 16, 3).isInstanceOf[CodegenFallback])
+    assert(!Simhash60(lit).isInstanceOf[CodegenFallback])
+    assert(!WordShingles(lit, 3).isInstanceOf[CodegenFallback])
+    // generated code compiles and agrees with the interpreted kernel
+    import org.apache.spark.sql.functions.{col, lit => slit}
+    val df = spark.range(1).select(
+      graft.functions.TextFunctions.minhash_signature(
+        slit("the quick brown fox jumps")).as("sig"))
+    val viaCodegen = df.collect()(0).getSeq[Long](0)
+    val viaEval = graft.functions.TextKernels
+      .minhash(org.apache.spark.unsafe.types.UTF8String
+        .fromString("the quick brown fox jumps"), 16, 3)
+      .toLongArray().toSeq
+    assert(viaCodegen === viaEval)
   }
 
   test("dedup candidate generation never degrades to a cartesian product") {

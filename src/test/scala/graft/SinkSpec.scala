@@ -51,8 +51,33 @@ class SinkSpec extends SparkSpec {
     val checksumAfter = spark.read.parquet(out)
       .agg(sum(col("offset")), count(lit(1))).collect()(0)
     assert(checksumAfter === checksumBefore)
-    // no leftover staging directory
+    // no leftover staging or backup directories
     assert(!new java.io.File(out + "__compacting").exists())
+    assert(!new java.io.File(out + "__precompact").exists())
+  }
+
+  test("compaction refuses streaming-sink logs and partitioned roots") {
+    // a FileStreamSink directory: compacting would desync _spark_metadata
+    val streamed = tmp("sink_compact_stream")
+    val rec = graft.sources.KafkaSource.replay(
+      Tables.load(spark, sf, "events"))
+    rec.limit(10).write.mode("overwrite").parquet(streamed)
+    new java.io.File(streamed, "_spark_metadata").mkdir()
+    val e1 = intercept[IllegalArgumentException](
+      Sinks.compact(spark, streamed))
+    assert(e1.getMessage.contains("_spark_metadata"))
+    // a partitioned root: leaves must be compacted individually
+    val parted = tmp("sink_compact_parted")
+    Sinks.writePartitioned(rec, parted, Seq("partition"))
+    val e2 = intercept[IllegalArgumentException](
+      Sinks.compact(spark, parted))
+    assert(e2.getMessage.contains("leaf directories"))
+    // ...and compacting one leaf works
+    val leaf = new java.io.File(parted).listFiles()
+      .filter(_.getName.startsWith("partition=")).head.getAbsolutePath
+    val before = spark.read.parquet(leaf).count()
+    Sinks.compact(spark, leaf)
+    assert(spark.read.parquet(leaf).count() === before)
   }
 
   test("range-clustered write produces disjoint per-file key ranges") {
