@@ -92,6 +92,17 @@ object Similarity {
     // deliberate index-build-time action as sampleDirections' guard.
     require(!centroids.isEmpty,
       "centroid set is empty; cannot build an IVF assignment")
+    assignCellsTrusted(c, centroids)
+  }
+
+  /** [[assignCells]] without the emptiness probe — for callers that have
+    * already verified (or structurally guarantee) a non-empty centroid set.
+    * The probe is an eager action on the centroid frame's full lineage;
+    * inside an iterative trainer it would re-execute the previous
+    * iteration's whole pipeline once per loop.
+    */
+  private def assignCellsTrusted(c: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val packed = centroids
       .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
         .as("cents"))
@@ -115,40 +126,80 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v")), centroids)
       .select(col("id"), col("cell"), col("d2"))
 
+  /** Two-stage bit-reproducible ordered sum of `valCol` per `keys` group,
+    * ordered by the (non-negative, per-group-unique) `ordCol`:
+    * stage 1 folds each `ordCol div chunkSize` chunk left-to-right in
+    * `ordCol` order; stage 2 folds the chunk partials in chunk order.
+    * The addition tree is FIXED (deterministic, engine-reproducible — a
+    * DuckDB oracle mirrors it with the same `// chunkSize` grouping), and
+    * unlike a single whole-group `collect_list` fold, every aggregation
+    * buffer is bounded: stage 1 holds at most `chunkSize` elements, stage 2
+    * at most `groupSize / chunkSize` partials — max(chunk, N/chunk) instead
+    * of N, so a hot group (dominant label, fat k-means cell) can no longer
+    * OOM an executor. Pick chunkSize ≈ sqrt(expected hot-group size); the
+    * default suits 10^5..10^7-member groups.
+    * Output: `keys` ++ (s: double, cnt: long).
+    */
+  def chunkedOrderedSum(df: DataFrame, keys: Seq[String], ordCol: String,
+      valCol: String, chunkSize: Int = 1024): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val keyCols = keys.map(col)
+    df.withColumn("__chunk", expr(s"$ordCol div $chunkSize"))
+      .groupBy(keyCols :+ col("__chunk"): _*)
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col(ordCol), col(valCol)))),
+            e => e.getField(valCol)),
+          lit(0.0), (a, x) => a + x).as("__ps"),
+        count(lit(1)).as("__cnt"))
+      .groupBy(keyCols: _*)
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("__chunk"), col("__ps")))),
+            e => e.getField("__ps")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        sum(col("__cnt")).as("cnt"))
+  }
+
   /** Lloyd's k-means refinement of the deterministic sample centroids —
     * the production replacement for [[sampleCentroids]] as the IVF index
     * quality knob. Each iteration: map-side fold assignment (no corpus
-    * shuffle, see [[assignCells]]) + one (cell, idx) aggregation for the
-    * new means. Component sums fold over per-cell vec_id-sorted lists so
-    * the double addition order is fixed — the whole trainer is
-    * bit-reproducible and DuckDB-oracle-checkable (s06). Cells that lose
-    * all members drop out (standard Lloyd degeneracy; k shrinks).
+    * shuffle, see [[assignCells]]) + one bounded-buffer (cell, idx)
+    * aggregation for the new means via [[chunkedOrderedSum]] — the double
+    * addition tree is fixed, so the whole trainer is bit-reproducible and
+    * DuckDB-oracle-checkable (s06) while a hot cell stays within
+    * max(chunkSize, members/chunkSize) buffer elements. Each iteration's
+    * centroids are materialized with an eager localCheckpoint: it cuts the
+    * lineage (plans would otherwise nest per round and re-run prior
+    * iterations for every action) and makes the single up-front emptiness
+    * guard sufficient for the trusted per-round assignment. Cells that
+    * lose all members drop out (standard Lloyd degeneracy; k shrinks) —
+    * but never all at once: every corpus vector is assigned somewhere, so
+    * a non-empty corpus keeps ≥ 1 cell alive.
     * Output: (centroid_id, cv, n_members) after `nIter` iterations.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidModulus: Int = 50,
-      nIter: Int = 2): DataFrame = {
+      nIter: Int = 2, chunkSize: Int = 256): DataFrame = {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     var cents = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
       .withColumn("n_members", lit(0L))
+    require(!cents.isEmpty,
+      "centroid sample is empty; cannot seed k-means")
     var i = 0
     while (i < nIter) {
-      cents = assignCells(c, cents.select(col("centroid_id"), col("cv")))
+      val exploded = assignCellsTrusted(c,
+          cents.select(col("centroid_id"), col("cv")))
         .select(col("cell"), col("id"),
           posexplode(col("v")).as(Seq("idx", "comp")))
-        .groupBy(col("cell"), col("idx"))
-        .agg(aggregate(
-            transform(array_sort(collect_list(struct(col("id"), col("comp")))),
-              e => e.getField("comp")),
-            lit(0.0), (a, x) => a + x).as("s"),
-          count(lit(1)).as("cnt"))
+      cents = chunkedOrderedSum(exploded, Seq("cell", "idx"), "id", "comp",
+          chunkSize)
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("idx"),
             (col("s") / col("cnt")).as("m")))),
             e => e.getField("m")).as("cv"),
           min(col("cnt")).as("n_members"))
         .select(col("cell").as("centroid_id"), col("cv"), col("n_members"))
+        .localCheckpoint(true)
       i += 1
     }
     cents

@@ -687,10 +687,15 @@ object NorthStar {
       x1 AS (SELECT a1.cell, e.vec_id, t.i, e.v[t.i] AS comp
         FROM a1 JOIN e USING (vec_id),
              unnest(generate_series(1, len(e.v))) AS t(i)),
-      g1 AS (SELECT cell, i,
-          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m,
+      p1 AS (SELECT cell, i, vec_id // 256 AS chunk,
+          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
           count(*) AS cnt
-        FROM x1 GROUP BY cell, i),
+        FROM x1 GROUP BY cell, i, chunk),
+      g1 AS (SELECT cell, i,
+          list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+            / CAST(sum(cnt) AS BIGINT) AS m,
+          CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM p1 GROUP BY cell, i),
       c1 AS (SELECT cell AS centroid_id, list(m ORDER BY i) AS cv
              FROM g1 GROUP BY cell),
       s2 AS (SELECT e.vec_id, c.centroid_id,
@@ -703,10 +708,15 @@ object NorthStar {
       x2 AS (SELECT a2.cell, e.vec_id, t.i, e.v[t.i] AS comp
         FROM a2 JOIN e USING (vec_id),
              unnest(generate_series(1, len(e.v))) AS t(i)),
-      g2 AS (SELECT cell, i,
-          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) / count(*) AS m,
+      p2 AS (SELECT cell, i, vec_id // 256 AS chunk,
+          list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
           count(*) AS cnt
-        FROM x2 GROUP BY cell, i)
+        FROM x2 GROUP BY cell, i, chunk),
+      g2 AS (SELECT cell, i,
+          list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+            / CAST(sum(cnt) AS BIGINT) AS m,
+          CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM p2 GROUP BY cell, i)
       SELECT cell, CAST(i - 1 AS INT) AS idx, m AS mean, cnt AS n_members
       FROM g2 ORDER BY cell, idx""",
 

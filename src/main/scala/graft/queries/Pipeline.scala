@@ -87,26 +87,23 @@ object Pipeline {
         .orderBy(col("split"))
     },
 
-    // Per-label embedding centroids: posexplode → per-(label,idx) ordered
-    // fold. One shuffle on (label, idx). Output is scalar rows
-    // (label, idx, mean, n_vectors) — one per centroid component — so the
-    // driver's hash compare can certify it (array columns can't be hashed
-    // by its pandas sort).
+    // Per-label embedding centroids: posexplode → two-stage chunked ordered
+    // fold per (label, idx) (Similarity.chunkedOrderedSum) — fixed addition
+    // tree, so bit-reproducible AND bounded-buffer: a label owning 90% of
+    // the corpus holds max(chunk, n/chunk) doubles per buffer instead of n.
+    // Output is scalar rows (label, idx, mean, n_vectors) — one per
+    // centroid component — so the driver's hash compare can certify it
+    // (array columns can't be hashed by its pandas sort).
     "s05_label_centroids" -> { (s, dir) =>
-      Tables.load(s, dir, "embeddings")
+      val exploded = Tables.load(s, dir, "embeddings")
         .select(col("label"), col("vec_id"),
           posexplode(col("embedding").cast("array<double>"))
             .as(Seq("idx", "comp")))
-        .groupBy(col("label"), col("idx"))
-        .agg(
-          aggregate(
-            transform(
-              array_sort(collect_list(struct(col("vec_id"), col("comp")))),
-              e => e.getField("comp")),
-            lit(0.0), (acc, x) => acc + x).as("s"),
-          count(lit(1)).as("n_vectors"))
+      graft.operators.Similarity
+        .chunkedOrderedSum(exploded, Seq("label", "idx"), "vec_id", "comp",
+          chunkSize = 256)
         .select(col("label"), col("idx"),
-          (col("s") / col("n_vectors")).as("mean"), col("n_vectors"))
+          (col("s") / col("cnt")).as("mean"), col("cnt").as("n_vectors"))
         .orderBy(col("label"), col("idx"))
     })
 
@@ -154,14 +151,21 @@ object Pipeline {
           THEN 1 END) AS n_sampled
       FROM documents GROUP BY lang, source ORDER BY lang, source""",
 
+    // Mirrors the Spark two-stage chunk fold (vec_id // 256 grouping) so
+    // the certified addition tree is the bounded-buffer one, not the
+    // fixture-scale shortcut.
     "s05_label_centroids" -> """
       WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       x AS (SELECT label, vec_id, t.i, v[t.i] AS comp
-            FROM e, unnest(generate_series(1, len(v))) AS t(i))
+            FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      p AS (SELECT label, i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
+              count(*) AS cnt
+            FROM x GROUP BY label, i, chunk)
       SELECT label, CAST(i - 1 AS INT) AS idx,
-             list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b)
-               / count(*) AS mean,
-             count(*) AS n_vectors
-      FROM x GROUP BY label, i ORDER BY label, idx""")
+             list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+               / CAST(sum(cnt) AS BIGINT) AS mean,
+             CAST(sum(cnt) AS BIGINT) AS n_vectors
+      FROM p GROUP BY label, i ORDER BY label, idx""")
 }

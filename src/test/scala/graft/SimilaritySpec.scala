@@ -94,6 +94,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("chunked ordered sum: exact fixed-tree result on a 90%-skewed group, " +
+      "two-stage plan") {
+    import spark.implicits._
+    // one label owns 90% of the rows — the hot-group shape that OOMs an
+    // unbounded whole-group collect_list at scale
+    val rows = (0 until 200).map { i =>
+      val label = if (i < 180) "hot" else s"cold${i % 4}"
+      (i.toLong, label, i * 0.1 - 3.7)
+    }
+    val df = rows.toDF("vec_id", "label", "comp")
+      .withColumn("idx", lit(0))
+    val got = Similarity.chunkedOrderedSum(df, Seq("label", "idx"),
+        "vec_id", "comp", chunkSize = 16)
+      .collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Double]("s"), r.getAs[Long]("cnt")))).toMap
+    // reference: the SAME fixed addition tree in plain Scala — chunk by
+    // vec_id div 16 in id order, fold chunks, fold partials in chunk order
+    val expected = rows.groupBy(_._2).map { case (lbl, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val s = sorted.groupBy(_._1 / 16).toSeq.sortBy(_._1)
+        .map(_._2.map(_._3).foldLeft(0.0)(_ + _))
+        .foldLeft(0.0)(_ + _)
+      lbl -> ((s, rs.size.toLong))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (lbl, (s, n)) =>
+      assert(java.lang.Double.doubleToLongBits(got(lbl)._1) ===
+        java.lang.Double.doubleToLongBits(s), s"label $lbl")
+      assert(got(lbl)._2 === n, s"label $lbl")
+    }
+    // plan shape: stage 1 aggregates keyed by the chunk column — the
+    // bounded-buffer two-stage fold, not one whole-group collect_list
+    val plan = Similarity.chunkedOrderedSum(df, Seq("label", "idx"),
+      "vec_id", "comp", chunkSize = 16).queryExecution.executedPlan.toString
+    assert(plan.contains("__chunk"), "expected the chunked first stage")
+  }
+
   test("k-means refinement never increases inertia over the sampled seed") {
     def inertia(cents: org.apache.spark.sql.DataFrame): Double =
       Similarity.ivfAssign(emb, cents)
