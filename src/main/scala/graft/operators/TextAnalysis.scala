@@ -105,9 +105,11 @@ object TextAnalysis {
     * w-word shingle with the evaluation corpus — the standard n-gram
     * overlap check run before pretraining so eval answers don't leak into
     * the training set. The eval gram set is packed into ONE broadcast row
-    * (exact set; swap in a bloom filter if the eval corpus outgrows
-    * executor memory) and each training row intersects against it —
+    * (exact set — requires it to fit executor memory; past that, use
+    * [[decontaminateBloom]]) and each training row intersects against it —
     * map-only over the training side, zero shuffle of the corpus.
+    * The packed set is coalesced to an empty array so a zero-row eval
+    * corpus yields n_hits=0 (not NULL) identically in both engines.
     * Output: (idCol, n_hits, contaminated).
     */
   def decontaminate(train: DataFrame, evalCorpus: DataFrame,
@@ -115,12 +117,68 @@ object TextAnalysis {
       w: Int = 5): DataFrame = {
     val evGrams = evalCorpus
       .select(explode(Dedup.shingles(col(textCol), w)).as("g"))
-      .agg(collect_set(col("g")).as("__ev"))
+      .agg(coalesce(collect_set(col("g")),
+        array().cast("array<string>")).as("__ev"))
     train.select(col(idCol), Dedup.shingles(col(textCol), w).as("__sh"))
       .crossJoin(broadcast(evGrams))
       .select(col(idCol),
         size(array_intersect(col("__sh"), col("__ev"))).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** The eval-set-outgrows-executor-memory path of [[decontaminate]]:
+    * a Bloom filter (built once over the distinct eval grams via Spark's
+    * native BloomFilterAggregate, shipped as one foldable binary — it fits
+    * long after the exact set doesn't) gates the training side map-only;
+    * only grams that hit the bloom are exploded and shuffle-joined against
+    * the distributed eval-gram table for exact confirmation. False
+    * positives cost only confirm-join traffic, never wrong answers, and
+    * false negatives are impossible — so the output is IDENTICAL to the
+    * exact path (d14 certifies it against d13's exact oracle), while the
+    * corpus-side work stays one filter expression per row.
+    * Output: (idCol, n_hits, contaminated, n_bloom_candidates) —
+    * n_bloom_candidates - n_hits counts the bloom's false positives, the
+    * recall-free knob a production run monitors.
+    */
+  def decontaminateBloom(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      w: Int = 5, expectedGrams: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(expectedGrams > 0)
+    val evGrams = evalCorpus
+      .select(explode(Dedup.shingles(col(textCol), w)).as("g")).distinct()
+    // Index-build action (like the centroid/direction guards): ONE small
+    // binary to the driver — ~1.2 bytes/gram at fpp 0.03, never the grams.
+    val bloomAgg = Bridge.toColumn(new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.toExpression(col("g")))),
+        Literal(expectedGrams), Literal(8L * expectedGrams))
+      .toAggregateExpression())
+    val bloomBytes = evGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val sh = train.select(col(idCol),
+      Dedup.shingles(col(textCol), w).as("__sh"))
+    if (bloomBytes == null) // empty eval corpus → nothing can be contaminated
+      return sh.select(col(idCol), lit(0).as("n_hits"),
+        lit(false).as("contaminated"), lit(0).as("n_bloom_candidates"))
+    val mightContain = (g: Column) => Bridge.toColumn(BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.toExpression(g)))))
+    val gated = sh.select(col(idCol),
+      filter(col("__sh"), g => mightContain(g)).as("__cand"))
+    // Exact confirm: only bloom survivors shuffle; grams are distinct per
+    // doc (shingles are), so count(*) after the inner join = true hits.
+    val hits = gated.filter(size(col("__cand")) > 0)
+      .select(col(idCol), explode(col("__cand")).as("g"))
+      .join(evGrams, "g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("__n"))
+    gated.join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n"), lit(0)).as("n_hits"),
+        (coalesce(col("__n"), lit(0)) > 0).as("contaminated"),
+        size(col("__cand")).as("n_bloom_candidates"))
   }
 
   /** MOSS-style winnowing fingerprints: hash every k-char gram, then keep

@@ -92,6 +92,19 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // The bloom-gated decontamination path (eval set too big to broadcast
+    // exactly): bloom prefilter map-side + exact confirm join. No false
+    // negatives and confirmed positives only, so it certifies bit-exact
+    // against the SAME exact oracle as d13.
+    "d14_decontaminate_bloom" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateBloom(
+          d.filter(col("doc_id") % 97 =!= 1),
+          d.filter(col("doc_id") % 97 === 1))
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
     // Capstone: the full pretraining-corpus pipeline composed end-to-end —
     // quality gate (t07 keep) → PII redaction (t08) → exact dedup on the
     // clean text → MinHash near-dedup → reproducible hash split — with one
@@ -318,6 +331,27 @@ object NorthStar {
       ELSE [array_to_string(w, ' ')] END) AS sh FROM wt)"""
   private val ShinglesCte = shinglesCte()
 
+  /** Exact decontamination oracle, shared verbatim by d13 (exact broadcast
+    * path) and d14 (bloom-gated path — no false negatives, confirmed
+    * positives only, so the exact SQL is its oracle too). The packed gram
+    * list is coalesced to an empty VARCHAR[] so a zero-row eval slice
+    * yields n_hits=0, matching Spark's coalesced collect_set.
+    */
+  private val DecontaminateOracle: String = raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+          THEN list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh FROM wt),
+      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 1),
+      evl AS (SELECT coalesce(list(g), []::VARCHAR[]) AS gl FROM ev),
+      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 1)
+      SELECT tr.doc_id, CAST(len(list_intersect(tr.sh, evl.gl)) AS INT)
+          AS n_hits,
+        len(list_intersect(tr.sh, evl.gl)) > 0 AS contaminated
+      FROM tr, evl ORDER BY doc_id"""
+
   /** Full MinHash pipeline through candidate pairs (shared by d02/d08/d12). */
   private def minhashCtes(src: String = "documents") = s"""${shinglesCte(src)},
       hp AS (SELECT doc_id, list_transform(sh, s ->
@@ -386,20 +420,11 @@ object NorthStar {
       SELECT u.source, CAST(u.i AS INT) AS i, u.m AS sig_i, nd.n_docs
       FROM u JOIN nd USING (source) ORDER BY source, i""",
 
-    "d13_decontaminate" -> raw"""
-      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
-                  FROM documents),
-      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
-          THEN list_transform(generate_series(1, len(w) - 4),
-            i -> array_to_string(w[i:i+4], ' '))
-          ELSE [array_to_string(w, ' ')] END) AS sh FROM wt),
-      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 1),
-      evl AS (SELECT list(g) AS gl FROM ev),
-      tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 1)
-      SELECT tr.doc_id, CAST(len(list_intersect(tr.sh, evl.gl)) AS INT)
-          AS n_hits,
-        len(list_intersect(tr.sh, evl.gl)) > 0 AS contaminated
-      FROM tr, evl ORDER BY doc_id""",
+    "d13_decontaminate" -> DecontaminateOracle,
+
+    // The bloom path has no false negatives and exact-confirms every bloom
+    // hit, so the SAME exact oracle certifies it.
+    "d14_decontaminate_bloom" -> DecontaminateOracle,
 
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE

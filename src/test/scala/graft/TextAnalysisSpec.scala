@@ -68,6 +68,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 3) // every training doc reported, hit or not
   }
 
+  test("bloom decontamination == exact path, bounded false-positive gating") {
+    val d = Tables.load(spark, sf, "documents")
+    val train = d.filter(col("doc_id") % 97 =!= 1)
+    val eval_ = d.filter(col("doc_id") % 97 === 1)
+    val exact = TextAnalysis.decontaminate(train, eval_).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    val bloom = TextAnalysis.decontaminateBloom(train, eval_).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
+    // identical verdicts: no false negatives, confirm join kills the FPs
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, (n, c)) =>
+      assert(bloom(id)._1 === n, s"doc $id n_hits")
+      assert(bloom(id)._2 === c, s"doc $id contaminated")
+      // candidates ⊇ true hits (bloom has no false negatives)
+      assert(bloom(id)._3 >= n, s"doc $id candidates < hits")
+    }
+    // the gate does its job: at 8 bits/gram the bloom's false-positive
+    // rate is ~2%; allow 5% of checked grams before calling it broken
+    val totals = TextAnalysis.decontaminateBloom(train, eval_)
+      .agg(sum(col("n_bloom_candidates")).as("cand"), sum(col("n_hits")).as("hits"))
+      .collect()(0)
+    val checked = TextAnalysis.withTokenStats(train)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    val fps = totals.getLong(0) - totals.getLong(1)
+    assert(fps <= math.max(10L, checked / 20),
+      s"bloom passed $fps false positives over ~$checked grams")
+  }
+
+  test("bloom decontamination on an empty eval corpus flags nothing") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Seq(TextAnalysis.decontaminate(train, empty),
+        TextAnalysis.decontaminateBloom(train, empty)
+          .select("doc_id", "n_hits", "contaminated")).foreach { res =>
+      val r = res.collect()
+      assert(r.length === 1)
+      assert(r(0).getInt(1) === 0 && !r(0).getBoolean(2))
+    }
+  }
+
   test("winnowing selects per-window gram minima with full window coverage") {
     import spark.implicits._
     import graft.functions.CrossHash.md5Long
