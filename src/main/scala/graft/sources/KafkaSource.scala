@@ -55,8 +55,12 @@ object KafkaSource {
 
   val ValidProtocols: Set[String] = Set("SASL_SSL", "SASL_PLAINTEXT") // cpp:80-82
   val ValidMechanisms: Set[String] = Set("SCRAM-SHA-256", "PLAIN")    // cpp:85-87
+  /** cpp:216-221 plus `partitions` — the one pushdown a Kafka scan CAN do,
+    * which the reference declines (subscribe-whole-topic, cpp:126,226-227).
+    */
   val KnownNamedParams: Set[String] =
-    Set("security_protocol", "sasl_mechanism", "username", "password") // cpp:216-221
+    Set("security_protocol", "sasl_mechanism", "username", "password",
+      "partitions")
 
   /** Bind-time validation, error-for-error with the reference (cpp:77-99). */
   def validate(sasl: Option[SaslConfig]): Unit = sasl.foreach { c =>
@@ -90,13 +94,40 @@ object KafkaSource {
     validate(sasl)
   }
 
-  private def kafkaOptions(
+  /** Parse a `partitions` argument ('0,3') into a validated id list. */
+  def parsePartitions(spec: String): Seq[Int] = {
+    require(spec != null && spec.trim.nonEmpty,
+      "partitions must be a non-empty comma-separated list of ids")
+    val ids = spec.split(",").toSeq.map { s =>
+      val t = s.trim
+      require(t.nonEmpty && t.forall(_.isDigit),
+        s"partitions: '$s' is not a non-negative integer")
+      t.toInt
+    }
+    require(ids.distinct.size == ids.size,
+      s"partitions: duplicate ids in '$spec'")
+    ids
+  }
+
+  private[graft] def kafkaOptions(
       brokers: String, topic: String, groupId: String,
-      sasl: Option[SaslConfig]): Map[String, String] = {
+      sasl: Option[SaslConfig],
+      partitions: Option[Seq[Int]] = None): Map[String, String] = {
     validateArgs(brokers, topic, groupId, sasl)
+    partitions.foreach(p => require(p.nonEmpty && p.forall(_ >= 0),
+      "partitions must be non-empty, non-negative ids"))
+    // Partition-pruned reads use the connector's `assign` (explicit
+    // TopicPartitions, connector option reference) instead of `subscribe`:
+    // Spark then plans input partitions ONLY for the listed ids — at a
+    // 100 TB topic the broker never streams the pruned partitions at all.
+    val scope = partitions match {
+      case Some(ps) =>
+        "assign" -> s"""{"$topic":[${ps.sorted.mkString(",")}]}"""
+      case None => "subscribe" -> topic // cpp:126
+    }
     val base = Map(
       "kafka.bootstrap.servers" -> brokers, // cpp:113 metadata.broker.list
-      "subscribe" -> topic,                 // cpp:126
+      scope,
       "kafka.group.id" -> groupId)          // cpp:115
     val sec = sasl.toSeq.flatMap { c =>
       val mech = Option(c.saslMechanism).getOrElse("PLAIN") // cpp:119-121 default
@@ -131,9 +162,10 @@ object KafkaSource {
     */
   def stream(spark: SparkSession, brokers: String, topic: String,
       groupId: String, sasl: Option[SaslConfig] = None,
-      maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+      maxOffsetsPerTrigger: Option[Long] = None,
+      partitions: Option[Seq[Int]] = None): DataFrame = {
     val reader = spark.readStream.format("kafka")
-      .options(kafkaOptions(brokers, topic, groupId, sasl))
+      .options(kafkaOptions(brokers, topic, groupId, sasl, partitions))
     project(maxOffsetsPerTrigger
       .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
       .load())
@@ -150,9 +182,10 @@ object KafkaSource {
 
   /** Batch twin (earliest→latest snapshot) for testability. */
   def read(spark: SparkSession, brokers: String, topic: String,
-      groupId: String, sasl: Option[SaslConfig] = None): DataFrame =
+      groupId: String, sasl: Option[SaslConfig] = None,
+      partitions: Option[Seq[Int]] = None): DataFrame =
     project(spark.read.format("kafka")
-      .options(kafkaOptions(brokers, topic, groupId, sasl))
+      .options(kafkaOptions(brokers, topic, groupId, sasl, partitions))
       .option("startingOffsets", "earliest")
       .load())
 
@@ -199,12 +232,18 @@ object KafkaSource {
     val sasl = named.get("security_protocol").map(sp =>
       SaslConfig(sp, named.getOrElse("sasl_mechanism", "PLAIN"),
         named.getOrElse("username", null), named.getOrElse("password", null)))
+    // `partitions => '0,3'` — partition-pruned scan (assign), an upgrade
+    // the reference declines (cpp:226-227). Parsed/validated at bind time.
+    val parts = named.get("partitions").map(parsePartitions)
     val df = spark.conf.getOption(ReplayConfKey) match {
       case Some(dir) =>
-        // Broker-free harness path: same validation, same 7-col schema.
+        // Broker-free harness path: same validation, same 7-col schema,
+        // same partition pruning semantics as `assign`.
         validateArgs(brokers, topic, groupId, sasl)
-        replay(graft.Tables.load(spark, dir, "events"), topic)
-      case None => read(spark, brokers, topic, groupId, sasl)
+        kafkaOptions(brokers, topic, groupId, sasl, parts) // arg-surface parity
+        val base = replay(graft.Tables.load(spark, dir, "events"), topic)
+        parts.fold(base)(ps => base.filter(col("partition").isin(ps: _*)))
+      case None => read(spark, brokers, topic, groupId, sasl, parts)
     }
     df.queryExecution.logical
   }

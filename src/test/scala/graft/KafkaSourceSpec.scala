@@ -106,6 +106,38 @@ class KafkaSourceSpec extends SparkSpec {
     } finally spark.conf.unset(KafkaSource.ReplayConfKey)
   }
 
+  test("partitions option prunes the scan: assign JSON + restricted replay") {
+    // option map carries the connector's `assign` JSON instead of subscribe
+    val opts = KafkaSource.kafkaOptions("b:9092", "events", "g", None,
+      Some(Seq(3, 0)))
+    assert(opts("assign") === """{"events":[0,3]}""")
+    assert(!opts.contains("subscribe"))
+    // unpruned reads keep the reference's whole-topic subscribe
+    assert(KafkaSource.kafkaOptions("b:9092", "events", "g", None)
+      .get("subscribe") === Some("events"))
+    // parser accepts '0,3' and rejects junk loudly
+    assert(KafkaSource.parsePartitions(" 0, 3 ") === Seq(0, 3))
+    intercept[IllegalArgumentException](KafkaSource.parsePartitions("0,x"))
+    intercept[IllegalArgumentException](KafkaSource.parsePartitions(""))
+    intercept[IllegalArgumentException](KafkaSource.parsePartitions("1,1"))
+
+    // SQL surface: partitions => '0,3' restricts the replay relation to
+    // exactly those partition ids, same pruning semantics as assign
+    GraftExtensions.register(spark)
+    spark.conf.set(KafkaSource.ReplayConfKey, sf)
+    try {
+      val pruned = spark.sql("""SELECT * FROM kafka_consumer(
+        'localhost:9092', 'events', 'grp', partitions => '0,3')""")
+      val all = spark.sql(
+        "SELECT * FROM kafka_consumer('localhost:9092', 'events', 'grp')")
+      assert(pruned.select("partition").distinct().collect()
+        .map(_.getInt(0)).toSet === Set(0, 3))
+      assert(pruned.count() ===
+        all.filter(col("partition").isin(0, 3)).count())
+      assert(pruned.count() < all.count())
+    } finally spark.conf.unset(KafkaSource.ReplayConfKey)
+  }
+
   /** The reference README's third flow (README.md:31-38): CREATE VIEW over
     * the consumer, then query the view — 1:1 through spark.sql.
     */
