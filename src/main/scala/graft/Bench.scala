@@ -1,7 +1,17 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
 /** Benchmark main: runs every SparkEntry query against SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":...,"queries":{name:sec,...}}.
+  * emits ONE compact JSON line {"metric":...,"queries":{name:sec,...},
+  * "streaming_rows_per_sec":N}. The line is printed before anything else the
+  * shutdown path might write AND duplicated to a file (bench_out.json, or
+  * $SPARK_GRAFT_BENCH_OUT) so a truncated stdout capture can never lose the
+  * per-query tail again (BENCH_r02 lesson). Values are rounded to 3 decimals
+  * — the host's run-to-run noise is ±40%, so sub-millisecond digits are
+  * pure line-width.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,10 +33,35 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Streaming throughput: replay the events fixture through the
+    // watermarked windowed-count aggregation (the canonical streaming
+    // plan) under AvailableNow, into the noop sink — measures the
+    // source→state-store→agg path, no sink cost.
+    val streamingRate: Double = try {
+      val cp = Files.createTempDirectory("graft-bench-stream").toString
+      val rows = Tables.load(spark, sfDir, "events").count()
+      val t0 = System.nanoTime()
+      val q = graft.streaming.StreamOps.windowedCounts(
+          graft.streaming.StreamOps.replayStream(spark, sfDir))
+        .writeStream.format("noop")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      rows / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs,"streaming_rows_per_sec":${r3(streamingRate)},""" +
+      s""""sf":"$sfDir"}"""
+    println(line)
+    System.out.flush()
+    Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
     spark.stop()
   }
 }
