@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * (Preference order per SURVEY §4.2: composed built-ins before custom
   * Catalyst nodes — the union+window form IS expressible, so no custom
   * SparkPlan is needed.)
+  *
+  * Skew: the window partitions by key only, so ONE pathologically hot key
+  * (a default user id, a null-ish sentinel) serializes its whole timeline
+  * into one task — the same exposure as any per-key window, and AQE cannot
+  * split a window partition. The escape hatch is `bucketWidth`: a coarse
+  * time-bucket pre-pass that windows within (key, bucket) and carries
+  * matches across bucket boundaries through a per-(key, bucket) summary —
+  * identical output, parallelism keys × buckets instead of keys.
   *
   * The right side must be unique per (key, time) — dedupe first, otherwise
   * which of the tied rows wins is nondeterministic in any engine.
@@ -35,16 +43,24 @@ object AsOfJoin {
     *                  matches further away are nulled out. Requires a
     *                  numeric time column (convert timestamps with
     *                  unix_micros first).
+    * @param bucketWidth when set, the hot-key-safe two-pass variant: rows
+    *                  window within (key, time div bucketWidth) and bucket
+    *                  summaries carry matches across boundaries. Requires a
+    *                  numeric time column; choose a width that yields
+    *                  100–10000 buckets over the hot key's time span.
     */
   def leftAsOf(left: DataFrame, right: DataFrame,
       keyL: String, timeL: String, keyR: String, timeR: String,
       payload: Seq[String], direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      bucketWidth: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with " +
         "left-side columns; rename before joining")
     require(direction == "backward" || direction == "forward", direction)
+    bucketWidth.foreach(wd => require(wd > 0, "bucketWidth must be positive"))
+    val backward = direction == "backward"
     // The whole match — every payload column plus the matched right time —
     // travels as ONE struct through ONE last(ignoreNulls) window, so all
     // output fields come atomically from the same right row. (Carrying the
@@ -65,17 +81,53 @@ object AsOfJoin {
     // Right rows (side 0) sort before left rows at equal time → inclusive.
     // Backward scans time ascending (last right ≤ t); forward scans it
     // descending (so "last" becomes the earliest right ≥ t).
-    val ord = if (direction == "backward")
-      Seq(col("__t").asc, col("__side").asc)
+    val ord = if (backward) Seq(col("__t").asc, col("__side").asc)
     else Seq(col("__t").desc, col("__side").asc)
-    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.select(cols: _*).unionByName(r.select(cols: _*))
-      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+    val u = l.select(cols: _*).unionByName(r.select(cols: _*))
+
+    val carried = bucketWidth match {
+      case None =>
+        val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
+      case Some(wd) =>
+        // Two-pass segmented scan. Pass 1 windows within (key, bucket) —
+        // a hot key parallelizes across its buckets. Pass 2 builds one
+        // summary row per (key, bucket) (the bucket's own best match) and
+        // carries the nearest non-empty summary across STRICTLY-earlier
+        // buckets in scan order; that window runs over buckets, not rows,
+        // so its partition is span/bucketWidth — small by construction.
+        val ub = u.withColumn("__b", expr(s"__t div $wd"))
+        val bOrd = if (backward) col("__b").asc else col("__b").desc
+        // per-bucket best match among right rows: latest (backward) /
+        // earliest (forward) — right times are unique per key, so *_by
+        // is deterministic
+        val bsum = ub.filter(col("__side") === 0)
+          .groupBy(col("__k"), col("__b"))
+          .agg((if (backward) max_by(col("__m"), col("__t"))
+                else min_by(col("__m"), col("__t"))).as("__bs"))
+        // every (key, bucket) the union touches, incl. right-empty ones —
+        // a left row in an empty bucket still needs the carry
+        val allKb = ub.select(col("__k"), col("__b")).distinct()
+        val carryW = Window.partitionBy(col("__k")).orderBy(bOrd)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = allKb.join(bsum, Seq("__k", "__b"), "left")
+          .withColumn("__carry",
+            last(col("__bs"), ignoreNulls = true).over(carryW))
+          .select(col("__k"), col("__b"), col("__carry"))
+        val localW = Window.partitionBy(col("__k"), col("__b"))
+          .orderBy(ord: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ub.join(carry, Seq("__k", "__b"))
+          .withColumn("__m", coalesce(
+            last(col("__m"), ignoreNulls = true).over(localW),
+            col("__carry")))
+          .drop("__b", "__carry")
+    }
     // Tolerance nulls out the WHOLE match struct — a too-distant match
     // can't leave stale fields behind.
     val bounded = tolerance.fold(carried) { tol =>
-      val dist = if (direction == "backward")
+      val dist = if (backward)
         col("__t") - col("__m").getField("__bt")
       else col("__m").getField("__bt") - col("__t")
       carried.withColumn("__m", when(dist <= tol, col("__m")))

@@ -119,6 +119,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed as-of == plain as-of on a 90%-hot-key fixture, " +
+      "all directions and tolerances") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // one key owns 90% of both sides — the shape that serializes the
+    // per-key window into a single task without the bucket pre-pass
+    val left = (0 until 500).map { i =>
+      val k = if (i < 450) 1L else 1L + rnd.nextInt(10)
+      (k, rnd.nextInt(1000).toLong, i.toLong)
+    }.toDF("k", "t", "id")
+    val right = (0 until 600).map { _ =>
+      val k = if (rnd.nextInt(10) < 9) 1L else 1L + rnd.nextInt(10)
+      (k, rnd.nextInt(1000).toLong)
+    }.distinct.toDF("rk", "rt")
+      .withColumn("payload", org.apache.spark.sql.functions.col("rt") * 3)
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(25L))) {
+      val plain = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+          Seq("payload"), dir, tol).collect()
+        .map(r => r.getAs[Long]("id") ->
+          Option(r.get(r.fieldIndex("payload")))).toMap
+      // width 64 over a 0..999 span → ~16 buckets per key
+      val bucketed = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+          Seq("payload"), dir, tol, bucketWidth = Some(64L)).collect()
+        .map(r => r.getAs[Long]("id") ->
+          Option(r.get(r.fieldIndex("payload")))).toMap
+      assert(bucketed.size === plain.size, s"$dir/$tol")
+      plain.foreach { case (id, p) =>
+        assert(bucketed(id) === p, s"$dir/$tol id=$id")
+      }
+    }
+  }
+
   test("as-of against the fixtures matches a correlated-subquery oracle") {
     import spark.implicits._
     val ev = Tables.load(spark, sf, "events")
