@@ -33,15 +33,29 @@ object Dedup {
     * oracle — reproduce the exact same candidate set. The row_number
     * window partitions by the same key the candidate self-join shuffles
     * on, so it adds no extra exchange. `maxBucket <= 0` disables.
+    *
+    * When `observeAs` is set, the truncation loss is emitted as observed
+    * metrics IN THE SAME PASS (no second scan, accumulator-only):
+    * `rows_dropped` (rows past the cap) and `buckets_overflowed` (counted
+    * exactly via the rank == cap+1 sentinel row — one per hot bucket, no
+    * distinct needed). A production run reads them off the query's
+    * observedMetrics / QueryExecutionListener; [[bucketOverflow]] remains
+    * the per-bucket forensic twin.
     */
   private def capBucket(df: DataFrame, keys: Seq[String], idCol: String,
-      maxBucket: Int): DataFrame =
+      maxBucket: Int, observeAs: String = null): DataFrame =
     if (maxBucket <= 0) df
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*).orderBy(col(idCol))
-      df.withColumn("__bp", row_number().over(w))
-        .filter(col("__bp") <= maxBucket).drop("__bp")
+      val marked = df.withColumn("__bp", row_number().over(w))
+      val observed =
+        if (observeAs == null) marked
+        else marked.observe(observeAs,
+          count(when(col("__bp") > maxBucket, 1)).as("rows_dropped"),
+          count(when(col("__bp") === maxBucket + 1, 1))
+            .as("buckets_overflowed"))
+      observed.filter(col("__bp") <= maxBucket).drop("__bp")
     }
 
   /** Truncation report for a capped candidate generator: bucket keys whose
@@ -173,7 +187,7 @@ object Dedup {
     val sigs = minhashSignatures(
       df.repartition(col(idCol)), idCol, textCol, k)
     val bandedL = capBucket(minhashBands(sigs, k, bands),
-        Seq("band_idx", "band_val"), idCol, maxBucket)
+        Seq("band_idx", "band_val"), idCol, maxBucket, "minhash_bands_cap")
       .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val bandedR = bandedL
       .select(col("a").as("b"), col("band_idx"), col("band_val"))
@@ -237,7 +251,7 @@ object Dedup {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
           .as(Seq("band_idx", "band_val"))),
-      Seq("band_idx", "band_val"), "id", maxBucket)
+      Seq("band_idx", "band_val"), "id", maxBucket, "simhash_bands_cap")
     val l = banded.select(col("id").as("a"), col("sh").as("sh_a"),
       col("band_idx"), col("band_val"))
     val r = banded.select(col("id").as("b"), col("sh").as("sh_b"),
@@ -265,7 +279,7 @@ object Dedup {
       df.repartition(col(idCol)).select(col(idCol).as("id"),
         md5(concat_ws(" ", slice(tk, 1, prefixWords))).as("block"),
         shingles(col(textCol), w).as("sh")),
-      Seq("block"), "id", maxBucket)
+      Seq("block"), "id", maxBucket, "ngram_blocks_cap")
     val l = keyed.select(col("id").as("a"), col("block"),
       col("sh").as("sh_a"))
     val r = keyed.select(col("id").as("b"), col("block"),
@@ -410,7 +424,7 @@ object Dedup {
       tables: Int = 8, planes: Int = 4, maxBucket: Int = 200): DataFrame = {
     val buckets = capBucket(
       Similarity.lshBucketsMulti(df, idCol, vecCol, tables, planes),
-      Seq("table", "bucket"), "id", maxBucket)
+      Seq("table", "bucket"), "id", maxBucket, "emb_lsh_buckets_cap")
     val cand = buckets.select(col("id").as("a"), col("table"), col("bucket"))
       .join(buckets.select(col("id").as("b"), col("table"), col("bucket")),
         Seq("table", "bucket"))
@@ -435,7 +449,7 @@ object Dedup {
       Similarity.ivfAssign(df,
         Similarity.sampleCentroids(df, idCol, vecCol, centroidModulus),
         idCol, vecCol).select(col("id"), col("cell")),
-      Seq("cell"), "id", maxBucket)
+      Seq("cell"), "id", maxBucket, "emb_ivf_cells_cap")
     val cand = assign.select(col("id").as("a"), col("cell"))
       .join(assign.select(col("id").as("b"), col("cell")), Seq("cell"))
       .filter(col("a") < col("b"))

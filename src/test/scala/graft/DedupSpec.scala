@@ -141,6 +141,31 @@ class DedupSpec extends SparkSpec {
     // Same linearity guarantee on the simhash and jaccard generators.
     assert(Dedup.simhashPairs(boiler, maxBucket = 10).count() === 45L)
     assert(Dedup.ngramJaccardPairs(boiler, maxBucket = 10).count() === 45L)
+
+    // The capped generators also surface truncation IN the producing pass
+    // (observe metrics, no second scan): 4 band buckets × 490 dropped for
+    // the banded generators, 1 block × 490 for the prefix-blocked one.
+    def metrics(df: org.apache.spark.sql.DataFrame,
+        name: String): (Long, Long) = {
+      df.collect() // count() would run a DIFFERENT QueryExecution —
+                   // observed metrics live on the executed one
+      val m = df.queryExecution.observedMetrics(name)
+      (m.getAs[Long]("rows_dropped"), m.getAs[Long]("buckets_overflowed"))
+    }
+    assert(metrics(Dedup.minhashPairs(boiler, maxBucket = 10),
+      "minhash_bands_cap") === ((1960L, 4L)))
+    assert(metrics(Dedup.simhashPairs(boiler, maxBucket = 10),
+      "simhash_bands_cap") === ((1960L, 4L)))
+    assert(metrics(Dedup.ngramJaccardPairs(boiler, maxBucket = 10),
+      "ngram_blocks_cap") === ((490L, 1L)))
+    // both embedding candidate generators report through the same channel
+    val emb = Tables.load(spark, sf, "embeddings")
+    val lshM = metrics(Dedup.embeddingNearDupPairsLsh(emb, maxBucket = 2),
+      "emb_lsh_buckets_cap")
+    assert(lshM._1 > 0 && lshM._2 > 0, s"lsh $lshM")
+    val ivfM = metrics(Dedup.embeddingNearDupPairsIvf(emb, maxBucket = 2),
+      "emb_ivf_cells_cap")
+    assert(ivfM._1 > 0 && ivfM._2 > 0, s"ivf $ivfM")
   }
 
   test("typed KafkaRecord dataset roundtrips the replay") {
