@@ -233,9 +233,14 @@ object Dedup {
       .drop("__th")
 
   /** All pairs within `maxHamming` of each other, found via 4-band LSH over
-    * the 60-bit simhash (pigeonhole: <=3 differing bits leave at least one
-    * of the 4 15-bit bands identical, so recall is exact for maxHamming<=3)
-    * and verified with bit_count(xor). Output: (a, b, hamming).
+    * the 60-bit simhash and verified with bit_count(xor). The pigeonhole
+    * argument (<=3 differing bits leave at least one of the 4 15-bit bands
+    * identical) makes recall exact ONLY while no band bucket exceeds
+    * `maxBucket` (or with `maxBucket <= 0`, which disables the cap): a pair
+    * whose shared bands were ALL truncated is missed. The default cap
+    * trades that guarantee for bounded candidate counts on hot buckets —
+    * the observed `simhash_bands_cap` metrics quantify the loss.
+    * Output: (a, b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 3,

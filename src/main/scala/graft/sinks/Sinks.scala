@@ -89,13 +89,23 @@ object Sinks {
     *    also the right failure/memory domain at scale.
     *
     * Swap is rename-based and never destroys data: the original moves to
-    * `path__precompact`, the rewrite moves in, then the backup is deleted.
-    * A crash between the renames leaves the dataset intact at the backup
-    * path (readers see a brief absence, never a loss).
+    * `path__precompact`, the rewrite moves in, then the backup is deleted —
+    * but ONLY after re-listing it against the pre-read snapshot. A file
+    * that a concurrent writer appended between the snapshot and the rename
+    * (foreachBatch streams and plain batch appenders leave no
+    * _spark_metadata for the first guard to catch) would otherwise ride
+    * the backup into the final delete; instead compaction fails loudly,
+    * KEEPS the backup, and names the strays so the caller can merge them.
+    * A crash between the renames likewise leaves the dataset intact at the
+    * backup path (readers see a brief absence, never a loss).
     * Returns the target file count.
+    *
+    * `afterSnapshot` is a test seam: it runs between the listing snapshot
+    * and the rewrite, where a concurrent append would land.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFileMB: Int = 512): Long = {
+      targetFileMB: Int = 512,
+      afterSnapshot: () => Unit = () => ()): Long = {
     require(targetFileMB > 0)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -110,6 +120,11 @@ object Sinks {
     val bytes = fs.getContentSummary(p).getLength
     val target = targetFileMB.toLong * 1024 * 1024
     val nFiles = math.max(1L, (bytes + target - 1) / target)
+    // Snapshot the files the rewrite is about to cover — (name, length) so
+    // an in-place append to an existing file is caught too.
+    val snapshot = fs.listStatus(p).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    afterSnapshot()
     val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
     spark.read.parquet(path).repartition(nFiles.toInt)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -118,6 +133,17 @@ object Sinks {
     require(fs.rename(p, backup), s"rename $p -> $backup failed")
     require(fs.rename(tmp, p),
       s"rename $tmp -> $p failed; original data preserved at $backup")
+    val strays = fs.listStatus(backup).filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen))
+      .filterNot(snapshot.contains)
+    if (strays.nonEmpty)
+      throw new IllegalStateException(
+        s"compact($path): ${strays.length} file(s) were written " +
+          s"concurrently after the compaction snapshot (e.g. " +
+          s"${strays.head._1}) and may be missing from the compacted " +
+          s"output. The backup is PRESERVED at $backup — merge the " +
+          "strays back (or re-run compact after stopping the writer) " +
+          "before deleting it.")
     fs.delete(backup, true)
     nFiles
   }

@@ -56,6 +56,38 @@ class SinkSpec extends SparkSpec {
     assert(!new java.io.File(out + "__precompact").exists())
   }
 
+  test("compaction keeps the backup and fails loudly on a concurrent append") {
+    val out = tmp("sink_compact_race")
+    val rec = graft.sources.KafkaSource.replay(
+      Tables.load(spark, sf, "events"))
+    rec.repartition(4).write.mode("overwrite").parquet(out)
+    val before = spark.read.parquet(out)
+      .agg(sum(col("offset")), count(lit(1))).collect()(0)
+    // a writer sneaks a file in AFTER the compaction snapshot — the shape
+    // a foreachBatch stream or concurrent batch appender produces, which
+    // the _spark_metadata guard cannot see
+    val straySrc = tmp("sink_compact_stray_src")
+    rec.limit(5).coalesce(1).write.mode("overwrite").parquet(straySrc)
+    val straySrcFile = new java.io.File(straySrc).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val stray = new java.io.File(out, "part-stray-concurrent.parquet")
+    val e = intercept[IllegalStateException](
+      Sinks.compact(spark, out, targetFileMB = 512, afterSnapshot = () => {
+        java.nio.file.Files.copy(straySrcFile.toPath, stray.toPath)
+        ()
+      }))
+    assert(e.getMessage.contains("PRESERVED"))
+    // nothing lost: the backup holds every original file plus the stray
+    val backup = new java.io.File(out + "__precompact")
+    assert(backup.isDirectory)
+    assert(new java.io.File(backup, stray.getName).exists())
+    val restored = spark.read.parquet(
+        backup.listFiles().filter(_.getName.endsWith(".parquet"))
+          .filterNot(_.getName.contains("stray")).map(_.getPath): _*)
+      .agg(sum(col("offset")), count(lit(1))).collect()(0)
+    assert(restored === before)
+  }
+
   test("compaction refuses streaming-sink logs and partitioned roots") {
     // a FileStreamSink directory: compacting would desync _spark_metadata
     val streamed = tmp("sink_compact_stream")
