@@ -37,21 +37,36 @@ object Bench {
     // watermarked windowed-count aggregation (the canonical streaming
     // plan) under AvailableNow, into the noop sink — measures the
     // source→state-store→agg path, no sink cost.
+    val cpDir = Files.createTempDirectory("graft-bench-stream")
     val streamingRate: Double = try {
-      val cp = Files.createTempDirectory("graft-bench-stream").toString
       val rows = Tables.load(spark, sfDir, "events").count()
       val t0 = System.nanoTime()
       val q = graft.streaming.StreamOps.windowedCounts(
           graft.streaming.StreamOps.replayStream(spark, sfDir))
         .writeStream.format("noop")
-        .option("checkpointLocation", cp)
+        .option("checkpointLocation", cpDir.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       rows / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+    } catch {
+      // NonFatal only: an OOM/VM error must crash the bench, not emit a
+      // plausible-looking line; the sentinel is for query-level failures.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] streaming measurement failed: $e")
+        -1.0
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(cpDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma decimal separator would corrupt the JSON line.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

@@ -97,7 +97,13 @@ object AsOfJoin {
         // carries the nearest non-empty summary across STRICTLY-earlier
         // buckets in scan order; that window runs over buckets, not rows,
         // so its partition is span/bucketWidth — small by construction.
+        // NULL keys/times: window partitioning groups NULLs together (so
+        // the plain path emits those rows), but join equality would drop
+        // them — every join below is therefore null-safe (<=>), keeping
+        // the bucketed output row-for-row identical to the plain one.
         val ub = u.withColumn("__b", expr(s"__t div $wd"))
+        // default null ordering (asc: first / desc: last) — the same
+        // positions NULL __t rows take in the plain path's __t scan
         val bOrd = if (backward) col("__b").asc else col("__b").desc
         // per-bucket best match among right rows: latest (backward) /
         // earliest (forward) — right times are unique per key, so *_by
@@ -106,23 +112,27 @@ object AsOfJoin {
           .groupBy(col("__k"), col("__b"))
           .agg((if (backward) max_by(col("__m"), col("__t"))
                 else min_by(col("__m"), col("__t"))).as("__bs"))
+          .withColumnRenamed("__k", "__bk").withColumnRenamed("__b", "__bb")
         // every (key, bucket) the union touches, incl. right-empty ones —
         // a left row in an empty bucket still needs the carry
         val allKb = ub.select(col("__k"), col("__b")).distinct()
         val carryW = Window.partitionBy(col("__k")).orderBy(bOrd)
           .rowsBetween(Window.unboundedPreceding, -1)
-        val carry = allKb.join(bsum, Seq("__k", "__b"), "left")
+        val carry = allKb.join(bsum,
+            col("__k") <=> col("__bk") && col("__b") <=> col("__bb"), "left")
           .withColumn("__carry",
             last(col("__bs"), ignoreNulls = true).over(carryW))
-          .select(col("__k"), col("__b"), col("__carry"))
+          .select(col("__k").as("__ck"), col("__b").as("__cb"),
+            col("__carry"))
         val localW = Window.partitionBy(col("__k"), col("__b"))
           .orderBy(ord: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ub.join(carry, Seq("__k", "__b"))
+        ub.join(carry,
+            col("__k") <=> col("__ck") && col("__b") <=> col("__cb"))
           .withColumn("__m", coalesce(
             last(col("__m"), ignoreNulls = true).over(localW),
             col("__carry")))
-          .drop("__b", "__carry")
+          .drop("__b", "__carry", "__ck", "__cb")
     }
     // Tolerance nulls out the WHOLE match struct — a too-distant match
     // can't leave stale fields behind.

@@ -134,11 +134,21 @@ object TextAnalysis {
     * the distributed eval-gram table for exact confirmation. False
     * positives cost only confirm-join traffic, never wrong answers, and
     * false negatives are impossible — so the output is IDENTICAL to the
-    * exact path (d14 certifies it against d13's exact oracle), while the
-    * corpus-side work stays one filter expression per row.
+    * exact path (d14 certifies it against d13's exact oracle).
+    *
+    * Plan shape (each branch consumed once — no double-computed gate):
+    * one full map pass shingles + probes and keeps only suspicious rows;
+    * those explode into the exact confirm join; the clean majority is
+    * restored by joining the (AQE-broadcastable, suspicious-docs-sized)
+    * per-doc counts against a column-pruned id-only scan of the corpus.
     * Output: (idCol, n_hits, contaminated, n_bloom_candidates) —
-    * n_bloom_candidates - n_hits counts the bloom's false positives, the
-    * recall-free knob a production run monitors.
+    * n_bloom_candidates - n_hits per doc counts the bloom's false
+    * positives, the recall-free knob a production run monitors. The
+    * counts ride the confirm join itself (LEFT join + hit marker, one
+    * aggregation) rather than observe() metrics: under AQE a
+    * CollectMetricsExec below the confirm shuffle lands inside a
+    * materialized query stage and never surfaces through
+    * observedMetrics, so in-plan columns are the reliable channel here.
     */
   def decontaminateBloom(train: DataFrame, evalCorpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -157,28 +167,38 @@ object TextAnalysis {
         Literal(expectedGrams), Literal(8L * expectedGrams))
       .toAggregateExpression())
     val bloomBytes = evGrams.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
-    val sh = train.select(col(idCol),
-      Dedup.shingles(col(textCol), w).as("__sh"))
     if (bloomBytes == null) // empty eval corpus → nothing can be contaminated
-      return sh.select(col(idCol), lit(0).as("n_hits"),
+      return train.select(col(idCol), lit(0).as("n_hits"),
         lit(false).as("contaminated"), lit(0).as("n_bloom_candidates"))
     val mightContain = (g: Column) => Bridge.toColumn(BloomFilterMightContain(
       Literal.create(bloomBytes,
         org.apache.spark.sql.types.BinaryType),
       new XxHash64(Seq(Bridge.toExpression(g)))))
-    val gated = sh.select(col(idCol),
-      filter(col("__sh"), g => mightContain(g)).as("__cand"))
-    // Exact confirm: only bloom survivors shuffle; grams are distinct per
-    // doc (shingles are), so count(*) after the inner join = true hits.
-    val hits = gated.filter(size(col("__cand")) > 0)
-      .select(col(idCol), explode(col("__cand")).as("g"))
-      .join(evGrams, "g")
+    // ONE full map pass: shingle + probe; the clean majority exits here.
+    val cand = train
+      .select(col(idCol), Dedup.shingles(col(textCol), w).as("__sh"))
+      .select(col(idCol),
+        filter(col("__sh"), g => mightContain(g)).as("__cand"))
+      .filter(size(col("__cand")) > 0)
+    val exploded = cand.select(col(idCol), explode(col("__cand")).as("g"))
+    // Exact confirm: only bloom survivors shuffle. A LEFT join against the
+    // marked eval grams lets ONE aggregation produce both counts — grams
+    // are distinct per doc (shingles are), so count(*) = candidate grams
+    // probed and sum(__hit) = true hits. SHUFFLE_HASH because that's the
+    // only join shape that still works when the eval gram table is too
+    // big to broadcast, i.e. exactly when this path is chosen.
+    val confirmed = exploded
+      .join(evGrams.withColumn("__hit", lit(1)).hint("SHUFFLE_HASH"),
+        Seq("g"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("__n"))
-    gated.join(hits, Seq(idCol), "left")
+      .agg(coalesce(sum(col("__hit")), lit(0L)).cast("int").as("__n"),
+        count(lit(1)).cast("int").as("__ncand"))
+    // id-only (column-pruned) corpus scan restores the clean rows;
+    // `confirmed` is suspicious-docs-sized, so AQE broadcasts the join.
+    train.select(col(idCol)).join(confirmed, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__n"), lit(0)).as("n_hits"),
         (coalesce(col("__n"), lit(0)) > 0).as("contaminated"),
-        size(col("__cand")).as("n_bloom_candidates"))
+        coalesce(col("__ncand"), lit(0)).as("n_bloom_candidates"))
   }
 
   /** MOSS-style winnowing fingerprints: hash every k-char gram, then keep

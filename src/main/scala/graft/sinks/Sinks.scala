@@ -133,6 +133,17 @@ object Sinks {
     require(fs.rename(p, backup), s"rename $p -> $backup failed")
     require(fs.rename(tmp, p),
       s"rename $tmp -> $p failed; original data preserved at $backup")
+    // Blind-window guard: a writer that recreated `path` between the two
+    // renames makes the second rename NEST the rewrite (HDFS rename-into-
+    // existing-dir semantics) as path/<tmp-name> instead of replacing the
+    // directory — readers would then see only the stray writer's files.
+    // Detect the nesting and stop before touching the backup.
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, tmp.getName)))
+      throw new IllegalStateException(
+        s"compact($path): a concurrent writer recreated the directory " +
+          "between the swap renames; the compacted output landed nested " +
+          s"at $p/${tmp.getName} and the original data is PRESERVED at " +
+          s"$backup. Stop the writer, then restore from the backup.")
     val strays = fs.listStatus(backup).filter(_.isFile)
       .map(s => (s.getPath.getName, s.getLen))
       .filterNot(snapshot.contains)

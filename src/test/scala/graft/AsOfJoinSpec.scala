@@ -124,15 +124,20 @@ class AsOfJoinSpec extends SparkSpec {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     // one key owns 90% of both sides — the shape that serializes the
-    // per-key window into a single task without the bucket pre-pass
+    // per-key window into a single task without the bucket pre-pass.
+    // NULL keys and NULL times are included: window partitioning groups
+    // them, so the bucketed path must carry them too (null-safe joins).
     val left = (0 until 500).map { i =>
-      val k = if (i < 450) 1L else 1L + rnd.nextInt(10)
-      (k, rnd.nextInt(1000).toLong, i.toLong)
+      val k = if (i >= 490) None
+        else if (i < 450) Some(1L) else Some(1L + rnd.nextInt(10))
+      val t = if (i >= 495) None else Some(rnd.nextInt(1000).toLong)
+      (k, t, i.toLong)
     }.toDF("k", "t", "id")
-    val right = (0 until 600).map { _ =>
-      val k = if (rnd.nextInt(10) < 9) 1L else 1L + rnd.nextInt(10)
-      (k, rnd.nextInt(1000).toLong)
-    }.distinct.toDF("rk", "rt")
+    val right = ((0 until 600).map { _ =>
+      val k = if (rnd.nextInt(10) < 9) Some(1L)
+        else Some(1L + rnd.nextInt(10))
+      (k, Some(rnd.nextInt(1000).toLong))
+    } ++ Seq((None, Some(77L)), (Some(1L), None))).distinct.toDF("rk", "rt")
       .withColumn("payload", org.apache.spark.sql.functions.col("rt") * 3)
     for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(25L))) {
       val plain = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",

@@ -74,7 +74,8 @@ class TextAnalysisSpec extends SparkSpec {
     val eval_ = d.filter(col("doc_id") % 97 === 1)
     val exact = TextAnalysis.decontaminate(train, eval_).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
-    val bloom = TextAnalysis.decontaminateBloom(train, eval_).collect()
+    val bloomDf = TextAnalysis.decontaminateBloom(train, eval_)
+    val bloom = bloomDf.collect()
       .map(r => r.getLong(0) ->
         ((r.getInt(1), r.getBoolean(2), r.getInt(3)))).toMap
     // identical verdicts: no false negatives, confirm join kills the FPs
@@ -82,17 +83,18 @@ class TextAnalysisSpec extends SparkSpec {
     exact.foreach { case (id, (n, c)) =>
       assert(bloom(id)._1 === n, s"doc $id n_hits")
       assert(bloom(id)._2 === c, s"doc $id contaminated")
-      // candidates ⊇ true hits (bloom has no false negatives)
-      assert(bloom(id)._3 >= n, s"doc $id candidates < hits")
+      assert(bloom(id)._3 >= n, s"doc $id candidates must cover hits")
     }
     // the gate does its job: at 8 bits/gram the bloom's false-positive
-    // rate is ~2%; allow 5% of checked grams before calling it broken
-    val totals = TextAnalysis.decontaminateBloom(train, eval_)
-      .agg(sum(col("n_bloom_candidates")).as("cand"), sum(col("n_hits")).as("hits"))
-      .collect()(0)
+    // rate is ~2%; allow 5% of checked grams before calling it broken.
+    // n_bloom_candidates (carried through the confirm join) minus true
+    // hits = the false positives the exact confirm join had to absorb.
+    val candGrams = bloom.valuesIterator.map(_._3.toLong).sum
+    val totalHits = exact.valuesIterator.map(_._1.toLong).sum
+    assert(candGrams >= totalHits, "candidates must cover all true hits")
     val checked = TextAnalysis.withTokenStats(train)
       .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
-    val fps = totals.getLong(0) - totals.getLong(1)
+    val fps = candGrams - totalHits
     assert(fps <= math.max(10L, checked / 20),
       s"bloom passed $fps false positives over ~$checked grams")
   }
