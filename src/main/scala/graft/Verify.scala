@@ -24,11 +24,16 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional trailing args subset the queries (fast iteration); the
+    // driver passes none and gets the full dump.
+    val Array(sfDir, outDir, only @ _*) = args: @unchecked
     val spark = GraftSession.create("graft-verify",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only.toSet).toMap
+    selected.foreach { case (name, fn) =>
       try normalizeTimestamps(fn(spark, sfDir)).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -475,4 +475,113 @@ object Dedup {
       .filter(col("a") < col("b"))
     confirmCosine(df, cand, idCol, vecCol, minCosine)
   }
+
+  // ---- exact substring (span-level) dedup -------------------------------
+
+  /** Every token position's l-gram hash: (idCol, pos, __gh) with pos
+    * 1-based and __gh the cross-engine 60-bit md5 hash of the
+    * space-joined l tokens starting at pos. Docs shorter than l tokens
+    * contribute nothing. One map pass, no shuffle.
+    */
+  private def gramPositions(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val tk = split(col(textCol), "\\s+")
+    docs
+      .select(col(idCol), tk.as("__w"))
+      .filter(size(col("__w")) >= l)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(1), size(col("__w")) - (l - 1)),
+          i => md5Long(concat_ws(" ", slice(col("__w"), i, lit(l)))))))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__gh"))
+  }
+
+  /** Merge duplicated gram positions into maximal spans per doc: classic
+    * gaps-and-islands — a new span starts where pos exceeds the running
+    * max span end (+1, so adjacent spans fuse too). The window partitions
+    * by doc, so its state is bounded by document length, never corpus
+    * size.
+    */
+  private def spansFromPositions(dp: DataFrame, idCol: String,
+      l: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val brk = when(col("pos") > coalesce(
+      max(col("pos") + (l - 1)).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+      lit(-1L)) + 1, 1).otherwise(0)
+    dp.withColumn("__brk", brk)
+      .withColumn("span_idx", sum(col("__brk")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("span_idx").cast("int").as("span_idx"))
+      .agg(min(col("pos")).cast("int").as("start_tok"),
+        (max(col("pos")) + (l - 1)).cast("int").as("end_tok"),
+        count(lit(1)).cast("int").as("n_dup_grams"))
+  }
+
+  /** ExactSubstr-style duplicated spans (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): token spans of >= l
+    * whitespace tokens whose every l-gram occurs at least twice in the
+    * corpus, merged into maximal (start_tok, end_tok) islands per doc.
+    * With `keepFirst` the globally first occurrence of each gram — min
+    * (doc, pos), the canonical copy — is exempted, which is the span set
+    * [[removeDuplicatedSpans]] cuts.
+    *
+    * 100 TB shape: one map pass emits (pos, gram-hash) — positions, not
+    * pairs — then ONE shuffle on the gram hash groups occurrences; a doc
+    * with a million-fold duplicated gram still contributes one row per
+    * position (linear, never quadratic — no pairwise explode anywhere).
+    * The island merge windows per doc (state bounded by doc length).
+    * Grams are compared by 60-bit hash; a collision (~2^-60 per gram
+    * pair) can only over-mark a span, identically on both engines.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", l: Int = 8,
+      keepFirst: Boolean = false): DataFrame = {
+    val pos = gramPositions(docs, idCol, textCol, l)
+    val dup = pos.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col(idCol), col("pos"))).as("__fst"))
+      .filter(col("__n") >= 2)
+    val joined = pos.join(dup, "__gh")
+    val dp =
+      if (!keepFirst) joined.select(col(idCol), col("pos"))
+      else joined.filter(!(col(idCol) === col("__fst")(idCol) &&
+          col("pos") === col("__fst")("pos")))
+        .select(col(idCol), col("pos"))
+    spansFromPositions(dp, idCol, l)
+  }
+
+  /** Cut every non-canonical duplicated span (>= l tokens, keep-first)
+    * out of each document: (idCol, clean_text, n_removed_tokens). The
+    * rebuilt text is whitespace-normalized (tokens re-joined with single
+    * spaces); a fully-duplicated doc comes back with clean_text = ''.
+    * Single pass over Lee et al.'s definition — removal is computed
+    * against the ORIGINAL corpus, so a kept canonical copy may itself
+    * lose tokens to an overlapping span of a different gram.
+    *
+    * Scale: spans-per-doc is tiny next to tokens-per-doc, so the
+    * span⋈token range join broadcasts under AQE; the rebuild aggregates
+    * per doc (collect bounded by doc length, like every per-doc op here).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", l: Int = 8): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, l, keepFirst = true)
+      .select(col(idCol).as("__sid"), col("start_tok"), col("end_tok"))
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\s+")))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__tk"))
+    val kept = toks.join(spans,
+        col(idCol) === col("__sid") && col("pos") >= col("start_tok") &&
+          col("pos") <= col("end_tok"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__tk")))),
+          s => s("__tk"))).as("__clean"),
+        count(lit(1)).as("__nkept"))
+    docs.select(col(idCol), size(split(col(textCol), "\\s+")).as("__ntok"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__clean"), lit("")).as("clean_text"),
+        (col("__ntok") - coalesce(col("__nkept"), lit(0L))).cast("int")
+          .as("n_removed_tokens"))
+  }
 }

@@ -82,6 +82,20 @@ object NorthStar {
           max(col("doc_id")).as("max_doc"))
     },
 
+    // ExactSubstr span detection (Lee et al. 2022): maximal token spans
+    // whose every 8-gram occurs >= 2x corpus-wide, merged per doc.
+    "d15_duplicated_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir))
+        .orderBy(col("doc_id"), col("span_idx"))
+    },
+
+    // ExactSubstr removal: cut every non-canonical duplicated span
+    // (keep-first), rebuild the text, count the removed tokens.
+    "d16_remove_dup_spans" -> { (s, dir) =>
+      Dedup.removeDuplicatedSpans(docs(s, dir))
+        .orderBy(col("doc_id"))
+    },
+
     // Benchmark decontamination: the deterministic doc_id % 97 == 1 slice
     // plays the eval set; every other doc is checked for 5-gram overlap.
     "d13_decontaminate" -> { (s, dir) =>
@@ -425,6 +439,63 @@ object NorthStar {
     // The bloom path has no false negatives and exact-confirms every bloom
     // hit, so the SAME exact oracle certifies it.
     "d14_decontaminate_bloom" -> DecontaminateOracle,
+
+    "d15_duplicated_spans" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      pos AS (SELECT doc_id, i AS pos,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      dup AS (SELECT gh FROM pos GROUP BY gh HAVING count(*) >= 2),
+      dp AS (SELECT doc_id, pos FROM pos WHERE gh IN (SELECT gh FROM dup)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 7) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          THEN 1 ELSE 0 END AS brk FROM dp),
+      sp AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx
+        FROM isl)
+      SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+        CAST(min(pos) AS INT) AS start_tok,
+        CAST(max(pos) + 7 AS INT) AS end_tok,
+        CAST(count(*) AS INT) AS n_dup_grams
+      FROM sp GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx""",
+
+    "d16_remove_dup_spans" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      pos AS (SELECT doc_id, i AS pos,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      dup AS (SELECT gh, min({'d': doc_id, 'p': pos}) AS fst
+        FROM pos GROUP BY gh HAVING count(*) >= 2),
+      dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gh)
+        WHERE NOT (p.doc_id = d.fst.d AND p.pos = d.fst.p)),
+      isl AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 7) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+          THEN 1 ELSE 0 END AS brk FROM dp),
+      sp AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx
+        FROM isl),
+      spans AS (SELECT doc_id, span_idx, min(pos) AS s, max(pos) + 7 AS e
+        FROM sp GROUP BY doc_id, span_idx),
+      tok AS (SELECT doc_id, i AS pos, w[i] AS tk
+        FROM wt, unnest(generate_series(1, len(w))) AS t(i)),
+      kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM spans s
+          WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+      reb AS (SELECT doc_id,
+          array_to_string(list(tk ORDER BY pos), ' ') AS clean_text,
+          count(*) AS n_kept FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        CAST(len(string_split_regex(d.text, '\s+')) - coalesce(r.n_kept, 0)
+          AS INT) AS n_removed_tokens
+      FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
 
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE

@@ -176,6 +176,51 @@ class DedupSpec extends SparkSpec {
     assert(ds.count() === Tables.load(spark, sf, "events").count())
   }
 
+  test("duplicated spans: partial, internal, adjacent-fused, keep-first") {
+    import spark.implicits._
+    val S = (1 to 10).map("s" + _).mkString(" ") // 10 tokens, 3 8-grams
+    val T = (1 to 10).map("t" + _).mkString(" ")
+    val fixture = Seq(
+      (1L, s"u1 u2 u3 $S v1 v2"),       // S at pos 4..13 (globally first)
+      (2L, s"w1 $S x1 x2 x3"),          // S at pos 2..11
+      (3L, (1 to 12).map("z" + _).mkString(" ")), // fully unique
+      (4L, s"$S m1 $S"),                // S twice: pos 1..10 and 12..21
+      (5L, s"$S $T"),                   // S then T, spans fuse when adjacent
+      (6L, s"q1 $T q2 q3")              // T at pos 2..11
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(fixture).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    // every S/T occurrence is a maximal span; unique context never marked
+    assert(spans((1L, 1)) === ((4, 13, 3)))
+    assert(spans((2L, 1)) === ((2, 11, 3)))
+    assert(spans((4L, 1)) === ((1, 10, 3)))  // internal duplication:
+    assert(spans((4L, 2)) === ((12, 21, 3))) // two separate spans (gap 2)
+    assert(spans((5L, 1)) === ((1, 20, 6)))  // S[1,10]+T[11,20] fused
+    assert(spans((6L, 1)) === ((2, 11, 3)))
+    assert(spans.size === 6) // doc 3 clean
+    // keep-first exempts exactly the globally-first occurrence per gram:
+    // S's canon is doc 1, T's is doc 5 (min (doc, pos) struct order)
+    val kf = Dedup.duplicatedSpans(fixture, keepFirst = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(!kf.keySet.map(_._1).contains(1L))
+    assert(kf((5L, 1)) === ((1, 10))) // only the S half remains marked
+    assert(kf((6L, 1)) === ((2, 11)))
+    // removal cuts the marked spans, keeps canon copies, renormalizes ws
+    val clean = Dedup.removeDuplicatedSpans(fixture).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(clean(1L) === ((s"u1 u2 u3 $S v1 v2", 0)))
+    assert(clean(2L) === (("w1 x1 x2 x3", 10)))
+    assert(clean(3L)._2 === 0)
+    assert(clean(4L) === (("m1", 20)))
+    assert(clean(5L) === ((T, 10)))
+    assert(clean(6L) === (("q1 q2 q3", 10)))
+    // a corpus with no duplicated 8-grams yields no spans at all
+    assert(Dedup.duplicatedSpans(fixture.filter(col("doc_id").isin(1L, 3L)))
+      .count() === 0L)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb).collect()
