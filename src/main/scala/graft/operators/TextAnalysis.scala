@@ -285,4 +285,45 @@ object TextAnalysis {
       .withColumn("clean_text",
         regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
   }
+
+  /** fastText-style linear quality classifier scoring: hash every unigram
+    * and bigram (occurrences, not distinct — term frequency is the
+    * feature) into `dim` buckets, look the buckets up in a trained weight
+    * table `(bucket INT, weight DECIMAL(9,3))`, and score each doc by the
+    * weight sum. Output: (idCol, logit, mean_logit, keep) with
+    * keep = mean_logit > threshold — mean, not sum, so long documents
+    * aren't auto-favored, and thresholding the logit directly is
+    * sigmoid-equivalent (sigmoid is monotone; computing it would only add
+    * a cross-engine exp() to diverge on).
+    *
+    * Scale: the weight table IS a linear model — it fits executor memory
+    * by definition, so the lookup is an explicit broadcast join (map-side)
+    * and the per-doc sum partial-aggregates before its one shuffle.
+    * Weights sum as DECIMAL(18,3) (exact, order-free) and the single
+    * double division is last, so scores are bit-reproducible on any
+    * engine and any partitioning.
+    */
+  def qualityScore(docs: DataFrame, weights: DataFrame, dim: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.0): DataFrame = {
+    require(dim > 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 3)
+    val feats = docs
+      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
+      .select(col(idCol),
+        when(size(col("__w")) >= 2,
+          concat(col("__w"),
+            transform(sequence(lit(1), size(col("__w")) - 1),
+              i => concat_ws(" ", slice(col("__w"), i, lit(2))))))
+          .otherwise(col("__w")).as("__f"))
+    val fx = feats.select(col(idCol), explode(col("__f")).as("__g"))
+      .select(col(idCol), (md5Long(col("__g")) % dim).cast("int").as("bucket"))
+    val mean = col("__s").cast("double") / col("__n")
+    fx.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("weight").cast(dec)).cast(dec).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col(idCol), col("__s").cast("double").as("logit"),
+        mean.as("mean_logit"), (mean > threshold).as("keep"))
+  }
 }

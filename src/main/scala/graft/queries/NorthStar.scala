@@ -278,6 +278,19 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Hashed linear quality-classifier scoring (fastText-style): unigram+
+    // bigram features into 256 buckets, deterministic fixture weights
+    // ((bucket*37 % 201 - 100) / 100 — exact hundredths), decimal-summed
+    // logit. A real run feeds trained weights through the same operator.
+    "t11_quality_classifier" -> { (s, dir) =>
+      val weights = s.range(0, 256)
+        .select(col("id").cast("int").as("bucket"),
+          (((col("id") * 37) % 201 - 100) / 100.0)
+            .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+      TextAnalysis.qualityScore(docs(s, dir), weights, 256)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -911,6 +924,31 @@ object NorthStar {
         md5(regexp_replace(no_url,
           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS clean_md5
       FROM u ORDER BY doc_id""",
+
+    // Decimal-exact logit (order-free sum), single double division last —
+    // the dsum/davg discipline applied to model scoring.
+    "t11_quality_classifier" -> raw"""
+      WITH wts AS (SELECT i AS bucket,
+          CAST(((i * 37) % 201 - 100) / 100.0 AS DECIMAL(9,3)) AS weight
+        FROM generate_series(0, 255) t(i)),
+      wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+             FROM documents),
+      feats AS (SELECT doc_id,
+          CASE WHEN len(w) >= 2
+            THEN w || list_transform(generate_series(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+1], ' '))
+            ELSE w END AS f FROM wt),
+      fx AS (SELECT doc_id,
+          ${h("g")} % 256 AS bucket
+        FROM feats, unnest(f) AS t(g)),
+      sc AS (SELECT fx.doc_id,
+          CAST(sum(CAST(wts.weight AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS s,
+          count(*) AS n
+        FROM fx JOIN wts USING (bucket) GROUP BY fx.doc_id)
+      SELECT doc_id, CAST(s AS DOUBLE) AS logit,
+        CAST(s AS DOUBLE) / n AS mean_logit,
+        CAST(s AS DOUBLE) / n > 0.0 AS keep
+      FROM sc ORDER BY doc_id""",
 
     // Byte semantics on BOTH sides (octet_length, not length): the Spark
     // operator works on the binary payload, and char-based SQL would

@@ -75,6 +75,23 @@ object Pipeline {
         .orderBy(col("lang"), col("source"))
     },
 
+    // Temperature-based domain mixture sampling (alpha = 0.5): rates are
+    // COMPUTED from corpus stats (p_d ∝ sqrt(n_d), budget-scaled), not
+    // supplied — the multinomial rebalancing an LLM data-mix uses. The
+    // fixture's sources are uniform, so the query derives a skewed
+    // 70/20/10 domain from doc_id to actually exercise the upweighting.
+    "t12_mixture_sample" -> { (s, dir) =>
+      val dd = docs(s, dir).withColumn("domain",
+        when(col("doc_id") % 10 < 7, "web")
+          .when(col("doc_id") % 10 < 9, "books").otherwise("code"))
+      graft.operators.Sampling.temperatureMixture(dd, "domain", 200L)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("keep"), 1)).as("n_sampled"),
+          first(col("sample_rate")).as("sample_rate"))
+        .orderBy(col("domain"))
+    },
+
     // Reproducible 80/10/10 train/val/test assignment by content hash.
     "d07_split_assign" -> { (s, dir) =>
       val h = md5Long(concat(lit("split:"), col("text"))) % 100
@@ -150,6 +167,30 @@ object Pipeline {
                       WHEN 'src2' THEN 50 ELSE 10 END
           THEN 1 END) AS n_sampled
       FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    // sqrt is IEEE-correctly-rounded (identical both engines), the
+    // cross-domain sum is decimal (order-free), and the rate chain is a
+    // fixed sequence of single double ops — so the rates, and therefore
+    // every hash-vs-threshold keep decision, match bit-for-bit.
+    "t12_mixture_sample" -> s"""
+      WITH dd AS (SELECT *, CASE WHEN doc_id % 10 < 7 THEN 'web'
+          WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS domain
+        FROM documents),
+      st AS (SELECT domain, count(*) AS n FROM dd GROUP BY domain),
+      sq AS (SELECT domain, n, CAST(sqrt(n) AS DECIMAL(18,6)) AS sqd
+             FROM st),
+      tot AS (SELECT sum(sqd) AS t FROM sq),
+      rates AS (SELECT domain, n,
+          least(CAST(1 AS DOUBLE), CAST(200 AS DOUBLE)
+            * (CAST(sqd AS DOUBLE) / CAST(t AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS sample_rate FROM sq, tot)
+      SELECT d.domain, CAST(r.n AS BIGINT) AS n_total,
+        count(CASE WHEN ${h("'mix:' || d.text")} % 1000000
+          < CAST(floor(r.sample_rate * 1e6) AS BIGINT) THEN 1 END)
+          AS n_sampled,
+        r.sample_rate
+      FROM dd d JOIN rates r USING (domain)
+      GROUP BY d.domain, r.n, r.sample_rate ORDER BY domain""",
 
     // Mirrors the Spark two-stage chunk fold (vec_id // 256 grouping) so
     // the certified addition tree is the bounded-buffer one, not the

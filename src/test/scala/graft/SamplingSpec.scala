@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private def fixture = {
+    import spark.implicits._
+    (0 until 100).map { i =>
+      val d = if (i < 90) "big" else "small"
+      (i.toLong, d, s"doc $i body ${i * 7}")
+    }.toDF("doc_id", "domain", "text")
+  }
+
+  test("temperature mixture upweights small domains (alpha = 0.5)") {
+    val out = Sampling.temperatureMixture(fixture, "domain", 50L).cache()
+    val rates = out.select(col("domain"), col("sample_rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // closed form: p_d = sqrt(n_d)/(sqrt(90)+sqrt(10)), rate = 50*p_d/n_d
+    // (HALF_UP: the rounding Spark's cast-to-decimal applies)
+    val tot = BigDecimal(math.sqrt(90)).setScale(6, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.sqrt(10)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def expect(n: Int) =
+      math.min(1.0, 50.0 * (BigDecimal(math.sqrt(n)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble / tot.toDouble) / n)
+    assert(rates("big") === expect(90))
+    assert(rates("small") === expect(10))
+    assert(rates("small") > rates("big")) // sqrt upweights the small domain
+    // every input row comes back, keep is deterministic across reruns
+    assert(out.count() === 100L)
+    val again = Sampling.temperatureMixture(fixture, "domain", 50L)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.select("doc_id", "keep").collect()
+      .foreach(r => assert(again(r.getLong(0)) === r.getBoolean(1)))
+    out.unpersist()
+  }
+
+  test("rates cap at 1 when the budget exceeds the corpus") {
+    val out = Sampling.temperatureMixture(fixture, "domain", 10000L)
+    assert(out.select(max(col("sample_rate"))).head().getDouble(0) === 1.0)
+    assert(out.filter(!col("keep")).count() === 0L)
+  }
+
+  test("alpha = 1 degenerates to proportional sampling (uniform rate)") {
+    val rates = Sampling.temperatureMixture(fixture, "domain", 50L, alpha = 1.0)
+      .select(col("sample_rate")).distinct().collect().map(_.getDouble(0))
+    assert(rates.length === 1) // p_d ∝ n_d cancels n_d: one global rate
+    assert(math.abs(rates(0) - 0.5) < 1e-6)
+  }
+}

@@ -112,6 +112,35 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("hashed linear quality score: feature counts, sign, determinism") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // 3 unigrams + 2 bigrams = 5 features
+      (2L, "solo")              // a single token has no bigrams
+    ).toDF("doc_id", "text")
+    def const(w: Double) = spark.range(0, 64)
+      .select(col("id").cast("int").as("bucket"),
+        lit(w).cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+    // constant weights isolate the feature count: logit = w * n_features
+    val pos = TextAnalysis.qualityScore(docs, const(0.5), 64).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(pos(1L) === ((2.5, 0.5, true)))
+    assert(pos(2L) === ((0.5, 0.5, true)))
+    val neg = TextAnalysis.qualityScore(docs, const(-0.5), 64).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(neg(1L) === false && neg(2L) === false)
+    // real (varying) weights are deterministic across runs
+    val w = spark.range(0, 64).select(col("id").cast("int").as("bucket"),
+      (((col("id") * 37) % 201 - 100) / 100.0)
+        .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+    val d = Tables.load(spark, sf, "documents")
+    val a = TextAnalysis.qualityScore(d, w, 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = TextAnalysis.qualityScore(d, w, 64).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
   test("winnowing selects per-window gram minima with full window coverage") {
     import spark.implicits._
     import graft.functions.CrossHash.md5Long
