@@ -405,4 +405,102 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  // ---- product quantization --------------------------------------------
+
+  /** Per-row subspace slices: (id, m, sv) with sv the m-th of `mSub`
+    * equal slices of the vector (requires dim % mSub == 0). posexplode
+    * of a per-row transform — map-only, N×mSub narrow rows.
+    */
+  private def subspaces(df: DataFrame, idCol: String, vecCol: String,
+      mSub: Int, id: String): DataFrame = {
+    val subd = (size(col("v")) / mSub).cast("int")
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("v"))
+      .select(col(id), posexplode(
+        transform(sequence(lit(0), lit(mSub - 1)),
+          mi => slice(col("v"), mi * subd + 1, subd))))
+      .select(col(id), col("pos").cast("int").as("m"), col("col").as("sv"))
+  }
+
+  /** PQ codebook from the deterministic id-modulus sample (the same
+    * index-build convention as [[sampleCentroids]]): every sampled
+    * vector contributes its m-th slice as subspace m's entry, coded by
+    * the sample's id. Output: (m, code, sv) — mSub × (n/modulus) rows.
+    * A production run trains each subspace codebook with
+    * [[kmeansCentroids]] over the slices instead; the quantize/search
+    * machinery below is agnostic to where the codebook came from.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", mSub: Int = 8,
+      modulus: Int = 50): DataFrame =
+    subspaces(corpus.filter(col(idCol) % modulus === 0), idCol, vecCol,
+      mSub, "code")
+
+  /** PQ encode: nearest codebook entry per (vector, subspace) — squared
+    * euclidean on the slice, round(d2,6), ties to the lowest code (the
+    * [[assignCells]] discipline). The codebook packs into ONE broadcast
+    * row and the argmin is a per-row fold, so encoding is map-only: no
+    * shuffle touches the corpus, and the output is mSub narrow rows per
+    * vector — the 100 TB index-build shape (M bytes/vector in spirit;
+    * here codes stay ids for oracle-comparability).
+    * Output: (id, m, code, d2).
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      mSub: Int = 8): DataFrame = {
+    val packed = codebook.agg(sort_array(collect_list(
+      struct(col("m"), col("code"), col("sv")))).as("cbs"))
+    subspaces(corpus, idCol, vecCol, mSub, "id")
+      .crossJoin(broadcast(packed))
+      .withColumn("best",
+        aggregate(filter(col("cbs"), b => b("m") === col("m")),
+          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("code")),
+          (acc, b) => {
+            val nd = round(dist2(col("sv"), b("sv")), 6)
+            when(nd < acc("d2"),
+              struct(nd.as("d2"), b("code").as("code"))).otherwise(acc)
+          }))
+      .select(col("id"), col("m"), col("best")("code").as("code"),
+        col("best")("d2").as("d2"))
+  }
+
+  /** PQ ADC (asymmetric distance computation) search: each query
+    * precomputes its distance table to every codebook entry (query-side
+    * only — |Q|·mSub·K tiny rows, packed into one map per query and
+    * broadcast); corpus codes then just LOOK UP their m-th entry and
+    * sum. The per-(query, vector) sum is decimal — exact and
+    * order-free, so the ranking is bit-reproducible under any
+    * partitioning (and in the oracle). Approximate by construction:
+    * d2 is measured query→codeword, not query→vector.
+    * Output: (query_id, neighbor_id, approx_d2, rank) — top k.
+    */
+  def pqSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      mSub: Int = 8, modulus: Int = 50, k: Int = 5): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cb = pqCodebook(corpus, idCol, vecCol, mSub, modulus)
+    val codes = pqEncode(corpus, cb, idCol, vecCol, mSub)
+    val key = (m: Column, code: Column) => m.cast("long") * 1000000L + code
+    val dtq = subspaces(queries, idCol, vecCol, mSub, "query_id")
+      .join(broadcast(cb.withColumnRenamed("sv", "csv")), "m")
+      .select(col("query_id"), key(col("m"), col("code")).as("__k"),
+        round(dist2(col("sv"), col("csv")), 6).as("__pd"))
+      .groupBy(col("query_id"))
+      .agg(map_from_arrays(collect_list(col("__k")),
+        collect_list(col("__pd"))).as("__dt"))
+    val scored = codes.crossJoin(broadcast(dtq))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        element_at(col("__dt"), key(col("m"), col("code"))).as("__pd"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__pd").cast(dec6)).cast(dec6).as("__s"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__s").cast("double").as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2"),
+        col("rank"))
+  }
 }

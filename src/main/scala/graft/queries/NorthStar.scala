@@ -207,6 +207,24 @@ object NorthStar {
         .orderBy(col("vec_id"))
     },
 
+    // PQ encode: per-(vector, subspace) nearest-codeword assignment —
+    // the index-build half of product quantization (8 subspaces of 8
+    // dims, deterministic sampled codebook).
+    "s09_pq_encode" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqEncode(e, Similarity.pqCodebook(e))
+        .select(col("id").as("vec_id"), col("m"), col("code"), col("d2"))
+        .orderBy(col("vec_id"), col("m"))
+    },
+
+    // PQ ADC search: query-side distance tables + code lookups — the
+    // classic compressed-domain ANN ranking.
+    "s10_pq_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -345,6 +363,26 @@ object NorthStar {
 
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
+
+  /** PQ base: 8×8 subspace slices, sampled codebook, per-(vector,
+    * subspace) nearest-codeword codes — shared by s09 (dump) and s10
+    * (ADC ranking over the same codes). Slice distance is the same
+    * index-ordered left fold as every vector oracle here.
+    */
+  private val PqCodesCte: String = raw"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cbv AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % 50 = 0),
+      cb AS (SELECT m, code, cv[m*8+1 : m*8+8] AS sv
+             FROM cbv, generate_series(0, 7) t(m)),
+      ve AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS sv
+             FROM e, generate_series(0, 7) t(m)),
+      s AS (SELECT ve.vec_id, ve.m, cb.code,
+          round(list_reduce(list_transform(list_zip(ve.sv, cb.sv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM ve JOIN cb USING (m)),
+      codes AS (SELECT vec_id, m, code, d2 FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY d2, code) AS rn FROM s) WHERE rn = 1)"""
 
   /** tokens / shingles fragments shared by several oracles. `src` is any
     * CTE/table exposing (doc_id, text) — defaults to the documents table.
@@ -716,6 +754,28 @@ object NorthStar {
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s09_pq_encode" -> (PqCodesCte + """
+      SELECT vec_id, CAST(m AS INT) AS m, code, d2 FROM codes
+      ORDER BY vec_id, m"""),
+
+    "s10_pq_search" -> (PqCodesCte + raw""",
+      q AS (SELECT vec_id AS query_id, m, sv FROM ve
+            WHERE vec_id % 100 = 0),
+      dt AS (SELECT q.query_id, cb.m, cb.code,
+          round(list_reduce(list_transform(list_zip(q.sv, cb.sv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS pd
+        FROM q JOIN cb USING (m)),
+      adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+          CAST(sum(CAST(d.pd AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+        FROM codes c JOIN dt d ON d.m = c.m AND d.code = c.code
+        WHERE c.vec_id != d.query_id
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id, CAST(s AS DOUBLE) AS approx_d2,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY CAST(s AS DOUBLE), neighbor_id) AS "rank" FROM adc)
+      SELECT query_id, neighbor_id, approx_d2, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
 
     "s04_lsh_search" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -87,6 +87,19 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastExchange"), p)
   }
 
+  test("pq encode is map-side: no shuffle or window over the corpus") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = graft.operators.Similarity
+      .pqEncode(emb, graft.operators.Similarity.pqCodebook(emb))
+      .queryExecution.explainString(FormattedMode)
+    // corpus: scan → subspace explode → broadcast fold → project; only
+    // the packed-codebook SinglePartition collect + broadcast may appear
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
   test("as-of join compiles to union + window — no join, no range explosion") {
     val p = plan("q20_asof_join")
     assert(!p.contains("Join"), p) // one sort-shuffle of |L|+|R|, per design

@@ -149,4 +149,56 @@ class SimilaritySpec extends SparkSpec {
       .agg(sum(col("n_members"))).collect()(0).getLong(0)
     assert(n === emb.count())
   }
+
+  test("pq encode: full coverage, codebook codes, zero-distance fixpoint") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cb = Similarity.pqCodebook(emb)
+    val codes = Similarity.pqEncode(emb, cb).cache()
+    // every vector gets exactly one code per subspace
+    assert(codes.count() === emb.count() * 8)
+    assert(codes.groupBy("id", "m").count().filter(col("count") =!= 1)
+      .count() === 0L)
+    // codes are codebook members, distances non-negative
+    assert(codes.join(cb.select(col("m"), col("code")), Seq("m", "code"),
+      "left_anti").count() === 0L)
+    assert(codes.filter(col("d2") < 0).count() === 0L)
+    // a sampled vector's slices ARE codewords: its distance is 0 per
+    // subspace (its own code, unless an identical slice with a lower id
+    // also sits in the codebook — still distance 0)
+    assert(codes.filter(col("id") % 50 === 0)
+      .filter(col("d2") =!= 0.0).count() === 0L)
+    codes.unpersist()
+  }
+
+  test("pq adc search ranks by the decimal-exact table-lookup sum") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val res = Similarity.pqSearch(emb, q).cache()
+    // k rows per query, ranks dense from 1, self excluded
+    val perQ = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach { r =>
+      assert(r.getLong(1) === 5L && r.getInt(2) === 1 && r.getInt(3) === 5)
+    }
+    assert(res.filter(col("query_id") === col("neighbor_id")).count() === 0L)
+    // ADC distance of a neighbor == sum over subspaces of the query-to-
+    // codeword distances for that neighbor's codes (manual recomputation)
+    val one = res.filter(col("rank") === 1).head()
+    val (qid, nid, got) =
+      (one.getLong(0), one.getLong(1), one.getDouble(2))
+    val qv = emb.filter(col("vec_id") === qid)
+    val manual = Similarity.pqEncode(emb.filter(col("vec_id") === nid),
+        Similarity.pqCodebook(emb))
+      .join(Similarity.pqCodebook(emb).withColumnRenamed("sv", "csv"),
+        Seq("m", "code"))
+      .crossJoin(qv.select(col("embedding").cast("array<double>").as("vq")))
+      .select(round(Similarity.dist2(
+        slice(col("vq"), col("m") * 8 + 1, lit(8)), col("csv")), 6).as("pd"))
+      .agg(sum(col("pd").cast(org.apache.spark.sql.types.DecimalType(18, 6))))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(manual - got) < 1e-9, s"$manual vs $got")
+    res.unpersist()
+  }
 }
