@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Per-row text-sketch kernels, shared by the interpreted `eval` path and
@@ -105,6 +105,27 @@ object TextKernels {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Hash-trick feature buckets: every unigram and bigram occurrence
+    * (duplicates kept — term frequency is the signal) → 60-bit md5 hash
+    * (the CrossHash convention, bytes[0..7] >>> 4) mod dim. One digest
+    * per feature, no hex-string round-trip.
+    */
+  def featureBuckets(text: UTF8String, dim: Int): ArrayData = {
+    val toks = ws.split(text.toString, -1)
+    val n = toks.length
+    val out = new Array[Int](if (n >= 2) 2 * n - 1 else n)
+    val md = digest.get()
+    def bucket(s: String): Int = {
+      md.reset()
+      ((u64be(md.digest(s.getBytes("UTF-8")), 0) >>> 4) % dim).toInt
+    }
+    var i = 0
+    while (i < n) { out(i) = bucket(toks(i)); i += 1 }
+    var j = 0
+    while (j + 1 < n) { out(n + j) = bucket(toks(j) + " " + toks(j + 1)); j += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native MinHash signature: tokenize → w-word shingles → md5 → k linear
@@ -185,6 +206,31 @@ case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Native hash-trick featurizer (unigram + bigram occurrences → md5-60bit
+  * mod dim), the map-side half of linear-model scoring. Same promotion
+  * rationale as [[MinhashSignature]]: the declarative twin pays an
+  * md5 → hex-string → conv round-trip per feature through interpreted
+  * lambdas; this is one digest per feature inside whole-stage codegen.
+  */
+case class FeatureBuckets(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim > 0)
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "feature_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.featureBuckets(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.featureBuckets($c, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): FeatureBuckets =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** MinHash signature column: array<long> of length k. */
   def minhash_signature(text: Column, k: Int = 16, w: Int = 3): Column =
@@ -197,4 +243,10 @@ object TextFunctions {
   /** Distinct w-word shingles column. */
   def word_shingles(text: Column, w: Int = 3): Column =
     Bridge.toColumn(WordShingles(Bridge.toExpression(text), w))
+
+  /** Hash-trick feature buckets column: array<int>, unigrams then
+    * bigrams, occurrences kept.
+    */
+  def feature_buckets(text: Column, dim: Int): Column =
+    Bridge.toColumn(FeatureBuckets(Bridge.toExpression(text), dim))
 }

@@ -308,16 +308,9 @@ object TextAnalysis {
       threshold: Double = 0.0): DataFrame = {
     require(dim > 0)
     val dec = org.apache.spark.sql.types.DecimalType(18, 3)
-    val feats = docs
-      .select(col(idCol), split(col(textCol), "\\s+").as("__w"))
-      .select(col(idCol),
-        when(size(col("__w")) >= 2,
-          concat(col("__w"),
-            transform(sequence(lit(1), size(col("__w")) - 1),
-              i => concat_ws(" ", slice(col("__w"), i, lit(2))))))
-          .otherwise(col("__w")).as("__f"))
-    val fx = feats.select(col(idCol), explode(col("__f")).as("__g"))
-      .select(col(idCol), (md5Long(col("__g")) % dim).cast("int").as("bucket"))
+    val fx = docs.select(col(idCol), explode(
+        graft.functions.TextFunctions.feature_buckets(col(textCol), dim))
+      .as("bucket"))
     val mean = col("__s").cast("double") / col("__n")
     fx.join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
@@ -325,5 +318,17 @@ object TextAnalysis {
         count(lit(1)).as("__n"))
       .select(col(idCol), col("__s").cast("double").as("logit"),
         mean.as("mean_logit"), (mean > threshold).as("keep"))
+  }
+
+  /** Declarative twin of the native feature hasher — the formulation the
+    * DuckDB oracle mirrors; the spec proves the native expression
+    * bit-identical (same order: unigrams then bigrams, occurrences kept).
+    */
+  def featureBucketsHof(text: Column, dim: Int): Column = {
+    val w = split(text, "\\s+")
+    val feats = when(size(w) >= 2,
+      concat(w, transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", slice(w, i, lit(2)))))).otherwise(w)
+    transform(feats, g => (md5Long(g) % dim).cast("int"))
   }
 }

@@ -112,6 +112,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("native feature buckets == declarative md5 formulation") {
+    val d = Tables.load(spark, sf, "documents")
+    val a = d.select(col("doc_id"), graft.functions.TextFunctions
+        .feature_buckets(col("text"), 256).as("b")).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val b = d.select(col("doc_id"),
+        TextAnalysis.featureBucketsHof(col("text"), 256).as("b"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("hashed linear quality score: feature counts, sign, determinism") {
     import spark.implicits._
     val docs = Seq(
