@@ -96,6 +96,42 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Second capstone — the MODERN data-mix chain, composing this round's
+    // operators end-to-end: ExactSubstr span removal → linear-classifier
+    // quality gate → decontamination of the CLEANED text → temperature
+    // mixture sampling. One oracle certifies the whole composition.
+    "d17_modern_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val cleaned = Dedup.removeDuplicatedSpans(d)
+        .filter(col("clean_text") =!= "")
+      val weights = s.range(0, 256)
+        .select(col("id").cast("int").as("bucket"),
+          (((col("id") * 37) % 201 - 100) / 100.0)
+            .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+      val gated = cleaned.join(
+        TextAnalysis.qualityScore(cleaned, weights, 256,
+            textCol = "clean_text", threshold = -0.05)
+          .filter(col("keep")).select(col("doc_id")), "doc_id")
+      val survivors = TextAnalysis.decontaminate(
+          gated.filter(col("doc_id") % 97 =!= 1)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          d.filter(col("doc_id") % 97 === 1))
+        .filter(!col("contaminated")).select(col("doc_id"))
+      val dd = survivors.join(cleaned, "doc_id")
+        .withColumn("domain",
+          when(col("doc_id") % 10 < 7, "web")
+            .when(col("doc_id") % 10 < 9, "books").otherwise("code"))
+      graft.operators.Sampling
+        .temperatureMixture(dd, "domain", 100L, textCol = "clean_text")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_survivors"),
+          count(when(col("keep"), 1)).as("n_sampled"),
+          first(col("sample_rate")).as("sample_rate"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("domain"))
+    },
+
     // Benchmark decontamination: the deterministic doc_id % 97 == 1 slice
     // plays the eval set; every other doc is checked for 5-gram overlap.
     "d13_decontaminate" -> { (s, dir) =>
@@ -490,6 +526,92 @@ object NorthStar {
     // The bloom path has no false negatives and exact-confirms every bloom
     // hit, so the SAME exact oracle certifies it.
     "d14_decontaminate_bloom" -> DecontaminateOracle,
+
+    // The modern-chain capstone: d16's span removal, t11's classifier
+    // gate (threshold -0.05), d13's decontamination over the CLEANED
+    // text, t12's mixture rates — each fragment identical to its
+    // stage's own certified oracle.
+    "d17_modern_pipeline" -> raw"""
+      WITH
+      wt0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+              FROM documents),
+      pos0 AS (SELECT doc_id, i AS pos,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt0, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      dup0 AS (SELECT gh, min({'d': doc_id, 'p': pos}) AS fst
+        FROM pos0 GROUP BY gh HAVING count(*) >= 2),
+      dp0 AS (SELECT p.doc_id, p.pos FROM pos0 p JOIN dup0 d USING (gh)
+        WHERE NOT (p.doc_id = d.fst.d AND p.pos = d.fst.p)),
+      isl0 AS (SELECT doc_id, pos,
+          CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -1) + 1
+          THEN 1 ELSE 0 END AS brk FROM dp0),
+      sp0 AS (SELECT doc_id, pos,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_idx
+        FROM isl0),
+      spans0 AS (SELECT doc_id, span_idx, min(pos) AS s, max(pos) + 7 AS e
+        FROM sp0 GROUP BY doc_id, span_idx),
+      tok0 AS (SELECT doc_id, i AS pos, w[i] AS tk
+        FROM wt0, unnest(generate_series(1, len(w))) AS t(i)),
+      kept0 AS (SELECT t.doc_id, t.pos, t.tk FROM tok0 t
+        WHERE NOT EXISTS (SELECT 1 FROM spans0 s
+          WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+      clean AS (SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
+        FROM documents d LEFT JOIN (SELECT doc_id,
+            array_to_string(list(tk ORDER BY pos), ' ') AS ct
+          FROM kept0 GROUP BY doc_id) r USING (doc_id)),
+      wts AS (SELECT i AS bucket,
+          CAST(((i * 37) % 201 - 100) / 100.0 AS DECIMAL(9,3)) AS weight
+        FROM generate_series(0, 255) t(i)),
+      cw AS (SELECT doc_id, string_split_regex(clean_text, '\s+') AS w
+        FROM clean WHERE clean_text != ''),
+      feats AS (SELECT doc_id, CASE WHEN len(w) >= 2
+          THEN w || list_transform(generate_series(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+1], ' '))
+          ELSE w END AS f FROM cw),
+      sc AS (SELECT fe.doc_id,
+          CAST(sum(CAST(wts.weight AS DECIMAL(18,3))) AS DECIMAL(18,3)) AS s,
+          count(*) AS n
+        FROM feats fe, unnest(fe.f) AS t(g)
+        JOIN wts ON wts.bucket = ${h("g")} % 256
+        GROUP BY fe.doc_id),
+      gated AS (SELECT doc_id FROM sc WHERE CAST(s AS DOUBLE) / n > -0.05),
+      evw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+        FROM documents WHERE doc_id % 97 = 1),
+      evsh AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 5
+          THEN list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS g FROM evw),
+      trsh AS (SELECT cwx.doc_id, CASE WHEN len(cwx.w) >= 5
+          THEN list_transform(generate_series(1, len(cwx.w) - 4),
+            i -> array_to_string(cwx.w[i:i+4], ' '))
+          ELSE [array_to_string(cwx.w, ' ')] END AS sh
+        FROM cw cwx JOIN gated g USING (doc_id)
+        WHERE cwx.doc_id % 97 != 1),
+      evl AS (SELECT coalesce(list(g), []::VARCHAR[]) AS gl FROM evsh),
+      surv AS (SELECT t.doc_id FROM trsh t, evl
+        WHERE len(list_intersect(t.sh, evl.gl)) = 0),
+      dd AS (SELECT s.doc_id, c.clean_text,
+          CASE WHEN s.doc_id % 10 < 7 THEN 'web'
+               WHEN s.doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS domain
+        FROM surv s JOIN clean c USING (doc_id)),
+      st AS (SELECT domain, count(*) AS n FROM dd GROUP BY domain),
+      sq AS (SELECT domain, n, CAST(sqrt(n) AS DECIMAL(18,6)) AS sqd
+             FROM st),
+      tot AS (SELECT sum(sqd) AS t FROM sq),
+      rates AS (SELECT domain, n,
+          least(CAST(1 AS DOUBLE), CAST(100 AS DOUBLE)
+            * (CAST(sqd AS DOUBLE) / CAST(t AS DOUBLE))
+            / CAST(n AS DOUBLE)) AS rate FROM sq, tot)
+      SELECT d.domain, CAST(r.n AS BIGINT) AS n_survivors,
+        count(CASE WHEN ${h("'mix:' || d.clean_text")} % 1000000
+          < CAST(floor(r.rate * 1e6) AS BIGINT) THEN 1 END) AS n_sampled,
+        r.rate AS sample_rate,
+        min(d.doc_id) AS min_doc, max(d.doc_id) AS max_doc
+      FROM dd d JOIN rates r USING (domain)
+      GROUP BY d.domain, r.n, r.rate ORDER BY domain""",
 
     "d15_duplicated_spans" -> raw"""
       WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
