@@ -320,6 +320,59 @@ object TextAnalysis {
         mean.as("mean_logit"), (mean > threshold).as("keep"))
   }
 
+  /** BPE tokenizer training (Sennrich-style, word-frequency table): start
+    * from character symbols, repeatedly merge the corpus-wide most
+    * frequent adjacent symbol pair (ties broken lexicographically).
+    * Output: one row per merge — (merge_rank, lft, rgt, pair_count).
+    *
+    * Scale: the corpus is touched ONCE (word-count shuffle with map-side
+    * combine); every Lloyd-like merge iteration then runs over the
+    * VOCABULARY (distinct words — orders of magnitude smaller), with the
+    * argmax pair a 1-row driver action per merge (an index-build action,
+    * like the k-means centroid collect) and the merged symbol strings
+    * localCheckpoint'ed so plans don't nest across iterations. Merging
+    * rewrites the U+0001-joined symbol string with leftmost
+    * non-overlapping replace — the exact greedy-left BPE semantics, and
+    * identical in the oracle's replace().
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges > 0)
+    val sep = "\u0001"
+    val sp = docs.sparkSession
+    // sequence(1, n) is DESCENDING when n < 1 (Spark infers step -1), so
+    // both char-split and pair extraction guard their short cases.
+    val chars = when(length(col("word")) === 0, lit(""))
+      .otherwise(array_join(transform(
+        sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))), sep))
+    var words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("sym", chars)
+      .localCheckpoint()
+    val merges = (1 to nMerges).map { r =>
+      val top = words
+        .select(col("n"), split(col("sym"), sep).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("sy")) - 1),
+          i => struct(element_at(col("sy"), i).as("a"),
+            element_at(col("sy"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .head()
+      val (a, b) = (top.getString(0), top.getString(1))
+      words = words.withColumn("sym",
+          call_function("replace", col("sym"), lit(a + sep + b), lit(a + b)))
+        .localCheckpoint()
+      (r, a, b, top.getLong(2))
+    }
+    import sp.implicits._
+    merges.toDF("merge_rank", "lft", "rgt", "pair_count")
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

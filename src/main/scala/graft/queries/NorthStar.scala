@@ -345,6 +345,12 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // BPE tokenizer training: 3 greedy most-frequent-pair merges from
+    // character symbols over the word-frequency table.
+    "t13_bpe_train" -> { (s, dir) =>
+      TextAnalysis.bpeTrain(docs(s, dir)).orderBy(col("merge_rank"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -1106,6 +1112,46 @@ object NorthStar {
         md5(regexp_replace(no_url,
           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS clean_md5
       FROM u ORDER BY doc_id""",
+
+    // Three unrolled merge iterations — the kmeans-oracle discipline
+    // applied to BPE. chr(1) is the symbol separator on both engines;
+    // replace() is leftmost non-overlapping in both, which IS the
+    // greedy-left BPE merge order.
+    "t13_bpe_train" -> raw"""
+      WITH wt AS (SELECT string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      words AS (SELECT g AS word, count(*) AS n FROM wt, unnest(w) AS t(g)
+                GROUP BY g),
+      s0 AS (SELECT word, n, array_to_string(list_transform(
+          generate_series(1, len(word)), i -> word[i:i]), chr(1)) AS sym
+        FROM words),
+      p1 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym, chr(1)) AS sy FROM s0),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      s1 AS (SELECT word, n, replace(sym,
+          (SELECT a || chr(1) || b FROM m1),
+          (SELECT a || b FROM m1)) AS sym FROM s0),
+      p2 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym, chr(1)) AS sy FROM s1),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      s2 AS (SELECT word, n, replace(sym,
+          (SELECT a || chr(1) || b FROM m2),
+          (SELECT a || b FROM m2)) AS sym FROM s1),
+      p3 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym, chr(1)) AS sy FROM s2),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+      SELECT CAST(merge_rank AS INT) AS merge_rank, lft, rgt,
+        CAST(pair_count AS BIGINT) AS pair_count FROM (
+        SELECT 1 AS merge_rank, a AS lft, b AS rgt, c AS pair_count FROM m1
+        UNION ALL SELECT 2, a, b, c FROM m2
+        UNION ALL SELECT 3, a, b, c FROM m3)
+      ORDER BY merge_rank""",
 
     // Decimal-exact logit (order-free sum), single double division last —
     // the dsum/davg discipline applied to model scoring.

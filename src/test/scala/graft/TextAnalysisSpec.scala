@@ -112,6 +112,24 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bpe training learns the classic merges on the Sennrich fixture") {
+    import spark.implicits._
+    // word freqs: low x5, lower x2, newest x6, widest x3
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest newest"),
+      (3L, "newest newest newest widest widest widest")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // iter1: (e,s)=9 ties (s,t)=9 -> lexicographic; iter2: (es,t)=9;
+    // iter3: (l,o)=7 ties (o,w)=7 -> lexicographic
+    assert(merges(0) === ((1, "e", "s", 9L)))
+    assert(merges(1) === ((2, "es", "t", 9L)))
+    assert(merges(2) === ((3, "l", "o", 7L)))
+  }
+
   test("native feature buckets == declarative md5 formulation") {
     val d = Tables.load(spark, sf, "documents")
     val a = d.select(col("doc_id"), graft.functions.TextFunctions
