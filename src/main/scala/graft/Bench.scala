@@ -58,8 +58,10 @@ object Bench {
     } finally {
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(cpDir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        scala.util.Using.resource(java.nio.file.Files.walk(cpDir)) { st =>
+          st.iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+        }
       } catch { case scala.util.control.NonFatal(_) => () }
     }
 

@@ -26,11 +26,16 @@ object Sampling {
     *
     * Bit-reproducibility: with the default alpha = 0.5 the weight is
     * sqrt(n) — correctly rounded under IEEE 754, so identical on every
-    * engine — truncated to DECIMAL(18,6) so the cross-domain sum is
-    * exact and order-free; the remaining arithmetic is a fixed chain of
-    * single double ops. Any other alpha goes through pow(), whose last
-    * ulp is implementation-defined — fine within Spark, but not
-    * oracle-exact across engines.
+    * engine — rounded HALF_UP to DECIMAL(18,6) (the rounding Spark's
+    * decimal cast applies) so the cross-domain sum is exact and
+    * order-free; the remaining arithmetic is a fixed chain of single
+    * double ops. Any other alpha goes through pow(), whose last ulp is
+    * implementation-defined — fine within Spark, but not oracle-exact
+    * across engines.
+    *
+    * NULL handling: a NULL domain is a domain of its own (null-safe
+    * join, so every input row really does come back); a NULL textCol
+    * yields keep = false, never NULL.
     *
     * Scale: one count-by-domain aggregation (tiny result — one row per
     * domain), a 1-row total cross-joined back, and a broadcast join of
@@ -52,12 +57,12 @@ object Sampling {
     val rate = least(lit(1.0),
       lit(budget.toDouble) * p / col("__n").cast("double"))
     val rates = stats.crossJoin(broadcast(tot))
-      .select(col(domainCol), rate.as("sample_rate"),
+      .select(col(domainCol).as("__dom"), rate.as("sample_rate"),
         floor(rate * lit(1e6)).cast("long").as("__thr"))
-    docs.join(broadcast(rates), domainCol)
-      .withColumn("keep",
+    docs.join(broadcast(rates), col(domainCol) <=> col("__dom"))
+      .withColumn("keep", coalesce(
         md5Long(concat(lit(seed + ":"), col(textCol))) % 1000000L
-          < col("__thr"))
-      .drop("__thr")
+          < col("__thr"), lit(false)))
+      .drop("__thr", "__dom")
   }
 }

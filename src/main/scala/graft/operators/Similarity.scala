@@ -466,9 +466,10 @@ object Similarity {
 
   /** PQ ADC (asymmetric distance computation) search: each query
     * precomputes its distance table to every codebook entry (query-side
-    * only — |Q|·mSub·K tiny rows, packed into one map per query and
-    * broadcast); corpus codes then just LOOK UP their m-th entry and
-    * sum. The per-(query, vector) sum is decimal — exact and
+    * only — |Q|·mSub·K tiny rows, broadcast); corpus codes then join
+    * their (m, code) entry — the join key is the real pair, never a
+    * packed scalar, so arbitrarily large codebook ids can't collide —
+    * and sum. The per-(query, vector) sum is decimal — exact and
     * order-free, so the ranking is bit-reproducible under any
     * partitioning (and in the oracle). Approximate by construction:
     * d2 is measured query→codeword, not query→vector.
@@ -480,18 +481,13 @@ object Similarity {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val cb = pqCodebook(corpus, idCol, vecCol, mSub, modulus)
     val codes = pqEncode(corpus, cb, idCol, vecCol, mSub)
-    val key = (m: Column, code: Column) => m.cast("long") * 1000000L + code
-    val dtq = subspaces(queries, idCol, vecCol, mSub, "query_id")
+    val dt = subspaces(queries, idCol, vecCol, mSub, "query_id")
       .join(broadcast(cb.withColumnRenamed("sv", "csv")), "m")
-      .select(col("query_id"), key(col("m"), col("code")).as("__k"),
+      .select(col("query_id"), col("m"), col("code"),
         round(dist2(col("sv"), col("csv")), 6).as("__pd"))
-      .groupBy(col("query_id"))
-      .agg(map_from_arrays(collect_list(col("__k")),
-        collect_list(col("__pd"))).as("__dt"))
-    val scored = codes.crossJoin(broadcast(dtq))
+    val scored = codes.join(broadcast(dt), Seq("m", "code"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        element_at(col("__dt"), key(col("m"), col("code"))).as("__pd"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("__pd"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("__pd").cast(dec6)).cast(dec6).as("__s"))
       .select(col("query_id"), col("neighbor_id"),

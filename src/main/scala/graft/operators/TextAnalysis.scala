@@ -312,9 +312,14 @@ object TextAnalysis {
         graft.functions.TextFunctions.feature_buckets(col(textCol), dim))
       .as("bucket"))
     val mean = col("__s").cast("double") / col("__n")
-    fx.join(broadcast(weights), "bucket")
+    // LEFT join + coalesce(weight, 0): a sparse trained table (zero
+    // weights pruned — the standard fastText export) must neither drop
+    // a doc whose buckets all miss, nor shrink the mean's denominator —
+    // n counts FEATURES, matched or not.
+    fx.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(sum(col("weight").cast(dec)).cast(dec).as("__s"),
+      .agg(sum(coalesce(col("weight"), lit(0)).cast(dec)).cast(dec)
+          .as("__s"),
         count(lit(1)).as("__n"))
       .select(col(idCol), col("__s").cast("double").as("logit"),
         mean.as("mean_logit"), (mean > threshold).as("keep"))
@@ -330,10 +335,19 @@ object TextAnalysis {
     * VOCABULARY (distinct words — orders of magnitude smaller), with the
     * argmax pair a 1-row driver action per merge (an index-build action,
     * like the k-means centroid collect) and the merged symbol strings
-    * localCheckpoint'ed so plans don't nest across iterations. Merging
-    * rewrites the U+0001-joined symbol string with leftmost
-    * non-overlapping replace — the exact greedy-left BPE semantics, and
-    * identical in the oracle's replace().
+    * localCheckpoint'ed so plans don't nest across iterations.
+    *
+    * Symbol strings are BOUNDARY-MARKED: one U+0001 at each end, TWO
+    * between symbols, and the merge pattern is \1a\1\1b\1 → \1ab\1. A
+    * bare a\1b pattern would also match where one symbol merely ENDS
+    * with `a` and the next STARTS with `b` (merging (b,c) on symbols
+    * [ab, c] would falsely yield [abc]); the boundary marks pin the
+    * pattern to whole symbols, and because each replacement restores
+    * the separators it consumed, leftmost non-overlapping replace is
+    * exactly the greedy-left BPE merge order — including runs
+    * ([b,b,b,b] + (b,b) → [bb,bb]). Identical in the oracle's
+    * replace(). Words containing U+0001 are excluded on both engines
+    * (they would corrupt the encoding).
     */
   def bpeTrain(docs: DataFrame, nMerges: Int = 3,
       textCol: String = "text"): DataFrame = {
@@ -342,18 +356,21 @@ object TextAnalysis {
     val sp = docs.sparkSession
     // sequence(1, n) is DESCENDING when n < 1 (Spark infers step -1), so
     // both char-split and pair extraction guard their short cases.
-    val chars = when(length(col("word")) === 0, lit(""))
-      .otherwise(array_join(transform(
+    val chars = when(length(col("word")) === 0, lit(sep + sep))
+      .otherwise(concat(lit(sep), array_join(transform(
         sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))), sep))
+        i => col("word").substr(i, lit(1))), sep + sep), lit(sep)))
     var words = docs
       .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(!col("word").contains(sep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("sym", chars)
       .localCheckpoint()
     val merges = (1 to nMerges).map { r =>
+      // strip the outer marks, split on the double-separator boundary
+      val inner = col("sym").substr(lit(2), length(col("sym")) - 2)
       val top = words
-        .select(col("n"), split(col("sym"), sep).as("sy"))
+        .select(col("n"), split(inner, sep + sep).as("sy"))
         .filter(size(col("sy")) >= 2)
         .select(col("n"), explode(transform(
           sequence(lit(1), size(col("sy")) - 1),
@@ -365,7 +382,8 @@ object TextAnalysis {
         .head()
       val (a, b) = (top.getString(0), top.getString(1))
       words = words.withColumn("sym",
-          call_function("replace", col("sym"), lit(a + sep + b), lit(a + b)))
+          call_function("replace", col("sym"),
+            lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep)))
         .localCheckpoint()
       (r, a, b, top.getLong(2))
     }

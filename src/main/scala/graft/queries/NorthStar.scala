@@ -24,6 +24,16 @@ object NorthStar {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Deterministic classifier-weight fixture shared by t11 and the d17
+    * capstone — (bucket*37 % 201 - 100)/100, exact hundredths; must stay
+    * in lockstep with the `wts` CTE of both oracles.
+    */
+  private def fixtureWeights(s: SparkSession): DataFrame =
+    s.range(0, 256)
+      .select(col("id").cast("int").as("bucket"),
+        (((col("id") * 37) % 201 - 100) / 100.0)
+          .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----------------------------------------------------------
     "d01_exact_dedup" -> { (s, dir) =>
@@ -104,10 +114,7 @@ object NorthStar {
       val d = docs(s, dir)
       val cleaned = Dedup.removeDuplicatedSpans(d)
         .filter(col("clean_text") =!= "")
-      val weights = s.range(0, 256)
-        .select(col("id").cast("int").as("bucket"),
-          (((col("id") * 37) % 201 - 100) / 100.0)
-            .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+      val weights = fixtureWeights(s)
       val gated = cleaned.join(
         TextAnalysis.qualityScore(cleaned, weights, 256,
             textCol = "clean_text", threshold = -0.05)
@@ -337,10 +344,7 @@ object NorthStar {
     // ((bucket*37 % 201 - 100) / 100 — exact hundredths), decimal-summed
     // logit. A real run feeds trained weights through the same operator.
     "t11_quality_classifier" -> { (s, dir) =>
-      val weights = s.range(0, 256)
-        .select(col("id").cast("int").as("bucket"),
-          (((col("id") * 37) % 201 - 100) / 100.0)
-            .cast(org.apache.spark.sql.types.DecimalType(9, 3)).as("weight"))
+      val weights = fixtureWeights(s)
       TextAnalysis.qualityScore(docs(s, dir), weights, 256)
         .orderBy(col("doc_id"))
     },
@@ -1114,35 +1118,41 @@ object NorthStar {
       FROM u ORDER BY doc_id""",
 
     // Three unrolled merge iterations — the kmeans-oracle discipline
-    // applied to BPE. chr(1) is the symbol separator on both engines;
-    // replace() is leftmost non-overlapping in both, which IS the
+    // applied to BPE. Symbol strings are boundary-marked (one chr(1) at
+    // each end, two between symbols) so the merge pattern
+    // \1a\1\1b\1 -> \1ab\1 can only match WHOLE symbols, and leftmost
+    // non-overlapping replace() — identical in both engines — is the
     // greedy-left BPE merge order.
     "t13_bpe_train" -> raw"""
       WITH wt AS (SELECT string_split_regex(text, '\s+') AS w
                   FROM documents),
       words AS (SELECT g AS word, count(*) AS n FROM wt, unnest(w) AS t(g)
-                GROUP BY g),
-      s0 AS (SELECT word, n, array_to_string(list_transform(
-          generate_series(1, len(word)), i -> word[i:i]), chr(1)) AS sym
+                WHERE g NOT LIKE '%' || chr(1) || '%' GROUP BY g),
+      s0 AS (SELECT word, n, chr(1) || array_to_string(list_transform(
+          generate_series(1, len(word)), i -> word[i:i]),
+          chr(1) || chr(1)) || chr(1) AS sym
         FROM words),
       p1 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym, chr(1)) AS sy FROM s0),
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s0),
           unnest(generate_series(1, len(sy) - 1)) AS t(i)
         GROUP BY 1, 2),
       m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
       s1 AS (SELECT word, n, replace(sym,
-          (SELECT a || chr(1) || b FROM m1),
-          (SELECT a || b FROM m1)) AS sym FROM s0),
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m1),
+          (SELECT chr(1) || a || b || chr(1) FROM m1)) AS sym FROM s0),
       p2 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym, chr(1)) AS sy FROM s1),
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s1),
           unnest(generate_series(1, len(sy) - 1)) AS t(i)
         GROUP BY 1, 2),
       m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
       s2 AS (SELECT word, n, replace(sym,
-          (SELECT a || chr(1) || b FROM m2),
-          (SELECT a || b FROM m2)) AS sym FROM s1),
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m2),
+          (SELECT chr(1) || a || b || chr(1) FROM m2)) AS sym FROM s1),
       p3 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym, chr(1)) AS sy FROM s2),
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s2),
           unnest(generate_series(1, len(sy) - 1)) AS t(i)
         GROUP BY 1, 2),
       m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)

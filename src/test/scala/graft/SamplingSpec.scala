@@ -37,6 +37,24 @@ class SamplingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("null domains and null texts survive as their own group / keep=false") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("a"), Some("one")), (2L, Some("a"), Some("two")),
+      (3L, None, Some("three")), (4L, None, None)
+    ).toDF("doc_id", "domain", "text")
+    val out = Sampling.temperatureMixture(docs, "domain", 2L).cache()
+    // every input row comes back — the NULL domain is a real group
+    assert(out.count() === 4L)
+    val nullRates = out.filter(col("domain").isNull)
+      .select("sample_rate").distinct().collect()
+    assert(nullRates.length === 1) // one rate, computed from n=2
+    // null text can't hash: keep is false, never NULL
+    val r4 = out.filter(col("doc_id") === 4L).select("keep").head()
+    assert(!r4.isNullAt(0) && !r4.getBoolean(0))
+    out.unpersist()
+  }
+
   test("rates cap at 1 when the budget exceeds the corpus") {
     val out = Sampling.temperatureMixture(fixture, "domain", 10000L)
     assert(out.select(max(col("sample_rate"))).head().getDouble(0) === 1.0)

@@ -130,6 +130,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(merges(2) === ((3, "l", "o", 7L)))
   }
 
+  test("bpe merges only whole symbols, never inside earlier merges") {
+    import spark.implicits._
+    // after merging (a,b): 'abc' = [ab, c]; a bare-separator replace
+    // would then let (b,c) falsely merge [ab, c] into one symbol [abc],
+    // leaving nothing for iteration 3 — the boundary marks prevent it
+    val docs = Seq(
+      (1L, Seq.fill(10)("ab").mkString(" ")),
+      (2L, Seq.fill(6)("bc").mkString(" ")),
+      (3L, Seq.fill(3)("abc").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrain(docs, nMerges = 3).orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) === ((1, "a", "b", 13L)))
+    assert(m(1) === ((2, "b", "c", 6L)))  // only the 'bc' words
+    assert(m(2) === ((3, "ab", "c", 3L))) // [ab, c] survived intact
+    // greedy-left on runs: [b,b,b,b] + (b,b) -> [bb, bb], not [bb, b, b]
+    val runs = Seq((1L, "bbbb bbbb")).toDF("doc_id", "text")
+    val rm = TextAnalysis.bpeTrain(runs, nMerges = 2).orderBy("merge_rank")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rm(0) === ((1, "b", "b", 6L)))
+    assert(rm(1) === ((2, "bb", "bb", 2L)))
+  }
+
   test("native feature buckets == declarative md5 formulation") {
     val d = Tables.load(spark, sf, "documents")
     val a = d.select(col("doc_id"), graft.functions.TextFunctions
@@ -159,6 +184,16 @@ class TextAnalysisSpec extends SparkSpec {
     val neg = TextAnalysis.qualityScore(docs, const(-0.5), 64).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(neg(1L) === false && neg(2L) === false)
+    // a SPARSE weight table (pruned zero rows) must not drop docs whose
+    // buckets all miss, nor shrink the mean's denominator
+    val empty = spark.range(0, 0)
+      .select(col("id").cast("int").as("bucket"),
+        lit(1.0).cast(org.apache.spark.sql.types.DecimalType(9, 3))
+          .as("weight"))
+    val sparse = TextAnalysis.qualityScore(docs, empty, 64).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(sparse.keySet === Set(1L, 2L)) // both docs still reported
+    assert(sparse(1L) === ((0.0, 0.0)))   // 5 features, all weight 0
     // real (varying) weights are deterministic across runs
     val w = spark.range(0, 64).select(col("id").cast("int").as("bucket"),
       (((col("id") * 37) % 201 - 100) / 100.0)
