@@ -355,6 +355,16 @@ object NorthStar {
       TextAnalysis.bpeTrain(docs(s, dir)).orderBy(col("merge_rank"))
     },
 
+    // BPE encoding with the merges trained by t13: the tiny merge table is
+    // model output (driver-side by design, like the k-means centroid
+    // collect), then the corpus encode is one map-only scan.
+    "t14_bpe_encode" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d).orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(d, merges).orderBy(col("doc_id"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -489,6 +499,44 @@ object NorthStar {
         FROM cand JOIN sig sa ON sa.doc_id = cand.a
                   JOIN sig sb ON sb.doc_id = cand.b)"""
   private val MinhashCtes = minhashCtes()
+
+  /** Shared by t13 (training) and t14 (encoding): word-frequency table →
+    * boundary-marked symbol strings → three unrolled greedy merges
+    * (m1..m3 the merge pairs, s0..s2 the vocabulary states).
+    */
+  private val BpeMergeCtes: String = raw"""
+      WITH wt AS (SELECT string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      words AS (SELECT g AS word, count(*) AS n FROM wt, unnest(w) AS t(g)
+                WHERE g NOT LIKE '%' || chr(1) || '%' GROUP BY g),
+      s0 AS (SELECT word, n, chr(1) || array_to_string(list_transform(
+          generate_series(1, len(word)), i -> word[i:i]),
+          chr(1) || chr(1)) || chr(1) AS sym
+        FROM words),
+      p1 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s0),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+      s1 AS (SELECT word, n, replace(sym,
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m1),
+          (SELECT chr(1) || a || b || chr(1) FROM m1)) AS sym FROM s0),
+      p2 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s1),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+      s2 AS (SELECT word, n, replace(sym,
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m2),
+          (SELECT chr(1) || a || b || chr(1) FROM m2)) AS sym FROM s1),
+      p3 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
+          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
+           FROM s2),
+          unnest(generate_series(1, len(sy) - 1)) AS t(i)
+        GROUP BY 1, 2),
+      m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)"""
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup" -> """
@@ -1123,45 +1171,38 @@ object NorthStar {
     // \1a\1\1b\1 -> \1ab\1 can only match WHOLE symbols, and leftmost
     // non-overlapping replace() — identical in both engines — is the
     // greedy-left BPE merge order.
-    "t13_bpe_train" -> raw"""
-      WITH wt AS (SELECT string_split_regex(text, '\s+') AS w
-                  FROM documents),
-      words AS (SELECT g AS word, count(*) AS n FROM wt, unnest(w) AS t(g)
-                WHERE g NOT LIKE '%' || chr(1) || '%' GROUP BY g),
-      s0 AS (SELECT word, n, chr(1) || array_to_string(list_transform(
-          generate_series(1, len(word)), i -> word[i:i]),
-          chr(1) || chr(1)) || chr(1) AS sym
-        FROM words),
-      p1 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
-           FROM s0),
-          unnest(generate_series(1, len(sy) - 1)) AS t(i)
-        GROUP BY 1, 2),
-      m1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
-      s1 AS (SELECT word, n, replace(sym,
-          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m1),
-          (SELECT chr(1) || a || b || chr(1) FROM m1)) AS sym FROM s0),
-      p2 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
-           FROM s1),
-          unnest(generate_series(1, len(sy) - 1)) AS t(i)
-        GROUP BY 1, 2),
-      m2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
-      s2 AS (SELECT word, n, replace(sym,
-          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m2),
-          (SELECT chr(1) || a || b || chr(1) FROM m2)) AS sym FROM s1),
-      p3 AS (SELECT sy[i] AS a, sy[i+1] AS b, sum(n) AS c FROM
-          (SELECT n, string_split(sym[2:len(sym)-1], chr(1) || chr(1)) AS sy
-           FROM s2),
-          unnest(generate_series(1, len(sy) - 1)) AS t(i)
-        GROUP BY 1, 2),
-      m3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+    "t13_bpe_train" -> (BpeMergeCtes + raw"""
       SELECT CAST(merge_rank AS INT) AS merge_rank, lft, rgt,
         CAST(pair_count AS BIGINT) AS pair_count FROM (
         SELECT 1 AS merge_rank, a AS lft, b AS rgt, c AS pair_count FROM m1
         UNION ALL SELECT 2, a, b, c FROM m2
         UNION ALL SELECT 3, a, b, c FROM m3)
-      ORDER BY merge_rank""",
+      ORDER BY merge_rank"""),
+
+    // BPE encoding: finish the merge chain (s3 = vocabulary after merge 3),
+    // read each word's tokens off the separators, reassemble per doc in
+    // word order. The LEFT JOIN restores documents with zero encodable
+    // words (md5 of the empty stream), matching Spark's map-only output.
+    "t14_bpe_encode" -> (BpeMergeCtes + raw""",
+      s3 AS (SELECT word, replace(sym,
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m3),
+          (SELECT chr(1) || a || b || chr(1) FROM m3)) AS sym FROM s2),
+      enc AS (SELECT word,
+          replace(replace(sym, chr(1) || chr(1), ' '), chr(1), '') AS tokstr
+        FROM s3),
+      dw AS (SELECT doc_id, w[i] AS word, i AS pos FROM
+          (SELECT doc_id, string_split_regex(text, '\s+') AS w
+           FROM documents),
+          unnest(generate_series(1, len(w))) AS t(i)
+        WHERE w[i] <> '' AND w[i] NOT LIKE '%' || chr(1) || '%'),
+      agg AS (SELECT doc_id, count(*) AS n_words,
+          sum(len(string_split(tokstr, ' '))) AS n_tokens,
+          string_agg(tokstr, ' ' ORDER BY pos) AS stream
+        FROM dw JOIN enc USING (word) GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_words, 0) AS INT) AS n_words,
+        CAST(coalesce(n_tokens, 0) AS INT) AS n_tokens,
+        md5(coalesce(stream, '')) AS token_md5
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""),
 
     // Decimal-exact logit (order-free sum), single double division last —
     // the dsum/davg discipline applied to model scoring.
