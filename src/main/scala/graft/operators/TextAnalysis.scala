@@ -440,6 +440,67 @@ object TextAnalysis {
       md5(array_join(toks, " ")).as("token_md5"))
   }
 
+  /** Bigram language-model scoring (the KenLM/CCNet quality signal): a
+    * word-bigram LM with add-one smoothing is trained on `train` and every
+    * document in `docs` is scored by its average per-bigram log-probability
+    * — logp(w2|w1) = ln((c(w1,w2)+1) / (c(w1)+V)). Output per doc:
+    * (idCol, n_bigrams, avg_logp); documents with fewer than two words get
+    * (0, 0.0).
+    *
+    * Scale: the train side is touched once and collapses to VOCABULARY-
+    * sized count tables (bigram + unigram) with map-side combine. The doc
+    * side pre-aggregates its bigrams per (doc, w1, w2) BEFORE the lookup
+    * join, so the join input is distinct-bigrams-per-doc, not every
+    * occurrence. The unigram table and the V scalar are broadcast; the
+    * bigram join is left unhinted — a web-scale bigram table outgrows a
+    * broadcast, and AQE picks the broadcast automatically when it fits.
+    * Per-bigram log-probs are rounded to 6 decimals and summed as
+    * DECIMAL(18,6) (exact, order-free — the [[qualityScore]] discipline),
+    * with the single double division last, so scores are bit-reproducible
+    * on any partitioning and any engine.
+    */
+  def bigramLmScore(docs: DataFrame, train: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    def words(c: Column): Column =
+      filter(split(c, "\\s+"), w => length(w) > lit(0))
+    // sequence(1, n) is DESCENDING for n < 1 (step -1 inferred): guard the
+    // under-two-words case to an empty pair array.
+    def bigrams(ws: Column): Column =
+      when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"))))
+    val trainWords = train.select(explode(words(col(textCol))).as("w1"))
+    val c1 = trainWords.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = train.select(explode(bigrams(words(col(textCol)))).as("bg"))
+      .groupBy(col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    // V = |vocabulary| = row count of the unigram table.
+    val vsz = c1.agg(count(lit(1)).as("vsz"))
+    val db = docs
+      .select(col(idCol), explode(bigrams(words(col(textCol)))).as("bg"))
+      .groupBy(col(idCol), col("bg")("w1").as("w1"), col("bg")("w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val scored = db
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(broadcast(c1), Seq("w1"), "left")
+      .crossJoin(broadcast(vsz))
+      .withColumn("lp", round(log(
+          (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("vsz"))), 6).cast(dec))
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("lp") * col("n")).as("slp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("slp"), lit(0)).cast("double") /
+          when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(1L))
+            .otherwise(col("n_bigrams")), 6).as("avg_logp"))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

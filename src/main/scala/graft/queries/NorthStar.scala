@@ -365,6 +365,15 @@ object NorthStar {
       TextAnalysis.bpeEncode(d, merges).orderBy(col("doc_id"))
     },
 
+    // Bigram-LM perplexity signal (KenLM/CCNet shape): train the add-one-
+    // smoothed LM on the src0 slice, score every document by average
+    // bigram log-probability.
+    "t15_bigram_lm" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.bigramLmScore(d, d.filter(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -1203,6 +1212,38 @@ object NorthStar {
         CAST(coalesce(n_tokens, 0) AS INT) AS n_tokens,
         md5(coalesce(stream, '')) AS token_md5
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""),
+
+    // Add-one-smoothed bigram LM trained on the src0 slice; per-bigram
+    // log-probs rounded to 6 decimals then decimal-summed (order-free),
+    // single double division last — the t11 discipline.
+    "t15_bigram_lm" -> raw"""
+      WITH tr AS (SELECT string_split_regex(text, '\s+') AS w FROM documents
+                  WHERE source = 'src0'),
+      trb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM tr,
+              unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE w[i] <> '' AND w[i+1] <> ''),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY 1, 2),
+      tru AS (SELECT w[i] AS w1 FROM tr,
+              unnest(generate_series(1, len(w))) AS t(i) WHERE w[i] <> ''),
+      c1 AS (SELECT w1, count(*) AS c1 FROM tru GROUP BY 1),
+      v AS (SELECT count(DISTINCT w1) AS vsz FROM tru),
+      db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS n
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+             unnest(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE w[i] <> '' AND w[i+1] <> '' GROUP BY 1, 2, 3),
+      sc AS (SELECT doc_id, n,
+              CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
+                            (coalesce(c1.c1, 0) + (SELECT vsz FROM v))), 6)
+                   AS DECIMAL(18,6)) AS lp
+             FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+      agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+              sum(lp * n) AS slp FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        round(CAST(coalesce(slp, 0) AS DOUBLE) /
+              CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END,
+              6) AS avg_logp
+      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
 
     // Decimal-exact logit (order-free sum), single double division last —
     // the dsum/davg discipline applied to model scoring.

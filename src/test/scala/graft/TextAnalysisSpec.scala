@@ -155,6 +155,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rm(1) === ((2, "bb", "bb", 2L)))
   }
 
+  test("bigram LM scores by smoothed average log-probability") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val docsDf = Seq((1L, "a b"), (2L, "z q"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docsDf, train).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // train "a b a c": V=3, c(a)=2, c(a,b)=1 -> p(b|a) = (1+1)/(2+3)
+    assert(out(1L) === ((1L, r6(math.log(2.0 / 5.0)))))
+    // fully unseen bigram: (0+1)/(0+3)
+    assert(out(2L) === ((1L, r6(math.log((0 + 1.0) / (0 + 3))))))
+    // under two words: defined zero, not NULL
+    assert(out(3L) === ((0L, 0.0)))
+  }
+
   test("native feature buckets == declarative md5 formulation") {
     val d = Tables.load(spark, sf, "documents")
     val a = d.select(col("doc_id"), graft.functions.TextFunctions
