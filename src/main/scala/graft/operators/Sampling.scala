@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -64,5 +64,63 @@ object Sampling {
         md5Long(concat(lit(seed + ":"), col(textCol))) % 1000000L
           < col("__thr"), lit(false)))
       .drop("__thr", "__dom")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): estimate hashed-n-gram bag-of-words models
+    * of a TARGET corpus (the distribution you want more of) and a RAW
+    * corpus (what you have), then weight every document by its
+    * log-likelihood ratio — log w(x) = Σ_features [ln p_target(bucket) −
+    * ln p_raw(bucket)] with add-one smoothing over `dim` buckets.
+    * Features are the [[graft.functions.TextFunctions.feature_buckets]]
+    * unigram+bigram hash trick (native codegen'd expression — one md5 per
+    * feature), the same featurizer as [[TextAnalysis.qualityScore]].
+    *
+    * Output per doc: (idCol, n_feats, log_weight, keep) where keep is the
+    * sign gate log_weight > 0 (doc looks more target-like than raw-like)
+    * — the deterministic selection rule; full importance RESAMPLING needs
+    * only a hash-vs-rate test against these weights downstream.
+    *
+    * Scale: both corpus models collapse to `dim`-row count tables (one
+    * aggregation each, map-side combined); the per-bucket log-ratio table
+    * is dim rows, broadcast; scoring is then one map pass over the
+    * exploded features with a broadcast join and a per-doc partial
+    * aggregation — no shuffle ever carries more than (docs × distinct
+    * buckets ≤ dim) rows. Log-ratios round to 6 decimals and sum as
+    * DECIMAL(18,6) (exact, order-free), so weights are bit-reproducible
+    * on any partitioning and cross-engine.
+    */
+  def dsirWeights(docs: DataFrame, target: DataFrame, raw: DataFrame,
+      dim: Int = 256, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0)
+    val dec6 = DecimalType(18, 6)
+    def fx(df: DataFrame, cols: Column*): DataFrame =
+      df.select(cols :+ explode(graft.functions.TextFunctions
+        .feature_buckets(col(textCol), dim)).as("bucket"): _*)
+    val tc = fx(target).groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val rc = fx(raw).groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val nt = tc.agg(sum(col("ct")).as("nt"))
+    val nr = rc.agg(sum(col("cr")).as("nr"))
+    def ratio(ct: Column, cr: Column): Column =
+      round(log((ct + lit(1.0)) / (col("nt") + lit(dim))) -
+        log((cr + lit(1.0)) / (col("nr") + lit(dim))), 6).cast(dec6)
+    val lr = tc.join(rc, Seq("bucket"), "full")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .select(col("bucket"),
+        ratio(coalesce(col("ct"), lit(0L)), coalesce(col("cr"), lit(0L)))
+          .as("lw"))
+    // LEFT join + the smoothed zero-count default: a scored doc OUTSIDE
+    // target ∪ raw can carry buckets neither corpus saw, and add-one
+    // smoothing gives those ln((nr+dim)/(nt+dim)), not a dropped row.
+    fx(docs, col(idCol))
+      .join(broadcast(lr), Seq("bucket"), "left")
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("__lw", coalesce(col("lw"), ratio(lit(0L), lit(0L))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lw")).as("__s"))
+      .select(col(idCol), col("n_feats"),
+        round(col("__s").cast("double"), 6).as("log_weight"),
+        (col("__s").cast("double") > 0.0).as("keep"))
   }
 }

@@ -374,6 +374,17 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR importance weights: src0 as the target distribution, the rest
+    // as raw; every document weighted by its hashed-n-gram log-likelihood
+    // ratio.
+    "t16_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.Sampling.dsirWeights(d,
+          d.filter(col("source") === "src0"),
+          d.filter(col("source") =!= "src0"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- multimodal -----------------------------------------------------
     "m01_multimodal_meta" -> { (s, dir) =>
       Multimodal.withMediaMeta(
@@ -1244,6 +1255,38 @@ object NorthStar {
               CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END,
               6) AS avg_logp
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+
+    // DSIR log-likelihood-ratio weights over the t11 hashed features;
+    // per-bucket log-ratios rounded then decimal-summed per doc.
+    "t16_dsir_weights" -> raw"""
+      WITH feats AS (SELECT doc_id, source,
+          CASE WHEN len(w) >= 2
+            THEN w || list_transform(generate_series(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+1], ' '))
+            ELSE w END AS f
+        FROM (SELECT doc_id, source, string_split_regex(text, '\s+') AS w
+              FROM documents)),
+      fx AS (SELECT doc_id, source, ${h("g")} % 256 AS bucket
+             FROM feats, unnest(f) AS t(g)),
+      tc AS (SELECT bucket, count(*) AS ct FROM fx WHERE source = 'src0'
+             GROUP BY bucket),
+      rc AS (SELECT bucket, count(*) AS cr FROM fx WHERE source <> 'src0'
+             GROUP BY bucket),
+      nt AS (SELECT count(*) AS n FROM fx WHERE source = 'src0'),
+      nr AS (SELECT count(*) AS n FROM fx WHERE source <> 'src0'),
+      lr AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+              CAST(round(ln((coalesce(ct, 0) + 1.0) /
+                            ((SELECT n FROM nt) + 256))
+                       - ln((coalesce(cr, 0) + 1.0) /
+                            ((SELECT n FROM nr) + 256)), 6)
+                   AS DECIMAL(18,6)) AS lw
+             FROM tc FULL JOIN rc USING (bucket)),
+      sc AS (SELECT doc_id, count(*) AS n_feats, sum(lw) AS s
+             FROM fx JOIN lr USING (bucket) GROUP BY doc_id)
+      SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+        round(CAST(s AS DOUBLE), 6) AS log_weight,
+        CAST(s AS DOUBLE) > 0.0 AS keep
+      FROM sc ORDER BY doc_id""",
 
     // Decimal-exact logit (order-free sum), single double division last —
     // the dsum/davg discipline applied to model scoring.

@@ -61,6 +61,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.filter(!col("keep")).count() === 0L)
   }
 
+  test("dsir weights separate target-like from raw-like documents") {
+    import spark.implicits._
+    val target = Seq((0L, "alpha alpha")).toDF("doc_id", "text")
+    val raw = Seq((10L, "beta beta")).toDF("doc_id", "text")
+    val docs = Seq((1L, "alpha alpha"), (2L, "beta beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val out = Sampling.dsirWeights(docs, target, raw).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // 2 words -> 2 unigrams + 1 bigram
+    assert(out(1L)._1 === 3L && out(2L)._1 === 3L && out(3L)._1 === 1L)
+    assert(out(1L)._2 > 0 && out(1L)._3, "target-vocab doc must score > 0")
+    assert(out(2L)._2 < 0 && !out(2L)._3, "raw-vocab doc must score < 0")
+    // bucket unseen by BOTH corpora: smoothed default ln((nr+d)/(nt+d)),
+    // here nt = nr so exactly 0 — the doc survives, undecided, not dropped
+    assert(out(3L)._2 === 0.0 && !out(3L)._3)
+    // weights are symmetric here: swapping corpora flips the sign
+    val sw = Sampling.dsirWeights(docs, raw, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sw(1L) === -out(1L)._2 && sw(2L) === -out(2L)._2)
+  }
+
   test("alpha = 1 degenerates to proportional sampling (uniform rate)") {
     val rates = Sampling.temperatureMixture(fixture, "domain", 50L, alpha = 1.0)
       .select(col("sample_rate")).distinct().collect().map(_.getDouble(0))
