@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * The right side must be unique per (key, time) — dedupe first, otherwise
   * which of the tied rows wins is nondeterministic in any engine.
+  *
+  * NULL-time right rows are dropped up front in BOTH paths: a row with no
+  * time has no position on the as-of axis, so it can never be "the latest
+  * at or before t". (Before this filter the plain path could carry one —
+  * NULLs sort first under the ascending scan — while the bucketed path's
+  * max_by/min_by summaries skipped it, a row-for-row divergence.)
   */
 object AsOfJoin {
 
@@ -72,8 +78,10 @@ object AsOfJoin {
     val l = left.withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
       .withColumn("__side", lit(1))
       .withColumn("__m", lit(null).cast(mType))
+    // NULL-time right rows can never be an as-of match (see scaladoc).
+    val rightTimed = right.filter(col(timeR).isNotNull)
     val r = leftCols.foldLeft(
-      right.withColumn("__k", col(keyR)).withColumn("__t", col(timeR))
+      rightTimed.withColumn("__k", col(keyR)).withColumn("__t", col(timeR))
         .withColumn("__side", lit(0)).withColumn("__m", matchStruct))(
       (d, c) => d.withColumn(c, lit(null)))
     val cols = (leftCols ++ Seq("__k", "__t", "__side", "__m")).map(col)

@@ -40,7 +40,13 @@ object Dedup {
     * exactly via the rank == cap+1 sentinel row — one per hot bucket, no
     * distinct needed). A production run reads them off the query's
     * observedMetrics / QueryExecutionListener; [[bucketOverflow]] remains
-    * the per-bucket forensic twin.
+    * the per-bucket forensic twin. The node sits below the candidate
+    * self-join's shuffle and its subtree feeds both sides of that join —
+    * DedupSpec asserts the metrics still surface through observedMetrics
+    * with AQE on, for every capped generator. Caveats that DO apply:
+    * metrics exist only after an action on the SAME QueryExecution
+    * (collect the DataFrame you observe, or attach an Observation), and
+    * a plan that short-circuits the subtree (e.g. LIMIT 0) reports zeros.
     */
   private def capBucket(df: DataFrame, keys: Seq[String], idCol: String,
       maxBucket: Int, observeAs: String = null): DataFrame =

@@ -409,16 +409,26 @@ object Similarity {
   // ---- product quantization --------------------------------------------
 
   /** Per-row subspace slices: (id, m, sv) with sv the m-th of `mSub`
-    * equal slices of the vector (requires dim % mSub == 0). posexplode
-    * of a per-row transform — map-only, N×mSub narrow rows.
+    * equal slices of the vector (requires dim % mSub == 0, ENFORCED per
+    * row — a non-divisible dimension would otherwise silently truncate
+    * the trailing components out of every distance). posexplode of a
+    * per-row transform — map-only, N×mSub narrow rows.
     */
   private def subspaces(df: DataFrame, idCol: String, vecCol: String,
       mSub: Int, id: String): DataFrame = {
+    require(mSub > 0, "mSub must be positive")
     val subd = (size(col("v")) / mSub).cast("int")
-    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as("v"))
+    // raise_error inside when(): evaluated per row on the executors, so
+    // the guard costs one integer modulo and no extra pass or action.
+    val guarded = when(size(col("v")) % mSub === 0, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"subspaces: vector dim "), size(col("v")),
+        lit(s" is not divisible by mSub=$mSub"))))
+    df.select(col(idCol).as(id),
+        col(vecCol).cast("array<double>").as("v"))
       .select(col(id), posexplode(
         transform(sequence(lit(0), lit(mSub - 1)),
-          mi => slice(col("v"), mi * subd + 1, subd))))
+          mi => slice(guarded, mi * subd + 1, subd))))
       .select(col(id), col("pos").cast("int").as("m"), col("col").as("sv"))
   }
 

@@ -145,10 +145,12 @@ object TextAnalysis {
     * n_bloom_candidates - n_hits per doc counts the bloom's false
     * positives, the recall-free knob a production run monitors. The
     * counts ride the confirm join itself (LEFT join + hit marker, one
-    * aggregation) rather than observe() metrics: under AQE a
-    * CollectMetricsExec below the confirm shuffle lands inside a
-    * materialized query stage and never surfaces through
-    * observedMetrics, so in-plan columns are the reliable channel here.
+    * aggregation) rather than observe() metrics — not because observe()
+    * is unreliable here (DedupSpec verifies CollectMetricsExec below a
+    * shuffle DOES surface through observedMetrics under AQE on this
+    * Spark), but because these are PER-DOC values a downstream consumer
+    * filters and joins on: row-level data belongs in the plan's output,
+    * run-level telemetry in observed metrics (capBucket's channel).
     */
   def decontaminateBloom(train: DataFrame, evalCorpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -366,10 +368,14 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("sym", chars)
       .localCheckpoint()
-    val merges = (1 to nMerges).map { r =>
+    // Iterator + takeWhile: a corpus whose vocabulary runs out of adjacent
+    // symbol pairs (all words <= 1 char, empty corpus, or nMerges larger
+    // than the number of learnable merges) returns the merges found so
+    // far instead of crashing on an empty aggregation.
+    val merges = (1 to nMerges).iterator.map { r =>
       // strip the outer marks, split on the double-separator boundary
       val inner = col("sym").substr(lit(2), length(col("sym")) - 2)
-      val top = words
+      words
         .select(col("n"), split(inner, sep + sep).as("sy"))
         .filter(size(col("sy")) >= 2)
         .select(col("n"), explode(transform(
@@ -379,14 +385,15 @@ object TextAnalysis {
         .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
         .agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .head()
-      val (a, b) = (top.getString(0), top.getString(1))
-      words = words.withColumn("sym",
-          call_function("replace", col("sym"),
-            lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep)))
-        .localCheckpoint()
-      (r, a, b, top.getLong(2))
-    }
+        .limit(1).collect().headOption.map { top =>
+          val (a, b) = (top.getString(0), top.getString(1))
+          words = words.withColumn("sym",
+              call_function("replace", col("sym"),
+                lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep)))
+            .localCheckpoint()
+          (r, a, b, top.getLong(2))
+        }
+    }.takeWhile(_.isDefined).flatten.toSeq
     import sp.implicits._
     merges.toDF("merge_rank", "lft", "rgt", "pair_count")
   }

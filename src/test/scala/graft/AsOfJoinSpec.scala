@@ -125,8 +125,10 @@ class AsOfJoinSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     // one key owns 90% of both sides — the shape that serializes the
     // per-key window into a single task without the bucket pre-pass.
-    // NULL keys and NULL times are included: window partitioning groups
-    // them, so the bucketed path must carry them too (null-safe joins).
+    // NULL keys and NULL times are included on both sides: NULL-key rows
+    // group together under window partitioning (null-safe joins must keep
+    // them), and the NULL-TIME right row must be dropped identically by
+    // both paths (it has no as-of position — see leftAsOf's scaladoc).
     val left = (0 until 500).map { i =>
       val k = if (i >= 490) None
         else if (i < 450) Some(1L) else Some(1L + rnd.nextInt(10))
