@@ -398,6 +398,51 @@ object Dedup {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Incremental (cross-snapshot) dedup: mark each NEW document that
+    * duplicates the EXISTING corpus — exactly (same md5) or nearly (shares
+    * a MinHash LSH band) — the nightly-crawl shape: dedup the delta
+    * against yesterday's corpus without re-pairing the corpus with itself.
+    *
+    * Scale: both checks are SEMI joins — no candidate pair is ever
+    * materialized, so unlike the self-join generators there is no
+    * quadratic bucket risk and no cap. The existing side reduces to two
+    * distinct-key indexes (text md5s; (band_idx, band_val) band keys) that
+    * a production run precomputes once and stores; each delta then costs
+    * one map pass over the new docs plus two shuffles on the index keys,
+    * independent of corpus size. New-vs-new duplicates are deliberately
+    * NOT handled here — run the self-join generators on the (small) delta
+    * for that.
+    *
+    * Output: one row per new doc — (idCol, dropped, reason) with reason
+    * 'exact' (winning over 'near' when both hit) / 'near' / NULL.
+    */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val nw = newDocs.repartition(col(idCol))
+    val exactIdx = existing.select(md5(col(textCol)).as("__h")).distinct()
+    val exactHit = nw.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(exactIdx, Seq("__h"), "left_semi")
+      .select(col(idCol).as("__eid"))
+    val bandIdx = minhashBands(
+        minhashSignatures(existing.repartition(col(idCol)), idCol, textCol,
+          k), k, bands)
+      .select(col("band_idx"), col("band_val")).distinct()
+    val nearHit = minhashBands(minhashSignatures(nw, idCol, textCol, k),
+        k, bands)
+      .select(col(idCol), col("band_idx"), col("band_val"))
+      .join(bandIdx, Seq("band_idx", "band_val"), "left_semi")
+      .select(col(idCol)).distinct()
+      .select(col(idCol).as("__nid"))
+    newDocs.select(col(idCol))
+      .join(exactHit, col(idCol) === col("__eid"), "left")
+      .join(nearHit, col(idCol) === col("__nid"), "left")
+      .select(col(idCol),
+        (col("__eid").isNotNull || col("__nid").isNotNull).as("dropped"),
+        when(col("__eid").isNotNull, "exact")
+          .when(col("__nid").isNotNull, "near").as("reason"))
+  }
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Exact-cosine confirmation shared by both near-dup paths: joins the

@@ -68,6 +68,37 @@ object Multimodal {
       .select(col(idCol), col("frame_idx"), col("frame_md5"))
   }
 
+  /** Overlapping fixed-window chunking of a binary payload — the audio/
+    * video segmentation shape: windows of `window` bytes every `stride`
+    * bytes (stride < window ⇒ overlap), covering the whole payload, tail
+    * windows truncated at the end. Variable chunk count per row (vs
+    * [[withFrameSamples]]'s fixed n), pure expression work: one
+    * posexplode over a byte-offset sequence, map-only, no shuffle —
+    * chunking 100 TB of media is an embarrassingly-parallel scan. Empty
+    * payloads yield no chunks. Fingerprints hash the HEX encoding of the
+    * window (byte-exact and engine-portable; see [[withFrameSamples]]).
+    * Output: (idCol, chunk_idx, start_byte, n_bytes, chunk_md5).
+    */
+  def chunkPayload(df: DataFrame, window: Int = 64, stride: Int = 48,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window,
+      "stride must be in 1..window (gaps would drop bytes)")
+    val p = col(payloadCol)
+    df.filter(length(p) > 0)
+      .select(col(idCol), p,
+        posexplode(sequence(lit(0), length(p) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__sb")))
+      .withColumn("start_byte", col("__sb").cast("long"))
+      .withColumn("n_bytes",
+        least(lit(window), length(p) - col("__sb")).cast("long"))
+      .withColumn("chunk_md5", md5(hex(p).substr(
+        (col("start_byte") * 2 + 1).cast("int"),
+        (col("n_bytes") * 2).cast("int"))))
+      .select(col(idCol), col("chunk_idx"), col("start_byte"),
+        col("n_bytes"), col("chunk_md5"))
+  }
+
   /** Deterministic stand-in for a real media decoder. Batched per partition:
     * real codecs amortize context setup across the batch exactly like this.
     * Features derive from the CrossHash md5 convention (first 15 hex digits

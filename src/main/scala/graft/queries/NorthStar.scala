@@ -162,6 +162,19 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Incremental dedup: the doc_id % 5 == 0 slice plays the newly-crawled
+    // delta, the rest yesterday's corpus. Semi-join-only — the certified
+    // scale shape for deduping a delta against an existing 100 TB corpus.
+    // (The fixture has no exact cross-slice dups, so the oracle certifies
+    // the near/kept branches; DedupSpec's fixture covers exact + the
+    // exact-over-near precedence.)
+    "d18_incremental_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalDedup(
+          d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0))
+        .orderBy(col("doc_id"))
+    },
+
     // Capstone: the full pretraining-corpus pipeline composed end-to-end —
     // quality gate (t07 keep) → PII redaction (t08) → exact dedup on the
     // clean text → MinHash near-dedup → reproducible hash split — with one
@@ -410,6 +423,14 @@ object NorthStar {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Overlapped sliding-window chunking (64-byte windows, 48-byte
+    // stride): the audio-segmentation shape, variable chunks per payload.
+    "m05_chunk_payload" -> { (s, dir) =>
+      Multimodal.chunkPayload(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Batched stub resize (stride downsample through mapPartitions — the
     // real resampler shape), fingerprint fully oracle-checked.
     "m04_resize_stub" -> { (s, dir) =>
@@ -567,6 +588,26 @@ object NorthStar {
       WITH $MinhashCtes
       SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
       FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    // bands0 (uncapped bands) comes from MinhashCtes; the trailing
+    // bands/cand/pairs CTEs are simply unused here. EXISTS mirrors the
+    // Spark side's semi joins.
+    "d18_incremental_dedup" -> s"""
+      WITH $MinhashCtes,
+      nw AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      ex_hit AS (SELECT DISTINCT n.doc_id FROM documents n
+        WHERE n.doc_id % 5 = 0 AND EXISTS (SELECT 1 FROM documents e
+          WHERE e.doc_id % 5 != 0 AND md5(e.text) = md5(n.text))),
+      nr_hit AS (SELECT DISTINCT x.doc_id FROM bands0 x
+        WHERE x.doc_id % 5 = 0 AND EXISTS (SELECT 1 FROM bands0 y
+          WHERE y.doc_id % 5 != 0 AND y.b = x.b AND y.bv = x.bv))
+      SELECT nw.doc_id,
+        (e.doc_id IS NOT NULL OR r.doc_id IS NOT NULL) AS dropped,
+        CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+             WHEN r.doc_id IS NOT NULL THEN 'near' END AS reason
+      FROM nw LEFT JOIN ex_hit e ON nw.doc_id = e.doc_id
+              LEFT JOIN nr_hit r ON nw.doc_id = r.doc_id
+      ORDER BY nw.doc_id""",
 
     "d08_dup_clusters" -> s"""
       WITH RECURSIVE $MinhashCtes,
@@ -1348,6 +1389,18 @@ object NorthStar {
                AS frame_md5
       FROM f WHERE off <= nb
       ORDER BY doc_id, frame_idx""",
+
+    "m05_chunk_payload" -> """
+      WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS nb FROM documents
+        WHERE octet_length(encode(text)) > 0),
+      s AS (SELECT doc_id, hx, nb, CAST(t.sb AS BIGINT) AS start_byte
+        FROM c, unnest(generate_series(0, nb - 1, 48)) AS t(sb))
+      SELECT doc_id, CAST(start_byte // 48 AS INT) AS chunk_idx, start_byte,
+        CAST(least(64, nb - start_byte) AS BIGINT) AS n_bytes,
+        md5(substring(hx, CAST(start_byte * 2 + 1 AS INT),
+            CAST(least(64, nb - start_byte) * 2 AS INT))) AS chunk_md5
+      FROM s ORDER BY doc_id, chunk_idx""",
 
     "m04_resize_stub" -> """
       WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -104,6 +104,39 @@ object Pipeline {
         .orderBy(col("split"))
     },
 
+    // Sequence packing: two-level prefix-sum scan (per-block partials, a
+    // window over the block SUMMARY, broadcast join back) — the scalable
+    // form of the global running sum a packing writer needs. blockSize 64
+    // exercises the multi-block path even at sf0.01; the result is
+    // blockSize-invariant (long addition is associative), which is exactly
+    // what the single-running-sum oracle certifies.
+    "t17_sequence_pack" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(d, "doc_id", "n_tokens", seqLen = 512, blockSize = 64)
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-level repeated n-gram report: which 5-grams appear in more
+    // than one document (the "hot phrase" forensic behind span dedup).
+    // Shingles are per-doc distinct already, so n_docs is a plain count;
+    // partial agg + TakeOrderedAndProject — no global window, no shuffle
+    // beyond the one gram aggregation.
+    "t18_repeated_ngrams" -> { (s, dir) =>
+      val grams = docs(s, dir).select(
+        explode(graft.operators.Dedup.shingles(col("text"), 5)).as("gram"))
+      val top = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("gram"))
+        .limit(20)
+      // rank assigned AFTER the top-k cut: the un-partitioned window only
+      // ever sees the 20 surviving rows.
+      top.withColumn("rank", row_number().over(
+          Window.orderBy(col("n_docs").desc, col("gram"))))
+        .orderBy(col("rank"))
+    },
+
     // Per-label embedding centroids: posexplode → two-stage chunked ordered
     // fold per (label, idx) (Similarity.chunkedOrderedSum) — fixed addition
     // tree, so bit-reproducible AND bounded-buffer: a label owning 90% of
@@ -191,6 +224,40 @@ object Pipeline {
         r.sample_rate
       FROM dd d JOIN rates r USING (domain)
       GROUP BY d.domain, r.n, r.sample_rate ORDER BY domain""",
+
+    // Single running-sum formulation: certifies the two-level scan is
+    // exactly the plain prefix sum. sum() OVER in DuckDB yields HUGEINT —
+    // cast back to BIGINT to match Spark's long.
+    "t17_sequence_pack" -> raw"""
+      WITH d AS (SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      p AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS start_token FROM d)
+      SELECT doc_id, n_tokens, start_token,
+        CASE WHEN n_tokens > 0 THEN start_token // 512 END AS first_seq,
+        CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512 END
+          AS last_seq,
+        CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512
+             - start_token // 512 + 1 ELSE 0 END AS n_seqs
+      FROM p ORDER BY doc_id""",
+
+    "t18_repeated_ngrams" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 5
+          THEN list_transform(generate_series(1, len(w) - 4),
+            i -> array_to_string(w[i:i+4], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh FROM wt),
+      g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+      c AS (SELECT gram, count(*) AS n_docs FROM g
+            GROUP BY gram HAVING count(*) > 1),
+      r AS (SELECT gram, n_docs, row_number()
+          OVER (ORDER BY n_docs DESC, gram) AS "rank" FROM c)
+      SELECT gram, n_docs, CAST("rank" AS INT) AS "rank" FROM r
+      WHERE "rank" <= 20 ORDER BY "rank"""",
 
     // Mirrors the Spark two-stage chunk fold (vec_id // 256 grouping) so
     // the certified addition tree is the bounded-buffer one, not the
