@@ -406,6 +406,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF-PQ search — the composition a production ANN index actually
+    * runs at 100 TB: IVF restricts each query to its `nprobe` nearest
+    * cells (so only that fraction of the corpus is scored at all) and PQ
+    * ADC scores the survivors from their compact codes (so the scoring
+    * join touches M small rows per candidate, never the raw vectors).
+    * Doubly approximate: IVF bounds recall by cell coverage, ADC measures
+    * query→codeword. Plan shape: candidate generation is (map-only
+    * assignment) ⨝ broadcast(probes); scoring is codes ⨝ broadcast(cand)
+    * ⨝ broadcast(distance table) + one decimal-sum aggregation — the
+    * corpus is never shuffled, and the decimal sum keeps the ranking
+    * bit-reproducible under any partitioning. The candidate set is
+    * per-query-batch small by construction (nprobe/nCells of the corpus
+    * per query); batch the query stream if it isn't.
+    * Output: (query_id, neighbor_id, approx_d2, rank) — top k.
+    */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidModulus: Int = 50, nprobe: Int = 2, mSub: Int = 8,
+      k: Int = 5): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    val qp = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+    val cand = assign.select(col("id"), col("cell"))
+      .join(broadcast(qp), "cell")
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+    val cb = pqCodebook(corpus, idCol, vecCol, mSub, centroidModulus)
+    val codes = pqEncode(corpus, cb, idCol, vecCol, mSub)
+    // dt covers EVERY (m, code) per query, so the inner join below never
+    // drops a candidate subspace row.
+    val dt = subspaces(queries, idCol, vecCol, mSub, "query_id")
+      .join(broadcast(cb.withColumnRenamed("sv", "csv")), "m")
+      .select(col("query_id"), col("m"), col("code"),
+        round(dist2(col("sv"), col("csv")), 6).as("__pd"))
+    val scored = codes.join(broadcast(cand), "id")
+      .join(broadcast(dt), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__pd").cast(dec6)).cast(dec6).as("__s"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("__s").cast("double").as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("approx_d2"),
+        col("rank"))
+  }
+
   // ---- product quantization --------------------------------------------
 
   /** Per-row subspace slices: (id, m, sv) with sv the m-th of `mSub`

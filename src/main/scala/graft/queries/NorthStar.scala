@@ -281,6 +281,14 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // IVF cell restriction + PQ ADC scoring composed — the production
+    // ANN shape (score only probed cells, and only from compact codes).
+    "s11_ivf_pq_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfPqSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -1011,6 +1019,41 @@ object NorthStar {
           CAST(sum(CAST(d.pd AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
         FROM codes c JOIN dt d ON d.m = c.m AND d.code = c.code
         WHERE c.vec_id != d.query_id
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id, CAST(s AS DOUBLE) AS approx_d2,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY CAST(s AS DOUBLE), neighbor_id) AS "rank" FROM adc)
+      SELECT query_id, neighbor_id, approx_d2, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
+
+    // IVF probes (same ivfs/a shape as s02/s03, with cbv doubling as the
+    // centroid set — both samples are vec_id % 50 = 0) restrict the ADC
+    // scoring join to probed-cell members.
+    "s11_ivf_pq_search" -> (PqCodesCte + raw""",
+      ivfs AS (SELECT e.vec_id, cbv.code AS centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, cbv.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, cbv),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM ivfs) WHERE rn = 1),
+      qp AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS pr FROM ivfs
+          WHERE vec_id % 100 = 0) WHERE pr <= 2),
+      cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        FROM qp JOIN a ON a.cell = qp.cell WHERE a.vec_id != qp.query_id),
+      qe AS (SELECT vec_id AS query_id, m, sv FROM ve
+             WHERE vec_id % 100 = 0),
+      dt AS (SELECT qe.query_id, cb.m, cb.code,
+          round(list_reduce(list_transform(list_zip(qe.sv, cb.sv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS pd
+        FROM qe JOIN cb USING (m)),
+      adc AS (SELECT x.query_id, c.vec_id AS neighbor_id,
+          CAST(sum(CAST(d.pd AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+        FROM cand x JOIN codes c ON c.vec_id = x.neighbor_id
+             JOIN dt d ON d.query_id = x.query_id AND d.m = c.m
+                      AND d.code = c.code
         GROUP BY 1, 2),
       r AS (SELECT query_id, neighbor_id, CAST(s AS DOUBLE) AS approx_d2,
           row_number() OVER (PARTITION BY query_id

@@ -229,4 +229,33 @@ class DedupSpec extends SparkSpec {
       assert(p.getAs[Long]("a") < p.getAs[Long]("b"))
     }
   }
+
+  test("incremental dedup: exact wins over near, near hits bands, rest kept") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val existing = Seq(
+      (100L, base),
+      (101L, "completely different content about rivers and mountains " +
+        "flowing north under bright cold skies every winter morning")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      // exact copy of an existing doc (md5 hit AND band hit -> 'exact')
+      (1L, base),
+      // near copy: one word changed at the end -> band hit, no md5 hit
+      (2L, base.replace(" pi", " rho")),
+      // unrelated -> kept
+      (3L, "quick brown foxes jump over lazy dogs while autumn " +
+        "leaves fall gently onto quiet empty village streets")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(newDocs, existing).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(1L) === ((true, Some("exact"))))
+    assert(got(2L) === ((true, Some("near"))))
+    assert(got(3L) === ((false, None)))
+    // delta against an EMPTY corpus keeps everything
+    val empty = Dedup.incrementalDedup(newDocs, existing.limit(0)).collect()
+    assert(empty.forall(!_.getBoolean(1)))
+  }
 }

@@ -201,4 +201,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(manual - got) < 1e-9, s"$manual vs $got")
     res.unpersist()
   }
+
+  test("ivf-pq with all cells probed == plain pq search (identity at " +
+      "full probe); restricted probes are a subset of pq candidates") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    // nprobe >= nCells -> candidate set is the whole corpus minus self,
+    // so the ADC ranking must be exactly pqSearch's
+    val full = Similarity.ivfPqSearch(emb, qs, nprobe = 1000)
+      .collect().map(_.toSeq).toSet
+    val pq = Similarity.pqSearch(emb, qs).collect().map(_.toSeq).toSet
+    assert(full === pq)
+    // restricted probing returns ranked rows per query, neighbors scored
+    // by the same ADC sum (a subset relation can't hold row-for-row since
+    // ranks shift, but every (query, neighbor, d2) must appear in the
+    // full-probe ADC scoring)
+    val narrow = Similarity.ivfPqSearch(emb, qs, nprobe = 2).collect()
+    assert(narrow.nonEmpty)
+    val fullScores = Similarity.ivfPqSearch(emb, qs, nprobe = 1000, k = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    narrow.foreach { r =>
+      assert(fullScores((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
 }
