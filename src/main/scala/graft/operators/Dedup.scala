@@ -532,19 +532,17 @@ object Dedup {
   /** Every token position's l-gram hash: (idCol, pos, __gh) with pos
     * 1-based and __gh the cross-engine 60-bit md5 hash of the
     * space-joined l tokens starting at pos. Docs shorter than l tokens
-    * contribute nothing. One map pass, no shuffle.
+    * contribute nothing (empty array). One map pass, no shuffle, via the
+    * native [[graft.functions.GramHashes]] expression — the declarative
+    * transform-lambda twin evaluates interpreted per position and was
+    * the dominant cost of the whole span-dedup path at sf0.1.
     */
   private def gramPositions(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
-    val tk = split(col(textCol), "\\s+")
+      l: Int): DataFrame =
     docs
-      .select(col(idCol), tk.as("__w"))
-      .filter(size(col("__w")) >= l)
       .select(col(idCol), posexplode(
-        transform(sequence(lit(1), size(col("__w")) - (l - 1)),
-          i => md5Long(concat_ws(" ", slice(col("__w"), i, lit(l)))))))
+        graft.functions.TextFunctions.gram_hashes(col(textCol), l)))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__gh"))
-  }
 
   /** Merge duplicated gram positions into maximal spans per doc: classic
     * gaps-and-islands — a new span starts where pos exceeds the running
@@ -588,7 +586,11 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", l: Int = 8,
       keepFirst: Boolean = false): DataFrame = {
-    val pos = gramPositions(docs, idCol, textCol, l)
+    // Same lesson as minhashPairs: the per-position hashing is the
+    // expensive map stage, and a single-file source would pin it all onto
+    // one task. The repartition exchange is shared by every downstream
+    // consumer (ReuseExchange), including removeDuplicatedSpans' rebuild.
+    val pos = gramPositions(docs.repartition(col(idCol)), idCol, textCol, l)
     val dup = pos.groupBy(col("__gh"))
       .agg(count(lit(1)).as("__n"),
         min(struct(col(idCol), col("pos"))).as("__fst"))
@@ -618,7 +620,7 @@ object Dedup {
       textCol: String = "text", l: Int = 8): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, l, keepFirst = true)
       .select(col(idCol).as("__sid"), col("start_tok"), col("end_tok"))
-    val toks = docs
+    val toks = docs.repartition(col(idCol))
       .select(col(idCol), posexplode(split(col(textCol), "\\s+")))
       .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("__tk"))
     val kept = toks.join(spans,

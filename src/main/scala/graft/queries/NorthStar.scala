@@ -112,8 +112,15 @@ object NorthStar {
     // mixture sampling. One oracle certifies the whole composition.
     "d17_modern_pipeline" -> { (s, dir) =>
       val d = docs(s, dir)
+      // The span-removed corpus feeds THREE consumers (the quality gate,
+      // the gate join, the survivor join); without materialization each
+      // re-runs the whole d15 span machinery — measured 3x the cost at
+      // sf0.1. localCheckpoint is the in-session stand-in for what a
+      // production pipeline does between stages: write the cleaned corpus
+      // out once and read it back.
       val cleaned = Dedup.removeDuplicatedSpans(d)
         .filter(col("clean_text") =!= "")
+        .localCheckpoint()
       val weights = fixtureWeights(s)
       val gated = cleaned.join(
         TextAnalysis.qualityScore(cleaned, weights, 256,

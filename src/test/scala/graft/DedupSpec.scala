@@ -230,6 +230,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native gram_hashes == declarative slice/md5 twin, bit for bit") {
+    import graft.functions.CrossHash.md5Long
+    val d = Tables.load(spark, sf, "documents").limit(200)
+    val tk = split(col("text"), "\\s+")
+    val twin = when(size(tk) >= 8,
+      transform(sequence(lit(1), size(tk) - 7),
+        i => md5Long(concat_ws(" ", slice(tk, i, lit(8))))))
+      .otherwise(array().cast("array<long>"))
+    val rows = d.select(
+      graft.functions.TextFunctions.gram_hashes(col("text"), 8).as("native"),
+      twin.as("decl")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // short/empty texts yield empty arrays
+    import spark.implicits._
+    val shorts = Seq("", "a", "a b c").toDF("text").select(
+      graft.functions.TextFunctions.gram_hashes(col("text"), 8).as("g"))
+      .collect()
+    shorts.foreach(r => assert(r.getSeq[Long](0).isEmpty))
+  }
+
   test("incremental dedup: exact wins over near, near hits bands, rest kept") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta " +

@@ -114,12 +114,13 @@ class PlanSpec extends SparkSpec {
     // kernel's answer end-to-end.
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    import graft.functions.{MinhashSignature, Simhash60, WordShingles}
+    import graft.functions.{GramHashes, MinhashSignature, Simhash60, WordShingles}
     val lit = Literal(org.apache.spark.unsafe.types.UTF8String
       .fromString("a b c d"))
     assert(!MinhashSignature(lit, 16, 3).isInstanceOf[CodegenFallback])
     assert(!Simhash60(lit).isInstanceOf[CodegenFallback])
     assert(!WordShingles(lit, 3).isInstanceOf[CodegenFallback])
+    assert(!GramHashes(lit, 2).isInstanceOf[CodegenFallback])
     // generated code compiles and agrees with the interpreted kernel
     import org.apache.spark.sql.functions.{col, lit => slit}
     val df = spark.range(1).select(
