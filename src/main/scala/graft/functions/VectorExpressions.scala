@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector-math hot path (SURVEY.md §4.2:
   * promote from higher-order functions to codegen'd Expressions on measured
@@ -94,6 +95,120 @@ case class ArraySquaredDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Argmin kernels shared by the interpreted eval path and generated code
+  * (static forwarders, same pattern as [[TextKernels]]). Both reproduce
+  * the aggregate-HOF fold they replace EXACTLY: entries scanned in array
+  * order, per-entry d2 is the strict left-to-right squared-distance fold
+  * rounded like Spark's round(_, 6) (HALF_UP via BigDecimal, NaN/Inf
+  * passed through), strict `<` so ties keep the earliest (= lowest-id,
+  * the caller sorts) entry, and an empty entry set yields the fold's
+  * init (Double.MaxValue, -1).
+  */
+object VectorKernels {
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def d2(v: ArrayData, e: ArrayData): Double = {
+    val n = math.min(v.numElements(), e.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val d = v.getDouble(j) - e.getDouble(j)
+      s += d * d
+      j += 1
+    }
+    s
+  }
+
+  /** entries: array<struct<id: long, vec: array<double>>> → (d2, id). */
+  def nearestEntry(v: ArrayData, entries: ArrayData): InternalRow = {
+    var bestD = Double.MaxValue
+    var bestId = -1L
+    var i = 0
+    val n = entries.numElements()
+    while (i < n) {
+      val e = entries.getStruct(i, 2)
+      val r = round6(d2(v, e.getArray(1)))
+      if (r < bestD) { bestD = r; bestId = e.getLong(0) }
+      i += 1
+    }
+    InternalRow(bestD, bestId)
+  }
+
+  /** entries: array<struct<g: int, id: long, vec: array<double>>> →
+    * (d2, id) over the entries whose g matches.
+    */
+  def nearestEntryInGroup(v: ArrayData, entries: ArrayData,
+      g: Int): InternalRow = {
+    var bestD = Double.MaxValue
+    var bestId = -1L
+    var i = 0
+    val n = entries.numElements()
+    while (i < n) {
+      val e = entries.getStruct(i, 3)
+      if (e.getInt(0) == g) {
+        val r = round6(d2(v, e.getArray(2)))
+        if (r < bestD) { bestD = r; bestId = e.getLong(1) }
+      }
+      i += 1
+    }
+    InternalRow(bestD, bestId)
+  }
+}
+
+/** Native argmin over a packed (id, vector) array: the IVF-assignment
+  * fold. The aggregate-HOF twin interprets its lambda per centroid per
+  * row — N×C interpreted steps with struct allocations; this is a tight
+  * loop inside whole-stage codegen. Output: struct<d2: double, id: long>.
+  */
+case class NearestEntry(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "nearest_entry"
+
+  override def nullSafeEval(v: Any, entries: Any): Any =
+    VectorKernels.nearestEntry(v.asInstanceOf[ArrayData],
+      entries.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.nearestEntry($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestEntry =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Group-filtered variant for the PQ encode fold: entries carry a group
+  * key (the subspace index) as their first field and only matching
+  * entries compete. Output: struct<d2: double, id: long>.
+  */
+case class NearestEntryInGroup(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("d2", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "nearest_entry_in_group"
+
+  override def nullSafeEval(v: Any, entries: Any, g: Any): Any =
+    VectorKernels.nearestEntryInGroup(v.asInstanceOf[ArrayData],
+      entries.asInstanceOf[ArrayData], g.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.VectorKernels.nearestEntryInGroup($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): NearestEntryInGroup =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-API wrappers (classic/non-Connect sessions). */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -102,4 +217,10 @@ object VectorFunctions {
   def squared_distance(a: Column, b: Column): Column =
     Bridge.toColumn(ArraySquaredDistance(
       Bridge.toExpression(a), Bridge.toExpression(b)))
+  def nearest_entry(v: Column, entries: Column): Column =
+    Bridge.toColumn(NearestEntry(
+      Bridge.toExpression(v), Bridge.toExpression(entries)))
+  def nearest_entry_in_group(v: Column, entries: Column, g: Column): Column =
+    Bridge.toColumn(NearestEntryInGroup(Bridge.toExpression(v),
+      Bridge.toExpression(entries), Bridge.toExpression(g)))
 }

@@ -106,17 +106,14 @@ object Similarity {
     val packed = centroids
       .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
         .as("cents"))
+    // Native argmin (VectorKernels.nearestEntry): same scan order,
+    // round6, strict-< tie-break and empty-set init as the aggregate-HOF
+    // fold it replaced — which interpreted its lambda per centroid per
+    // row and dominated every assignment-heavy benchmark.
     c.crossJoin(broadcast(packed))
-      .withColumn("best",
-        aggregate(col("cents"),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cell")),
-          (acc, ct) => {
-            val nd = round(dist2(col("v"), ct.getField("cv")), 6)
-            when(nd < acc.getField("d2"),
-              struct(nd.as("d2"), ct.getField("centroid_id").as("cell")))
-              .otherwise(acc)
-          }))
-      .select(col("id"), col("v"), col("best").getField("cell").as("cell"),
+      .withColumn("best", graft.functions.VectorFunctions
+        .nearest_entry(col("v"), col("cents")))
+      .select(col("id"), col("v"), col("best").getField("id").as("cell"),
         col("best").getField("d2").as("d2"))
   }
 
@@ -516,17 +513,15 @@ object Similarity {
       mSub: Int = 8): DataFrame = {
     val packed = codebook.agg(sort_array(collect_list(
       struct(col("m"), col("code"), col("sv")))).as("cbs"))
+    // Native group-filtered argmin (VectorKernels.nearestEntryInGroup):
+    // replaces a filter-HOF + aggregate-HOF chain that interpreted its
+    // lambdas per codeword per subspace row. Scan order (m, code) and
+    // the strict-< tie-break are identical.
     subspaces(corpus, idCol, vecCol, mSub, "id")
       .crossJoin(broadcast(packed))
-      .withColumn("best",
-        aggregate(filter(col("cbs"), b => b("m") === col("m")),
-          struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("code")),
-          (acc, b) => {
-            val nd = round(dist2(col("sv"), b("sv")), 6)
-            when(nd < acc("d2"),
-              struct(nd.as("d2"), b("code").as("code"))).otherwise(acc)
-          }))
-      .select(col("id"), col("m"), col("best")("code").as("code"),
+      .withColumn("best", graft.functions.VectorFunctions
+        .nearest_entry_in_group(col("sv"), col("cbs"), col("m")))
+      .select(col("id"), col("m"), col("best")("id").as("code"),
         col("best")("d2").as("d2"))
   }
 

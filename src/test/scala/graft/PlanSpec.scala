@@ -121,6 +121,13 @@ class PlanSpec extends SparkSpec {
     assert(!Simhash60(lit).isInstanceOf[CodegenFallback])
     assert(!WordShingles(lit, 3).isInstanceOf[CodegenFallback])
     assert(!GramHashes(lit, 2).isInstanceOf[CodegenFallback])
+    // the vector argmin kernels share the same static-forwarder pattern
+    import graft.functions.{NearestEntry, NearestEntryInGroup}
+    val arr = Literal.create(Seq(0.0), org.apache.spark.sql.types
+      .ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(!NearestEntry(arr, arr).isInstanceOf[CodegenFallback])
+    assert(!NearestEntryInGroup(arr, arr, Literal(0))
+      .isInstanceOf[CodegenFallback])
     // generated code compiles and agrees with the interpreted kernel
     import org.apache.spark.sql.functions.{col, lit => slit}
     val df = spark.range(1).select(
