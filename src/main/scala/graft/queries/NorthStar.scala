@@ -126,7 +126,11 @@ object NorthStar {
         TextAnalysis.qualityScore(cleaned, weights, 256,
             textCol = "clean_text", threshold = -0.05)
           .filter(col("keep")).select(col("doc_id")), "doc_id")
-      val survivors = TextAnalysis.decontaminate(
+      // Bloom-gated decontamination: identical output to the exact path
+      // (no false negatives, positives exactly confirmed — d13 and d14
+      // certify against the SAME oracle) at a fraction of the cost; the
+      // exact path re-intersects the full eval gram set per doc.
+      val survivors = TextAnalysis.decontaminateBloom(
           gated.filter(col("doc_id") % 97 =!= 1)
             .select(col("doc_id"), col("clean_text").as("text")),
           d.filter(col("doc_id") % 97 === 1))
