@@ -16,6 +16,12 @@ import org.apache.spark.sql.streaming.Trigger
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Validate the short stdout keys BEFORE the (minutes-long) timed run:
+    // every query name's prefix before the first '_' (d01, q17, s06, ...)
+    // must stay unique — it IS the stdout key.
+    val names = SparkEntry.queries.keys.toSeq
+    require(names.map(_.takeWhile(_ != '_')).distinct.size == names.size,
+      "bench short keys collide; rename the query")
     val spark = GraftSession.create("graft-bench")
     // Warm the session (codegen, parquet footers, file listing) so the
     // alphabetically-first query doesn't absorb one-time startup cost.
@@ -73,30 +79,31 @@ object Bench {
       val key = if (short) k.takeWhile(_ != '_') else k
       "\"" + key + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    // Every query name's prefix before the first '_' (d01, q17, s06, ...)
-    // must stay unique — it IS the stdout key.
-    require(results.map(_._1.takeWhile(_ != '_')).distinct.size ==
-      results.size, "bench short keys collide; rename the query")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def line(short: Boolean) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${qJson(short)},""" +
       s""""streaming_rows_per_sec":${r3(streamingRate)},"sf":"$sfDir"}"""
+    // The full-name file is written FIRST — results must survive even if
+    // anything below throws (a failed run that already spent the whole
+    // timed pass must never come back empty-handed).
+    Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line(short = false))
     // stdout gets SHORT query keys (the id prefix, e.g. "d01" for
     // d01_exact_dedup): the driver's stdout capture keeps only the last
     // 2000 chars, and with 90+ queries the full-name line is wider than
     // the window no matter how values are rounded (BENCH_r02/r03 both came
     // back unparseable). The full-name line still goes to bench_out.json;
     // BASELINE.md documents the key mapping (prefix <-> SparkEntry name).
+    // A line creeping past the window is a WARNING, never a crash.
     val stdoutLine = line(short = true)
-    require(stdoutLine.length <= 1800,
-      s"bench stdout line ${stdoutLine.length} chars; driver window is " +
-        "2000 minus the sbt trailer — shorten it")
+    if (stdoutLine.length > 1800)
+      System.err.println(s"[bench] WARNING: stdout line " +
+        s"${stdoutLine.length} chars may exceed the driver's 2000-char " +
+        "capture window (minus the sbt trailer); shorten the keys")
     println(stdoutLine)
     System.out.flush()
-    Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      line(short = false))
     spark.stop()
   }
 }

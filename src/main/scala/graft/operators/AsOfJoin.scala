@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   * The right side must be unique per (key, time) — dedupe first, otherwise
   * which of the tied rows wins is nondeterministic in any engine.
   *
-  * NULL-time right rows are dropped up front in BOTH paths: a row with no
-  * time has no position on the as-of axis, so it can never be "the latest
-  * at or before t". (Before this filter the plain path could carry one —
-  * NULLs sort first under the ascending scan — while the bucketed path's
-  * max_by/min_by summaries skipped it, a row-for-row divergence.)
+  * NULL-time rows have no position on the as-of axis, on either side:
+  * NULL-time RIGHT rows are dropped up front in BOTH paths (before this
+  * filter the plain path could carry one — NULLs sort first under the
+  * ascending scan — while the bucketed path's max_by/min_by summaries
+  * skipped it), and NULL-time LEFT rows get a NULL match explicitly
+  * (backward's ascending scan already placed them before any right row,
+  * but forward's descending scan placed them LAST and handed them the
+  * minimum-time right row — a direction asymmetry).
   */
 object AsOfJoin {
 
@@ -142,13 +145,18 @@ object AsOfJoin {
             col("__carry")))
           .drop("__b", "__carry", "__ck", "__cb")
     }
+    // A NULL-time left row matches nothing, in either direction (see
+    // scaladoc — forward's desc scan would otherwise hand it the
+    // minimum-time right row).
+    val timed = carried.withColumn("__m",
+      when(col("__t").isNotNull, col("__m")))
     // Tolerance nulls out the WHOLE match struct — a too-distant match
     // can't leave stale fields behind.
-    val bounded = tolerance.fold(carried) { tol =>
+    val bounded = tolerance.fold(timed) { tol =>
       val dist = if (backward)
         col("__t") - col("__m").getField("__bt")
       else col("__m").getField("__bt") - col("__t")
-      carried.withColumn("__m", when(dist <= tol, col("__m")))
+      timed.withColumn("__m", when(dist <= tol, col("__m")))
     }
     payload.foldLeft(bounded.filter(col("__side") === 1))(
         (d, p) => d.withColumn(p, col("__m").getField(p)))

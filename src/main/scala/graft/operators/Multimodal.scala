@@ -92,9 +92,13 @@ object Multimodal {
       .withColumn("start_byte", col("__sb").cast("long"))
       .withColumn("n_bytes",
         least(lit(window), length(p) - col("__sb")).cast("long"))
-      .withColumn("chunk_md5", md5(hex(p).substr(
-        (col("start_byte") * 2 + 1).cast("int"),
-        (col("n_bytes") * 2).cast("int"))))
+      // slice the BINARY first, then hex: hex of a byte slice equals the
+      // aligned slice of hex(payload) (2 chars/byte), and hexing only the
+      // window keeps per-chunk work O(window) — hexing the whole payload
+      // per chunk row would be O(bytes^2/stride) on large media.
+      .withColumn("chunk_md5", md5(hex(p.substr(
+        (col("start_byte") + 1).cast("int"),
+        col("n_bytes").cast("int")))))
       .select(col(idCol), col("chunk_idx"), col("start_byte"),
         col("n_bytes"), col("chunk_md5"))
   }

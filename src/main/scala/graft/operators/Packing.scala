@@ -14,28 +14,44 @@ import org.apache.spark.sql.functions._
   * The core primitive is a GLOBAL prefix sum, which a naive formulation
   * writes as one un-partitioned running-sum window — a single task over
   * the whole corpus, the canonical non-scalable plan. Here it is the
-  * standard two-level scan: per-block partial sums (one map-side-combined
-  * aggregation), a running sum over the BLOCK SUMMARY (rows = n/blockSize
-  * — the only un-partitioned window, ~10^2..10^4 rows at 100 TB with the
-  * default block size, never the corpus), then a per-block window joined
-  * back via broadcast. Every corpus-sized stage is partitioned.
+  * standard two-level scan, with blocks defined by RANGE PARTITION, not
+  * by id arithmetic: `ordCol div blockSize` blocking would tie the
+  * block-summary size to the id VALUE RANGE (sparse or hashed ids — the
+  * repo's own content-hash sharding convention — degenerate to one block
+  * per row, and the summary becomes corpus-sized). Range partitioning
+  * keeps the summary at exactly `numBlocks` rows regardless of id
+  * distribution: per-block partial sums (map-side combined), a running
+  * sum over those `numBlocks` summary rows (the only un-partitioned
+  * window), then a per-block window joined back via broadcast. Every
+  * corpus-sized stage is partitioned.
   */
 object Packing {
 
   /** Exclusive prefix sum of `valCol` over the global `ordCol` order,
-    * emitted as `outCol`. `ordCol` must be numeric, non-negative and
+    * emitted as `outCol`. `ordCol` must be orderable, non-null and
     * unique per row (a doc_id); `valCol` must be integral. Identical to
     * `sum(val) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING AND 1
-    * PRECEDING)` — long addition is associative, so the block split does
-    * not change results, only the plan.
+    * PRECEDING)` for ANY `numBlocks` — long addition is associative, so
+    * the block split changes only the plan, never the values.
+    *
+    * `numBlocks` bounds the un-partitioned window's input (one row per
+    * block) AND sets the scan's parallelism; size it like you would size
+    * shuffle partitions for the corpus (the range boundaries come from
+    * Spark's standard sampling, so blocks are balanced by ROW COUNT, not
+    * id arithmetic).
     */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
-      outCol: String = "start", blockSize: Long = 1L << 20): DataFrame = {
-    require(blockSize > 0, "blockSize must be positive")
-    val blk = df.withColumn("__blk", expr(s"$ordCol div $blockSize"))
+      outCol: String = "start", numBlocks: Int = 1024): DataFrame = {
+    require(numBlocks > 0, "numBlocks must be positive")
+    // Range partitions are contiguous, disjoint ordCol intervals in
+    // partition-index order, so spark_partition_id IS the block key: the
+    // concatenation of blocks 0..n-1 each internally ordered by ordCol
+    // is the global order.
+    val blk = df.repartitionByRange(numBlocks, col(ordCol))
+      .withColumn("__blk", spark_partition_id())
     val bsums = blk.groupBy(col("__blk"))
       .agg(sum(col(valCol)).as("__bsum"))
-    // The one ordered-global window: runs over block summaries only.
+    // The one ordered-global window: runs over exactly numBlocks rows.
     val offW = Window.orderBy(col("__blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val boffs = bsums
@@ -60,10 +76,10 @@ object Packing {
     * (n_seqs > 1) contribute a slice to each of their sequences.
     */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
-      seqLen: Int, blockSize: Long = 1L << 20): DataFrame = {
+      seqLen: Int, numBlocks: Int = 1024): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val n = col(nTokCol)
-    exclusivePrefixSum(df, idCol, nTokCol, "start_token", blockSize)
+    exclusivePrefixSum(df, idCol, nTokCol, "start_token", numBlocks)
       .withColumn("first_seq",
         when(n > 0, expr(s"start_token div $seqLen")))
       .withColumn("last_seq",

@@ -122,10 +122,14 @@ object NorthStar {
         .filter(col("clean_text") =!= "")
         .localCheckpoint()
       val weights = fixtureWeights(s)
+      // gated feeds decontaminateBloom, which consumes its train side
+      // TWICE internally (bloom-candidate branch + id-only restore join)
+      // — materialize so the classifier featurization runs once.
       val gated = cleaned.join(
         TextAnalysis.qualityScore(cleaned, weights, 256,
             textCol = "clean_text", threshold = -0.05)
           .filter(col("keep")).select(col("doc_id")), "doc_id")
+        .localCheckpoint()
       // Bloom-gated decontamination: identical output to the exact path
       // (no false negatives, positives exactly confirmed — d13 and d14
       // certify against the SAME oracle) at a fraction of the cost; the

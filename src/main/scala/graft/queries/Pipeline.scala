@@ -104,17 +104,18 @@ object Pipeline {
         .orderBy(col("split"))
     },
 
-    // Sequence packing: two-level prefix-sum scan (per-block partials, a
-    // window over the block SUMMARY, broadcast join back) — the scalable
-    // form of the global running sum a packing writer needs. blockSize 64
-    // exercises the multi-block path even at sf0.01; the result is
-    // blockSize-invariant (long addition is associative), which is exactly
-    // what the single-running-sum oracle certifies.
+    // Sequence packing: two-level prefix-sum scan (range-partitioned
+    // block partials, a window over the block SUMMARY, broadcast join
+    // back) — the scalable form of the global running sum a packing
+    // writer needs. 8 blocks exercise the multi-block path even at
+    // sf0.01; the result is numBlocks-invariant (long addition is
+    // associative), which is exactly what the single-running-sum oracle
+    // certifies.
     "t17_sequence_pack" -> { (s, dir) =>
       val d = docs(s, dir).select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       graft.operators.Packing
-        .packSequences(d, "doc_id", "n_tokens", seqLen = 512, blockSize = 64)
+        .packSequences(d, "doc_id", "n_tokens", seqLen = 512, numBlocks = 8)
         .orderBy(col("doc_id"))
     },
 

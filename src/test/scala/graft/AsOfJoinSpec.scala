@@ -36,6 +36,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("e3") === null) // key 2 has no right rows
   }
 
+  test("NULL-time rows match nothing, both sides, both directions") {
+    import spark.implicits._
+    val left = Seq((Some(1L), Option.empty[Long], "eNull"),
+      (Some(1L), Some(10L), "e1")).toDF("k", "t", "ev")
+    val right = Seq((Some(1L), Some(5L), "a"),
+      (Some(1L), Option.empty[Long], "ghost")).toDF("rk", "rt", "payload")
+    for (dir <- Seq("backward", "forward")) {
+      val out = AsOfJoin.leftAsOf(left, right, "k", "t", "rk", "rt",
+        Seq("payload"), direction = dir).collect()
+        .map(r => (r.getAs[String]("ev"), r.getAs[String]("payload"))).toMap
+      assert(out.size === 2, dir) // NULL-time LEFT rows are kept...
+      assert(out("eNull") === null, dir) // ...but match nothing
+      // forward previously handed eNull the min-time right row ("a");
+      // and the NULL-time right row must never appear as a match
+      assert(out.values.forall(_ != "ghost"), dir)
+    }
+  }
+
   test("tolerance nulls matches that are too far away") {
     import spark.implicits._
     val left = Seq((1L, 100L, "e1"), (1L, 7L, "e2")).toDF("k", "t", "ev")

@@ -15,7 +15,7 @@ class PackingSpec extends SparkSpec {
         rnd.nextInt(40).toLong))
       .distinctBy(_._1)
     val df = rows.toDF("id", "n")
-    val got = Packing.exclusivePrefixSum(df, "id", "n", blockSize = 8)
+    val got = Packing.exclusivePrefixSum(df, "id", "n", numBlocks = 8)
       .select(col("id"), col("start")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val w = Window.orderBy(col("id"))
@@ -26,16 +26,16 @@ class PackingSpec extends SparkSpec {
     assert(got === naive)
   }
 
-  test("packSequences is blockSize-invariant and handles zero-token docs") {
+  test("packSequences is numBlocks-invariant and handles zero-token docs") {
     import spark.implicits._
     val df = Seq((0L, 100L), (1L, 0L), (2L, 500L), (3L, 512L), (4L, 1L),
       (5L, 2000L), (6L, 0L), (7L, 12L)).toDF("doc_id", "n_tokens")
-    def run(bs: Long) =
+    def run(nb: Int) =
       Packing.packSequences(df, "doc_id", "n_tokens", seqLen = 512,
-          blockSize = bs)
+          numBlocks = nb)
         .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val small = run(2L)
-    assert(small === run(1L << 20)) // long addition is associative
+    val small = run(3)
+    assert(small === run(1024)) // long addition is associative
     val byId = small.map(s => s.head -> s).toMap
     // doc 0: tokens [0,100) -> seq 0 only
     assert(byId(0L).drop(2) === Seq(0L, 0L, 0L, 1L))
@@ -57,7 +57,7 @@ class PackingSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, 5L)).toDF("id", "n")
-    val lp = Packing.exclusivePrefixSum(df, "id", "n", blockSize = 100)
+    val lp = Packing.exclusivePrefixSum(df, "id", "n", numBlocks = 10)
       .queryExecution.optimizedPlan
     val wins = lp.collect { case w: logical.Window => w }
     assert(wins.length === 2, lp)
