@@ -66,6 +66,34 @@ object Sampling {
       .drop("__thr", "__dom")
   }
 
+  /** Reproducible global shuffle for training-data ordering: every row is
+    * assigned a (shard, pos) pair that defines a deterministic
+    * pseudo-random total order — the order a training run reads the
+    * corpus in, reproducible across reruns, engines, and partitionings
+    * (which `orderBy(rand())` is not). shard = content-hash mod
+    * `nShards`; pos = rank of the hash within the shard (ties by id).
+    * Consumers read shards in index order, rows in pos order.
+    *
+    * Scale: the only non-map operation is one window per shard — nShards
+    * independent sort tasks, so parallelism is chosen by the caller
+    * (pick nShards ≈ cluster cores; each shard sorts n/nShards rows).
+    * No global sort, no single-task window, no driver involvement.
+    *
+    * Output: input columns + (shard INT, pos BIGINT).
+    */
+  def shardedOrder(docs: DataFrame, nShards: Int, idCol: String = "doc_id",
+      textCol: String = "text", seed: String = "shuf"): DataFrame = {
+    require(nShards > 0)
+    val h = md5Long(concat(lit(seed + ":"), col(textCol)))
+    docs.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("__h"), col(idCol))).cast("long") - 1L)
+      .drop("__h")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): estimate hashed-n-gram bag-of-words models
     * of a TARGET corpus (the distribution you want more of) and a RAW

@@ -64,6 +64,39 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * (anchor) vector, the k most-similar corpus vectors carrying a
+    * DIFFERENT label — the near-miss negatives a contrastive loss learns
+    * most from. Same plan shape as [[bruteForceTopK]] (broadcast query
+    * set, map-side cosine, WindowGroupLimit top-k per query — the corpus
+    * is never shuffled beyond the per-query-partition window), plus the
+    * label-mismatch filter applied before scoring feeds the window.
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * cosine, rank).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("neighbor_label"),
+        col(vecCol).cast("array<double>").as("vc"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(labelCol).as("query_label"),
+        col(vecCol).cast("array<double>").as("vq"))
+      .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+  }
+
   /** Deterministic centroid set: rows whose id % modulus == 0. */
   def sampleCentroids(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", modulus: Int = 50): DataFrame =

@@ -508,6 +508,98 @@ object TextAnalysis {
             .otherwise(col("n_bigrams")), 6).as("avg_logp"))
   }
 
+  /** Exact corpus heavy hitters with bounded memory everywhere — the
+    * two-pass sketch-then-confirm pattern: (1) one pass folds every token
+    * into a Misra-Gries sketch ([[graft.functions.MisraGries]], ≤
+    * `capacity` entries per buffer, partial-agg composable), whose key
+    * set is a GUARANTEED superset of every term with frequency >
+    * n/(capacity+1); (2) a second pass exact-counts only the broadcast
+    * candidates and keeps those with count ≥ ceil(minFrac·n). Because the
+    * candidate set provably contains every qualifying term, the output is
+    * EXACT — identical to a full groupBy — while no buffer ever holds
+    * more than `capacity` entries and the shuffle carries sketches, not
+    * the term universe. The superset guarantee needs minFrac >
+    * 1/(capacity+1); that precondition is enforced per row via
+    * raise_error (a silent violation would silently drop heavy hitters).
+    *
+    * Output: (term, cnt) for every term with exact count ≥ the threshold.
+    */
+  def heavyHitters(df: DataFrame, textCol: String = "text",
+      capacity: Int = 200, minFrac: Double = 0.01): DataFrame = {
+    require(capacity > 0 && minFrac > 0 && minFrac < 1)
+    val tok = df.select(explode(tokens(col(textCol))).as("term"))
+    val sk = tok.agg(
+      graft.functions.MisraGries.misra_gries(capacity)(col("term"))
+        .as("__cand"),
+      count(lit(1)).as("__n"))
+    val minCount = ceil(lit(minFrac) * col("__n")).cast("long")
+    // the guarantee gate rides the 1-row sketch: threshold must exceed
+    // the sketch's worst-case undercount n/(capacity+1)
+    val gated = when(minCount * (capacity + 1) > col("__n"), minCount)
+      .otherwise(raise_error(concat(
+        lit(s"heavyHitters: minFrac=$minFrac is below the sketch "),
+        lit(s"guarantee 1/(capacity+1) for capacity=$capacity"))))
+    val cand = sk.select(explode(map_keys(col("__cand"))).as("term"),
+      gated.as("__min"))
+    tok.join(broadcast(cand), "term")
+      .groupBy(col("term"), col("__min"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("__min"))
+      .select(col("term"), col("cnt"))
+  }
+
+  /** BM25 relevance scoring of the corpus against a fixed bag of query
+    * terms (k1/b per Robertson-Spärck Jones; idf = ln(1 + (N−df+0.5)/
+    * (df+0.5))). The corpus is touched by two narrow aggregations (per-doc
+    * length, per-(doc, query-term) tf — the token stream is filtered to
+    * query terms BEFORE the tf shuffle, so the shuffle is proportional to
+    * matching tokens, not the corpus); df and the (N, avgdl) stats are
+    * tiny broadcasts. Per-term scores round to 6 decimals and sum as
+    * DECIMAL(18,6) — order-free, so bit-reproducible on any partitioning
+    * and cross-engine. Top-k by (score desc, id) via sort+limit
+    * (TakeOrderedAndProject — no global window over the corpus; rank is
+    * assigned after the cut).
+    *
+    * Output: (idCol, n_terms, score, rank), top `topK` docs.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val tok = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val dl = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    // avgdl via exact long sum + one double division (NOT avg(): both
+    // engines then agree bit-for-bit regardless of accumulation order)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("__sdl"))
+      .select(col("n_docs"),
+        (col("__sdl").cast("double") / col("n_docs")).as("avgdl"))
+    val qt = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = qt.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = qt.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))
+    val scored = tf.join(broadcast(dft), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__ts",
+        round(idf * (col("tf") * lit(k1 + 1.0)) / norm, 6).cast(dec6))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("__ts")).as("__s"))
+      .select(col(idCol), col("n_terms"),
+        col("__s").cast("double").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

@@ -92,6 +92,34 @@ object NorthStar {
           max(col("doc_id")).as("max_doc"))
     },
 
+    // Quality-aware canonical selection: instead of d09's keep-min-id,
+    // each near-dup cluster keeps its HIGHEST-quality member (t03's
+    // certified score; ties to the lower doc_id) — the materializer a
+    // production dedup actually wants. Clusters from the same certified
+    // minhash pair graph as d08; quality joined on, one window per
+    // cluster picks the canonical doc.
+    "d19_cluster_canonical" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val clusters = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      val q = TextAnalysis.withQuality(d)
+        .select(col("doc_id"), col("quality_score"))
+      val joined = clusters.join(q, "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val best = joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+          col("quality_score").as("best_quality"))
+      val sizes = joined.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      best.join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("canonical_doc"),
+          col("n_members"), col("best_quality"))
+        .orderBy(col("cluster_id"))
+    },
+
     // ExactSubstr span detection (Lee et al. 2022): maximal token spans
     // whose every 8-gram occurs >= 2x corpus-wide, merged per doc.
     "d15_duplicated_spans" -> { (s, dir) =>
@@ -304,6 +332,15 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Hard-negative mining (contrastive training): per anchor, the top-5
+    // most-similar vectors with a DIFFERENT label — brute-force certified
+    // ground truth, broadcast query side, corpus never shuffled.
+    "s12_hard_negatives" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -340,6 +377,27 @@ object NorthStar {
       TextAnalysis.withFingerprint(docs(s, dir))
         .select(col("doc_id"), col("fp_md5"), col("fp60"))
         .orderBy(col("doc_id"))
+    },
+
+    // Exact heavy hitters via the two-pass Misra-Gries sketch-then-confirm
+    // pattern: bounded buffers everywhere, output provably identical to a
+    // full groupBy (the sketch key set is a guaranteed candidate superset
+    // at minFrac > 1/(capacity+1); the confirm pass exact-counts only the
+    // broadcast candidates) — which is exactly what the plain-SQL oracle
+    // certifies.
+    "t19_heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), capacity = 200,
+          minFrac = 0.01)
+        .orderBy(col("cnt").desc, col("term"))
+    },
+
+    // BM25 relevance ranking against a fixed query-term bag: the IR-side
+    // complement of t05's TF-IDF (df/idf with length normalization).
+    // Decimal per-term sums → order-free; top-10 via sort+limit.
+    "t20_bm25" -> { (s, dir) =>
+      TextAnalysis.bm25(docs(s, dir),
+          Seq("join", "vector", "spark", "customer"))
+        .orderBy(col("rank"))
     },
 
     // Winnowing (rolling k-gram hash, per-window minima): the fingerprint
@@ -644,6 +702,39 @@ object NorthStar {
       SELECT src AS doc_id,
              least(src, min(dst)) AS cluster_id
       FROM reach GROUP BY src ORDER BY doc_id""",
+
+    // d08's cluster CTE + t03's quality formula + a per-cluster argmax —
+    // every fragment is its own certified oracle.
+    "d19_cluster_canonical" -> s"""
+      WITH RECURSIVE $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+      qb AS (SELECT doc_id, text, $W AS w FROM documents),
+      qm AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        FROM qb),
+      qs AS (SELECT doc_id,
+          0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+        FROM qm),
+      j AS (SELECT cl.cluster_id, cl.doc_id, qs.quality_score
+            FROM cl JOIN qs USING (doc_id)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY quality_score DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+      SELECT cluster_id, doc_id AS canonical_doc,
+             CAST(n_members AS BIGINT) AS n_members,
+             quality_score AS best_quality
+      FROM r WHERE rn = 1 ORDER BY cluster_id""",
 
     "d06_minhash_union" -> s"""
       WITH $ShinglesCte,
@@ -977,6 +1068,22 @@ object NorthStar {
       SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
+    "s12_hard_negatives" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+          c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.label != q.label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM s)
+      SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+        CAST("rank" AS INT) AS "rank" FROM r
+      WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
     "s02_ivf_assign" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
@@ -1233,6 +1340,45 @@ object NorthStar {
         FROM documents)
       SELECT doc_id, md5(nt) AS fp_md5, ${h("nt")} AS fp60
       FROM n ORDER BY doc_id""",
+
+    // The sketch-then-confirm path is provably identical to the full
+    // groupBy, so the plain exact SQL is its oracle.
+    "t19_heavy_hitters" -> raw"""
+      WITH tok AS (SELECT unnest(string_split_regex(text, '\s+')) AS term
+                   FROM documents),
+      n AS (SELECT CAST(ceil(0.01 * count(*)) AS BIGINT) AS mc FROM tok)
+      SELECT term, count(*) AS cnt FROM tok, n
+      GROUP BY term, n.mc HAVING count(*) >= n.mc
+      ORDER BY cnt DESC, term""",
+
+    // Mirrors the Spark arithmetic exactly: idf = ln(1 + (N-df+0.5)/
+    // (df+0.5)); per-term score rounded to 6 then summed as DECIMAL
+    // (order-free); (1.2 + 1.0) spelled as a SUM so both engines compute
+    // the same double (the literal 2.2 is a different bit pattern).
+    "t20_bm25" -> raw"""
+      WITH tok AS (SELECT doc_id,
+          unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      dl AS (SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+        FROM documents),
+      st AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qt AS (SELECT * FROM tok
+             WHERE term IN ('join', 'vector', 'spark', 'customer')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+      sc AS (SELECT tf.doc_id, CAST(round(
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+          AS DECIMAL(18,6)) AS ts
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st),
+      agg AS (SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(ts) AS DOUBLE) AS score FROM sc GROUP BY doc_id),
+      r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+          AS "rank" FROM agg)
+      SELECT doc_id, n_terms, score, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 10 ORDER BY "rank"""",
 
     // Char-gram semantics on BOTH sides (length/substr — deliberate, see
     // TextAnalysis.withWinnowing): both engines slice the string column

@@ -138,6 +138,16 @@ object Pipeline {
         .orderBy(col("rank"))
     },
 
+    // Reproducible global shuffle for training-data ordering: content-hash
+    // shard + within-shard rank define a deterministic pseudo-random total
+    // order (what orderBy(rand()) cannot give) — nShards independent sort
+    // tasks, no global sort.
+    "t21_shard_order" -> { (s, dir) =>
+      graft.operators.Sampling.shardedOrder(docs(s, dir), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // Per-label embedding centroids: posexplode → two-stage chunked ordered
     // fold per (label, idx) (Similarity.chunkedOrderedSum) — fixed addition
     // tree, so bit-reproducible AND bounded-buffer: a label owning 90% of
@@ -259,6 +269,14 @@ object Pipeline {
           OVER (ORDER BY n_docs DESC, gram) AS "rank" FROM c)
       SELECT gram, n_docs, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 20 ORDER BY "rank"""",
+
+    "t21_shard_order" -> s"""
+      WITH a AS (SELECT doc_id, ${h("'shuf:' || text")} AS hh
+                 FROM documents)
+      SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+        CAST(row_number() OVER (PARTITION BY hh % 8
+          ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+      FROM a ORDER BY shard, pos""",
 
     // Mirrors the Spark two-stage chunk fold (vec_id // 256 grouping) so
     // the certified addition tree is the bounded-buffer one, not the

@@ -166,4 +166,23 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("heavy-hitters confirm pass broadcasts the candidate set (t19)") {
+    val p = plan("t19_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bm25 top-k is sort+limit, not a corpus-wide window (t20)") {
+    val p = plan("t20_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("sharded order windows are shard-partitioned, never global (t21)") {
+    val p = plan("t21_shard_order")
+    assert(p.contains("Window"), p)
+    // a missing partition spec would shuffle everything to one task —
+    // the plan must hash-partition the window input on the shard key
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
 }

@@ -89,4 +89,27 @@ class SamplingSpec extends SparkSpec {
     assert(rates.length === 1) // p_d ∝ n_d cancels n_d: one global rate
     assert(math.abs(rates(0) - 0.5) < 1e-6)
   }
+
+  test("shardedOrder is partitioning-invariant and dense per shard") {
+    val docs = Tables.load(spark, sf, "documents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shardedOrder(d, nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .collect().map(_.toSeq).toSet
+    // the order must not depend on physical layout — that's the whole
+    // point of a reproducible shuffle
+    assert(run(docs) === run(docs.repartition(7)))
+    // positions are a dense 0..count-1 enumeration within each shard
+    val per = Sampling.shardedOrder(docs, nShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("mn"),
+        max(col("pos")).as("mx"), countDistinct(col("pos")).as("nd"))
+      .collect()
+    assert(per.length === 8) // 500 hashed docs hit all 8 shards
+    per.foreach { r =>
+      assert(r.getAs[Long]("mn") === 0L)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1)
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
+    }
+  }
 }

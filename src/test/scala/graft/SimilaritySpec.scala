@@ -224,4 +224,37 @@ class SimilaritySpec extends SparkSpec {
       assert(fullScores((r.getLong(0), r.getLong(1))) === r.getDouble(2))
     }
   }
+
+  test("hardNegatives returns only cross-label neighbors, ranked like knn") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val hn = Similarity.hardNegatives(emb, qs).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      assert(r.getAs[Int]("query_label") !== r.getAs[Int]("neighbor_label"))
+    }
+    // per query: exactly k rows, ranks 1..k, cosine non-increasing
+    hn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 5))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+    // agreement with brute force: dropping same-label rows from an
+    // unrestricted deep top-k and re-ranking must give the same neighbors
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 1000).collect()
+      .groupBy(_.getLong(0))
+    val expect = brute.map { case (q, rows) =>
+      q -> rows.sortBy(_.getAs[Int]("rank"))
+        .filter(r => labels(r.getLong(1)) != labels(q)).take(5)
+        .map(_.getLong(1)).toSeq
+    }
+    hn.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val got = rows.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("neighbor_id")).toSeq
+      assert(got === expect(q), s"query $q")
+    }
+  }
 }
