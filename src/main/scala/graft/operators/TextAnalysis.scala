@@ -600,6 +600,37 @@ object TextAnalysis {
           .orderBy(col("score").desc, col(idCol))))
   }
 
+  /** Overlapping token-window passage chunking — the standard RAG /
+    * context-assembly preprocessing: each document becomes
+    * 1 + ceil(max(0, n−window)/stride) passages of ≤ `window` tokens
+    * starting every `stride` tokens (consecutive passages overlap by
+    * window−stride tokens so no boundary context is lost). Map-only: a
+    * per-row sequence posexplode, no shuffle, rows out ≈ rows in ×
+    * n/stride. Integer arithmetic throughout (the ceil is the exact
+    * (n−window+stride−1) div stride), so cross-engine exact.
+    *
+    * Output: (idCol, passage_idx, start_tok, n_ptokens, passage).
+    */
+  def passageChunks(docs: DataFrame, window: Int = 64, stride: Int = 48,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val tk = tokens(col(textCol))
+    val n = size(tk)
+    // exact integer ceil((n-window)/stride), clamped at 0; the double
+    // division is exact for any int32 numerator
+    val extra = greatest(lit(0),
+      floor((n - lit(window) + lit(stride - 1)) / lit(stride)).cast("int"))
+    docs.select(col(idCol), tk.as("__tk"), n.as("__n"), extra.as("__x"))
+      .select(col(idCol), col("__tk"), col("__n"),
+        posexplode(sequence(lit(0), col("__x"))).as(Seq("passage_idx", "__i")))
+      .select(col(idCol), col("passage_idx"),
+        (col("__i") * stride).as("start_tok"),
+        least(lit(window), col("__n") - col("__i") * stride).as("n_ptokens"),
+        concat_ws(" ", slice(col("__tk"), col("__i") * stride + lit(1),
+          lit(window))).as("passage"))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

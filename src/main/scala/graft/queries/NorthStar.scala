@@ -400,6 +400,14 @@ object NorthStar {
         .orderBy(col("rank"))
     },
 
+    // Overlapping token-window passage chunking (RAG/context prep):
+    // 16-token windows at 12-token stride — map-only posexplode, exact
+    // integer passage arithmetic.
+    "t22_passage_chunks" -> { (s, dir) =>
+      TextAnalysis.passageChunks(docs(s, dir), window = 16, stride = 12)
+        .orderBy(col("doc_id"), col("passage_idx"))
+    },
+
     // Winnowing (rolling k-gram hash, per-window minima): the fingerprint
     // SET is summarized as (count, md5 of the sorted list) so the driver
     // gate can hash it; the selection itself is fully certified.
@@ -1379,6 +1387,18 @@ object NorthStar {
           AS "rank" FROM agg)
       SELECT doc_id, n_terms, score, CAST("rank" AS INT) AS "rank"
       FROM r WHERE "rank" <= 10 ORDER BY "rank"""",
+
+    "t22_passage_chunks" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      p AS (SELECT doc_id, w, len(w) AS n,
+          greatest(0, (len(w) - 16 + 11) // 12) AS np FROM wt)
+      SELECT doc_id, CAST(t.i AS INT) AS passage_idx,
+        CAST(t.i * 12 AS INT) AS start_tok,
+        CAST(least(16, n - t.i * 12) AS INT) AS n_ptokens,
+        array_to_string(w[t.i*12+1 : t.i*12+16], ' ') AS passage
+      FROM p, unnest(generate_series(0, np)) AS t(i)
+      ORDER BY doc_id, passage_idx""",
 
     // Char-gram semantics on BOTH sides (length/substr — deliberate, see
     // TextAnalysis.withWinnowing): both engines slice the string column

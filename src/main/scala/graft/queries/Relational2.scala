@@ -182,6 +182,28 @@ object Relational2 {
         FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""")
     },
 
+    // NOT IN vs NOT EXISTS under NULLs — the three-valued-logic trap
+    // every SQL engine must agree on: a NULL in the subquery makes
+    // NOT IN unknowable (0 rows qualify) while NOT EXISTS is unaffected.
+    // Certifies Spark's null-aware anti join against DuckDB's semantics.
+    "q36_not_in_nulls" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH sub AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+            ELSE c_custkey END AS k FROM customer WHERE c_custkey < 100)
+        SELECT
+          (SELECT count(*) FROM orders WHERE o_custkey < 300
+             AND o_custkey NOT IN (SELECT k FROM sub)) AS n_not_in_nullable,
+          (SELECT count(*) FROM orders WHERE o_custkey < 300
+             AND o_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+            AS n_not_in_clean,
+          (SELECT count(*) FROM orders o WHERE o_custkey < 300
+             AND NOT EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey))
+            AS n_not_exists,
+          (SELECT count(*) FROM orders WHERE o_custkey < 300
+             AND o_custkey IN (SELECT k FROM sub)) AS n_in""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -302,6 +324,21 @@ object Relational2 {
         (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
           AS max_price
       FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""",
+
+    "q36_not_in_nulls" -> """
+      WITH sub AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+          ELSE c_custkey END AS k FROM customer WHERE c_custkey < 100)
+      SELECT
+        (SELECT count(*) FROM orders WHERE o_custkey < 300
+           AND o_custkey NOT IN (SELECT k FROM sub)) AS n_not_in_nullable,
+        (SELECT count(*) FROM orders WHERE o_custkey < 300
+           AND o_custkey NOT IN (SELECT k FROM sub WHERE k IS NOT NULL))
+          AS n_not_in_clean,
+        (SELECT count(*) FROM orders o WHERE o_custkey < 300
+           AND NOT EXISTS (SELECT 1 FROM sub WHERE k = o.o_custkey))
+          AS n_not_exists,
+        (SELECT count(*) FROM orders WHERE o_custkey < 300
+           AND o_custkey IN (SELECT k FROM sub)) AS n_in""",
 
     "q28_null_ordering" -> """
       SELECT event_id,

@@ -50,6 +50,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps === 1)
   }
 
+  test("passage chunks cover every token with the declared overlap") {
+    import spark.implicits._
+    val toks = (0 until 100).map(i => s"w$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.passageChunks(df, window = 16, stride = 12)
+      .collect().groupBy(_.getLong(0))
+    // 100 tokens -> 1 + ceil(84/12) = 8 passages; short docs -> 1 passage
+    assert(out(1L).length === 8)
+    assert(out(2L).length === 1 && out(2L)(0).getAs[String]("passage") === "a b c")
+    assert(out(3L).length === 1)
+    val ps = out(1L).sortBy(_.getAs[Int]("passage_idx"))
+    // starts advance by stride; consecutive passages overlap by 4 tokens
+    assert(ps.map(_.getAs[Int]("start_tok")).toSeq === (0 until 8).map(_ * 12))
+    // coverage: every token appears in at least one passage
+    val seen = ps.flatMap(_.getAs[String]("passage").split(" ")).toSet
+    assert(seen === toks.toSet)
+    // each passage is the exact window slice
+    ps.foreach { r =>
+      val s = r.getAs[Int]("start_tok")
+      assert(r.getAs[String]("passage") ===
+        toks.slice(s, s + 16).mkString(" "))
+      assert(r.getAs[Int]("n_ptokens") === math.min(16, 100 - s))
+    }
+  }
+
   test("decontamination flags exactly the n-gram-overlapping training docs") {
     import spark.implicits._
     val train = Seq(
