@@ -455,7 +455,6 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidModulus: Int = 50, nprobe: Int = 2, mSub: Int = 8,
       k: Int = 5): DataFrame = {
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
     val assign = ivfAssign(corpus, centroids, idCol, vecCol)
     val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
@@ -471,19 +470,20 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"))
     val cb = pqCodebook(corpus, idCol, vecCol, mSub, centroidModulus)
-    val codes = pqEncode(corpus, cb, idCol, vecCol, mSub)
-    // dt covers EVERY (m, code) per query, so the inner join below never
-    // drops a candidate subspace row.
-    val dt = subspaces(queries, idCol, vecCol, mSub, "query_id")
-      .join(broadcast(cb.withColumnRenamed("sv", "csv")), "m")
-      .select(col("query_id"), col("m"), col("code"),
-        round(dist2(col("sv"), col("csv")), 6).as("__pd"))
+    val cbj = adcIndexed(cb)
+    val rmap = cbj.agg(map_from_entries(sort_array(collect_list(struct(
+      struct(col("m"), col("code")).as("k"), col("j").as("v"))))).as("rmap"))
+    val codes = pqEncodePacked(corpus, cb, idCol, vecCol, mSub)
+      .crossJoin(broadcast(rmap))
+      .select(col("id"), adcRanks(col("codes"), col("rmap"), mSub)
+        .as("ranks"))
+    // the ADC arrays cover EVERY indexed (m, code) per query, so the
+    // array fold below never misses a candidate subspace entry.
+    val dtp = adcTables(queries, cbj, idCol, vecCol, mSub)
     val scored = codes.join(broadcast(cand), "id")
-      .join(broadcast(dt), Seq("query_id", "m", "code"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("__pd").cast(dec6)).cast(dec6).as("__s"))
+      .join(broadcast(dtp), "query_id")
       .select(col("query_id"), col("id").as("neighbor_id"),
-        col("__s").cast("double").as("approx_d2"))
+        adcScore(col("ranks"), col("darr"), mSub).as("approx_d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -558,34 +558,112 @@ object Similarity {
         col("best")("d2").as("d2"))
   }
 
+  /** Packed variant of [[pqEncode]]: one row per vector carrying all
+    * `mSub` codes as an ordered array (codes[m] = nearest codebook entry
+    * of slice m — same scan order, round6 and strict-< tie-break, so
+    * element m equals pqEncode's (id, m) row exactly). This is the
+    * compressed-index row shape ADC search wants: map-only, no explode,
+    * N single rows out.
+    */
+  def pqEncodePacked(corpus: DataFrame, codebook: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      mSub: Int = 8): DataFrame = {
+    require(mSub > 0, "mSub must be positive")
+    val packed = codebook.agg(sort_array(collect_list(
+      struct(col("m"), col("code"), col("sv")))).as("cbs"))
+    val subd = (size(col("v")) / mSub).cast("int")
+    val guarded = when(size(col("v")) % mSub === 0, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"pqEncodePacked: vector dim "), size(col("v")),
+        lit(s" is not divisible by mSub=$mSub"))))
+    corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(packed))
+      .select(col("id"), transform(sequence(lit(0), lit(mSub - 1)),
+        mi => graft.functions.VectorFunctions.nearest_entry_in_group(
+          slice(guarded, mi * subd + lit(1), subd), col("cbs"), mi)
+          .getField("id")).as("codes"))
+  }
+
+  /** Codebook with a dense entry index: j = rank of (m, code) in sorted
+    * order, 0-based — the array layout both ADC sides agree on. The
+    * un-partitioned window only ever sees the CODEBOOK (mSub·K rows, the
+    * broadcast side), never the corpus.
+    */
+  private def adcIndexed(codebook: DataFrame): DataFrame =
+    codebook.withColumn("j", row_number().over(
+      Window.orderBy(col("m"), col("code"))).cast("int") - 1)
+
+  /** Per-query ADC distance ARRAY, broadcast-ready: (query_id, darr)
+    * with darr[j] = round(d2(query slice m, codeword),6) for indexed
+    * codebook entry j, in exact integer MICROS (a 6-dp decimal is an
+    * exact long, so downstream sums are exact and order-free). An array
+    * (not a map): Spark's map element_at is a linear scan, an array
+    * index is O(1) — at N·|Q|·mSub lookups the difference dominates the
+    * whole search. Query-side only: |Q| rows of mSub·K longs.
+    */
+  private def adcTables(queries: DataFrame, cbj: DataFrame,
+      idCol: String, vecCol: String, mSub: Int): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    subspaces(queries, idCol, vecCol, mSub, "query_id")
+      .join(broadcast(cbj.withColumnRenamed("sv", "csv")), "m")
+      .select(col("query_id"), col("j"),
+        (round(dist2(col("sv"), col("csv")), 6).cast(dec6) * 1000000)
+          .cast("long").as("__pm"))
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("__pm"))))
+        .as("__e"))
+      .select(col("query_id"),
+        transform(col("__e"), e => e.getField("__pm")).as("darr"))
+  }
+
+  /** codes (ids) → codebook entry indexes, ONCE per corpus row (8
+    * map lookups per row — never per (row, query)).
+    */
+  private def adcRanks(codes: Column, rmap: Column, mSub: Int): Column =
+    transform(sequence(lit(0), lit(mSub - 1)),
+      mi => element_at(rmap,
+        struct(mi.as("m"), element_at(codes, mi + 1).as("code"))))
+
+  /** The ADC score fold: Σ_m darr[ranks[m]], exact long micros → double
+    * (one correctly-rounded division, equal to the decimal-sum cast the
+    * oracle computes).
+    */
+  private def adcScore(ranks: Column, darr: Column, mSub: Int): Column =
+    (aggregate(sequence(lit(0), lit(mSub - 1)), lit(0L),
+      (acc, mi) => acc + element_at(darr, element_at(ranks, mi + 1) + 1))
+      .cast("double") / lit(1e6))
+
   /** PQ ADC (asymmetric distance computation) search: each query
     * precomputes its distance table to every codebook entry (query-side
-    * only — |Q|·mSub·K tiny rows, broadcast); corpus codes then join
-    * their (m, code) entry — the join key is the real pair, never a
-    * packed scalar, so arbitrarily large codebook ids can't collide —
-    * and sum. The per-(query, vector) sum is decimal — exact and
-    * order-free, so the ranking is bit-reproducible under any
-    * partitioning (and in the oracle). Approximate by construction:
-    * d2 is measured query→codeword, not query→vector.
+    * only — |Q| broadcast rows of mSub·K entries, keyed by the real
+    * (m, code) pair, so arbitrarily large codebook ids can't collide);
+    * each corpus vector's packed codes then score with a per-row table
+    * fold — NO corpus shuffle at all: the per-(query, vector) sum that
+    * used to be a |Q|·N-row aggregation is map-side arithmetic, and the
+    * only exchange left carries the WindowGroupLimit-pruned top-k
+    * candidates (tasks × |Q| × k rows). Sums are exact integer micros
+    * (≡ the oracle's decimal sum), so the ranking is bit-reproducible
+    * under any partitioning. Approximate by construction: d2 is measured
+    * query→codeword, not query→vector.
     * Output: (query_id, neighbor_id, approx_d2, rank) — top k.
     */
   def pqSearch(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       mSub: Int = 8, modulus: Int = 50, k: Int = 5): DataFrame = {
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val cb = pqCodebook(corpus, idCol, vecCol, mSub, modulus)
-    val codes = pqEncode(corpus, cb, idCol, vecCol, mSub)
-    val dt = subspaces(queries, idCol, vecCol, mSub, "query_id")
-      .join(broadcast(cb.withColumnRenamed("sv", "csv")), "m")
-      .select(col("query_id"), col("m"), col("code"),
-        round(dist2(col("sv"), col("csv")), 6).as("__pd"))
-    val scored = codes.join(broadcast(dt), Seq("m", "code"))
+    val cbj = adcIndexed(cb)
+    val rmap = cbj.agg(map_from_entries(sort_array(collect_list(struct(
+      struct(col("m"), col("code")).as("k"), col("j").as("v"))))).as("rmap"))
+    val codes = pqEncodePacked(corpus, cb, idCol, vecCol, mSub)
+      .crossJoin(broadcast(rmap))
+      .select(col("id"), adcRanks(col("codes"), col("rmap"), mSub)
+        .as("ranks"))
+    val dtp = adcTables(queries, cbj, idCol, vecCol, mSub)
+    val scored = codes.crossJoin(broadcast(dtp))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id").as("neighbor_id"), col("__pd"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("__pd").cast(dec6)).cast(dec6).as("__s"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("__s").cast("double").as("approx_d2"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        adcScore(col("ranks"), col("darr"), mSub).as("approx_d2"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_d2"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -167,6 +167,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pq adc search scores map-side: no (query, neighbor) aggregation (s10)") {
+    val p = plan("s10_pq_search")
+    // the old shape aggregated |Q|·N (query, neighbor) partial rows; the
+    // fold formulation leaves only query-side Keys[1]/Keys[0] aggregates
+    // and prunes the per-query top-k below the one remaining exchange
+    assert(!p.contains("Keys [2]"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("heavy-hitters confirm pass broadcasts the candidate set (t19)") {
     val p = plan("t19_heavy_hitters")
     assert(p.contains("BroadcastHashJoin"), p)
