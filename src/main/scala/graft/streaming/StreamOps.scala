@@ -125,6 +125,25 @@ object StreamOps {
         .as("union_sig"),
         count(lit(1)).as("n_docs"))
 
+  /** Streaming frequent-term candidates per key: the Misra-Gries sketch
+    * ([[graft.functions.MisraGries]]) driven through the streaming
+    * state-merge path — per-key candidate sets over an unbounded stream
+    * with ≤ `capacity` entries of state per key, ever. Merge order varies
+    * across micro-batches, so counter VALUES differ from a batch fold,
+    * but the candidate-superset guarantee (every term with frequency >
+    * n/(capacity+1) is present) survives any merge tree — that is the
+    * property downstream exact-confirm passes rely on, and what the spec
+    * gates.
+    */
+  def frequentTermsByKey(docs: DataFrame, capacity: Int,
+      keyCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.select(col(keyCol),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .groupBy(col(keyCol))
+      .agg(graft.functions.MisraGries.misra_gries(capacity)(col("term"))
+        .as("candidates"),
+        count(lit(1)).as("n_tokens"))
+
   /** Session windows (gap-based) per key — the streaming twin of the batch
     * q17 sessionization.
     */

@@ -173,6 +173,36 @@ class StreamingSpec extends SparkSpec {
     assert(got("web")._1 === expected)
   }
 
+  test("streaming misra-gries keeps heavy terms across micro-batch merges") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val mem = MemoryStream[(String, String)]
+    // per key: one dominant term drowned in one-off noise, split across
+    // micro-batches so the sketch state must merge
+    val b1 = Seq("web" -> (Seq.fill(60)("hot") ++
+      (0 until 40).map(i => s"n$i")).mkString(" "))
+    val b2 = Seq(
+      "web" -> (Seq.fill(40)("hot") ++ (40 until 80).map(i => s"n$i"))
+        .mkString(" "),
+      "books" -> Seq.fill(10)("tome").mkString(" "))
+    mem.addData(b1: _*)
+    mem.addData(b2: _*)
+    val q = StreamOps.frequentTermsByKey(
+        mem.toDF().toDF("source", "text"), capacity = 9)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("freq_terms").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("freq_terms").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Map[String, Long]]("candidates"), r.getLong(2)))).toMap
+    // web: n = 180, capacity 9 → anything with freq > 18 must survive;
+    // "hot" has 100
+    assert(got("web")._2 === 180L)
+    assert(got("web")._1.contains("hot"), got("web")._1.keys)
+    assert(got("web")._1.size <= 9)
+    assert(got("books")._1 === Map("tome" -> 10L))
+  }
+
   test("streaming replay preserves the value/error exclusivity invariant") {
     val q = StreamOps.replayStream(spark, sf)
       .writeStream.outputMode("append")
