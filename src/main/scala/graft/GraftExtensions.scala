@@ -48,7 +48,16 @@ object GraftExtensions {
     ("simhash60", "_FUNC_(text) - 60-bit SimHash over whitespace tokens",
       es => Simhash60(es.head)),
     ("word_shingles", "_FUNC_(text) - distinct 3-word shingles",
-      es => WordShingles(es.head, 3)))
+      es => WordShingles(es.head, 3)),
+    ("feature_buckets",
+      "_FUNC_(text) - 256-bucket unigram+bigram hash-trick features",
+      es => FeatureBuckets(es.head, 256)),
+    ("gram_hashes",
+      "_FUNC_(text) - per-position 8-gram hashes (ExactSubstr spans)",
+      es => GramHashes(es.head, 8)),
+    ("nearest_entry",
+      "_FUNC_(v, entries) - argmin entry by squared distance",
+      es => NearestEntry(es(0), es(1))))
 
   /** Table-valued functions: the reference's SQL front door, under both
     * the registered name (kafka_consumer, cpp:223) and the README's alias

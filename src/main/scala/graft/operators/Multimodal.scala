@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash._
@@ -178,5 +179,36 @@ object Multimodal {
           ResizedMedia(id, bytes.length.toLong, dst.length.toLong, fp)
         }
       }
+  }
+
+  /** Binary near-dup pairs via shared chunk fingerprints — the multimodal
+    * analogue of MinHash banding: payloads are sliced into overlapped
+    * windows ([[chunkPayload]]), bucketed by chunk md5, paired within
+    * buckets, and kept when they share ≥ `minShared` distinct chunk
+    * hashes. Same 100 TB discipline as every candidate generator here:
+    * buckets capped deterministically (lowest `maxBucket` ids per hash —
+    * a popular boilerplate chunk can't go quadratic), ONE shuffle on the
+    * chunk hash, pairs only ever within buckets. Catches re-encoded
+    * uploads / shared prefixes; window alignment means only
+    * stride-aligned matches count (content-defined chunking is the
+    * production upgrade for arbitrary-offset matches).
+    * Output: (a, b, n_shared).
+    */
+  def payloadNearDupPairs(df: DataFrame, window: Int = 64,
+      stride: Int = 48, minShared: Int = 2, maxBucket: Int = 200,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    require(minShared > 0, "minShared must be positive")
+    val ch = chunkPayload(df, window, stride, payloadCol, idCol)
+      .select(col(idCol).as("id"), col("chunk_md5")).distinct()
+    val w = Window.partitionBy(col("chunk_md5")).orderBy(col("id"))
+    val capped = ch.withColumn("__bp", row_number().over(w))
+      .filter(col("__bp") <= maxBucket).drop("__bp")
+    capped.select(col("id").as("a"), col("chunk_md5"))
+      .join(capped.select(col("id").as("b"), col("chunk_md5")),
+        Seq("chunk_md5"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 }

@@ -47,6 +47,23 @@ object KafkaParity {
           max(col("offset")).as("max_offset"),
           count(col("error")).as("n_errors"))
         .orderBy(col("partition"))
+    },
+
+    // Partition-pruned scan through the SQL front door: the
+    // `partitions => '0,3'` named arg (the connector's `assign` — the one
+    // pushdown a Kafka scan CAN do, which the reference declines,
+    // cpp:126,226-227) driven end-to-end via spark.sql and certified by
+    // an oracle over the restricted relation.
+    "k04_partition_pruned" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      s.conf.set(KafkaSource.ReplayConfKey, dir)
+      s.sql("""SELECT * FROM kafka_consumer(
+          'localhost:9092', 'events', 'grp', partitions => '0,3')""")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"),
+          max(col("offset")).as("max_offset"))
+        .orderBy(col("partition"))
     })
 
   private val replaySql = """
@@ -71,5 +88,11 @@ object KafkaParity {
     "k03_partition_stats" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,
         max("offset") AS max_offset, count("error") AS n_errors
-      FROM ($replaySql) GROUP BY 1 ORDER BY 1""")
+      FROM ($replaySql) GROUP BY 1 ORDER BY 1""",
+
+    "k04_partition_pruned" -> s"""
+      SELECT "partition", count(*) AS n, min("offset") AS min_offset,
+        max("offset") AS max_offset
+      FROM ($replaySql) WHERE "partition" IN (0, 3)
+      GROUP BY 1 ORDER BY 1""")
 }

@@ -520,6 +520,15 @@ object NorthStar {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Chunk-fingerprint payload dedup: pairs of payloads sharing >= 2
+    // distinct 64-byte chunk hashes (the binary/multimodal near-dup
+    // detector; buckets capped like every candidate generator).
+    "m06_payload_neardup" -> { (s, dir) =>
+      Multimodal.payloadNearDupPairs(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Batched stub resize (stride downsample through mapPartitions — the
     // real resampler shape), fingerprint fully oracle-checked.
     "m04_resize_stub" -> { (s, dir) =>
@@ -1625,6 +1634,24 @@ object NorthStar {
         md5(substring(hx, CAST(start_byte * 2 + 1 AS INT),
             CAST(least(64, nb - start_byte) * 2 AS INT))) AS chunk_md5
       FROM s ORDER BY doc_id, chunk_idx""",
+
+    // Mirrors the Spark cap (lowest 200 ids per chunk hash) exactly.
+    "m06_payload_neardup" -> """
+      WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS nb FROM documents
+        WHERE octet_length(encode(text)) > 0),
+      s AS (SELECT DISTINCT doc_id,
+          md5(substring(hx, CAST(t.sb * 2 + 1 AS INT),
+            CAST(least(64, nb - t.sb) * 2 AS INT))) AS cm
+        FROM c, unnest(generate_series(0, nb - 1, 48)) AS t(sb)),
+      capped AS (SELECT doc_id, cm FROM (
+          SELECT doc_id, cm, row_number()
+            OVER (PARTITION BY cm ORDER BY doc_id) AS bp FROM s)
+        WHERE bp <= 200)
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+      FROM capped x JOIN capped y ON x.cm = y.cm AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY a, b""",
 
     "m04_resize_stub" -> """
       WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,

@@ -204,6 +204,41 @@ object Relational2 {
              AND o_custkey IN (SELECT k FROM sub)) AS n_in""")
     },
 
+    // RANGE-interval window frame: event-time sliding aggregates per key
+    // (count/sum over the trailing hour) — the frame kind ROWS can't
+    // express. Sums go through DECIMAL so the varying frame contents
+    // stay order-free and cross-engine exact.
+    "q37_range_frame" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT event_id, user_id,
+          count(*) OVER w AS n_prev_hour,
+          sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prev_hour
+        FROM events
+        WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+
+    // Forward fill (LOCF imputation) via last_value IGNORE NULLS: carry
+    // the previous non-null reading per key — the standard telemetry
+    // gap-filler. No arithmetic on the carried value, so cross-engine
+    // exact by construction.
+    "q38_forward_fill" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH g AS (SELECT event_id, user_id, ts,
+            CASE WHEN event_type = 'error' THEN NULL
+                 ELSE CAST(value AS DECIMAL(18,2)) END AS reading
+          FROM events WHERE user_id < 20)
+        SELECT event_id, user_id, reading,
+          last_value(reading) IGNORE NULLS OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM g ORDER BY event_id""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -324,6 +359,29 @@ object Relational2 {
         (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
           AS max_price
       FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""",
+
+    // DuckDB computes the same trailing-hour frame; the decimal sum makes
+    // the aggregate order-free so frame-internal order can't matter.
+    "q37_range_frame" -> """
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_prev_hour,
+        sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prev_hour
+      FROM events
+      WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    "q38_forward_fill" -> """
+      WITH g AS (SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'error' THEN NULL
+               ELSE CAST(value AS DECIMAL(18,2)) END AS reading
+        FROM events WHERE user_id < 20)
+      SELECT event_id, user_id, reading,
+        last_value(reading IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM g ORDER BY event_id""",
 
     "q36_not_in_nulls" -> """
       WITH sub AS (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL

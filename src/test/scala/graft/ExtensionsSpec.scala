@@ -18,6 +18,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) >= 0L)
     assert(r.getInt(2) === 16)
     assert(r.getInt(3) === 2)
+    val r2 = spark.sql("""
+      SELECT size(feature_buckets('a b c')) AS nf,
+             size(gram_hashes('a b c d e f g h i')) AS ng,
+             nearest_entry(array(1.0d, 0.0d),
+               array(named_struct('id', 1L, 'v', array(0.0d, 0.0d)),
+                     named_struct('id', 2L, 'v', array(1.0d, 0.0d)))).id AS ne
+      """).collect()(0)
+    assert(r2.getInt(0) === 5)  // 3 unigrams + 2 bigrams
+    assert(r2.getInt(1) === 2)  // positions 1..2 carry full 8-grams
+    assert(r2.getLong(2) === 2L)
   }
 
   test("SQL minhash matches the Column-API minhash") {
