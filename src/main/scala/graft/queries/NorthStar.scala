@@ -400,6 +400,28 @@ object NorthStar {
         .orderBy(col("rank"))
     },
 
+    // Dataset-card corpus summary: the one-pass stats block a corpus
+    // release ships — volume, dedup surface, language mix, quality —
+    // composed purely of certified fragments (t04 fingerprints, t02
+    // lang-ID, t03 quality). One aggregation, partial+final; the mean
+    // goes through round+DECIMAL so it is order-free cross-engine.
+    "t23_corpus_stats" -> { (s, dir) =>
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      val d = TextAnalysis.withQuality(
+        TextAnalysis.withLangId(TextAnalysis.withFingerprint(docs(s, dir))))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"),
+          countDistinct(col("fp60")).as("n_distinct_fps"),
+          count(when(col("lang_pred") === "en", 1)).as("n_en"),
+          sum(round(col("quality_score"), 6).cast(dec6)).as("__q"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_distinct_fps"), col("n_en"),
+          round(col("__q").cast("double") / col("n_docs"), 6)
+            .as("mean_quality"))
+        .orderBy(col("source"))
+    },
+
     // Overlapping token-window passage chunking (RAG/context prep):
     // 16-token windows at 12-token stride — map-only posexplode, exact
     // integer passage arithmetic.
@@ -1396,6 +1418,39 @@ object NorthStar {
           AS "rank" FROM agg)
       SELECT doc_id, n_terms, score, CAST("rank" AS INT) AS "rank"
       FROM r WHERE "rank" <= 10 ORDER BY "rank"""",
+
+    // Composed of t04's fingerprint, t02's lang argmax, and t03's quality
+    // formula — each fragment identical to its own certified oracle.
+    "t23_corpus_stats" -> s"""
+      WITH b AS (SELECT doc_id, source, text, $W AS w FROM documents),
+      m AS (SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len,
+          ${h("trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))")} AS fp60,
+          CAST(len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht'))) AS INT) AS score_de,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+          CAST(len(list_filter(w, t -> t IN ('el','los','las','y','es','no'))) AS INT) AS score_es,
+          CAST(len(list_filter(w, t -> t IN ('le','la','les','et','est','pas'))) AS INT) AS score_fr,
+          CAST(len(list_filter(w, t -> t IN ('的','是','不','了','在'))) AS INT) AS score_zh
+        FROM b),
+      q AS (SELECT *,
+          CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+               WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+               WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+               WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+               WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+               ELSE 'zh' END AS lang_pred,
+          0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+        FROM m)
+      SELECT source, count(*) AS n_docs,
+        sum(CAST(n_tokens AS BIGINT)) AS n_tokens,
+        count(DISTINCT fp60) AS n_distinct_fps,
+        count(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_en,
+        round(CAST(sum(CAST(round(quality_score, 6) AS DECIMAL(18,6)))
+          AS DOUBLE) / count(*), 6) AS mean_quality
+      FROM q GROUP BY source ORDER BY source""",
 
     "t22_passage_chunks" -> raw"""
       WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
