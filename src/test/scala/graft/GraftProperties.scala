@@ -141,6 +141,38 @@ object GraftProperties extends Properties("graft") {
       KafkaSource.validate(Some(SaslConfig(p, m, u, u))); true
     }
 
+  // ---- misra-gries sketch ------------------------------------------------
+
+  /** The mergeable-summaries bound (Agarwal et al. 2012) that the
+    * two-pass heavy-hitters operator rests on, checked under RANDOM merge
+    * trees: buffer ≤ k entries; every item with freq > n/(k+1) present;
+    * counters only ever undercount, by at most n/(k+1).
+    */
+  property("misraGries keeps its bound under any random merge tree") =
+    forAll(
+      Gen.choose(20, 300).flatMap(n => Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.const("hh"), 2 -> Gen.const("h2"),
+        5 -> Gen.choose(0, 5000).map("n" + _)))),
+      Gen.choose(2, 12), Gen.long) { (xs, k, seed) =>
+      val mg = new graft.functions.MisraGries(k)
+      val rnd = new scala.util.Random(seed)
+      def build(items: List[String]): Map[String, Long] =
+        if (items.length <= 3 || rnd.nextBoolean())
+          items.foldLeft(mg.zero)(mg.reduce)
+        else {
+          val (a, b) = items.splitAt(1 + rnd.nextInt(items.length - 1))
+          mg.merge(build(a), build(b))
+        }
+      val sk = build(xs)
+      val exact = xs.groupBy(identity).map { case (t, l) =>
+        t -> l.size.toLong }
+      val bound = xs.length.toDouble / (k + 1)
+      sk.size <= k &&
+        exact.forall { case (t, c) => c <= bound || sk.contains(t) } &&
+        sk.forall { case (t, c) => c >= 1 && c <= exact(t) &&
+          exact(t) - c <= bound }
+    }
+
   // ---- stub decoder ------------------------------------------------------
 
   property("stub decoder is deterministic with bounded dims") =
