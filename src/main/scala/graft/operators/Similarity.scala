@@ -97,6 +97,39 @@ object Similarity {
         col("neighbor_label"), col("cosine"), col("rank"))
   }
 
+  /** ColBERT-style MaxSim late-interaction relevance: a document is the
+    * multi-vector set of all corpus rows sharing `docCol`, the query is a
+    * small set of token vectors. score(doc) = Σ_q max_{v∈doc} cos(q, v) —
+    * each query token matches its best vector in the document, softly
+    * aligning tokens to passages the way late-interaction retrievers do.
+    *
+    * Scale shape: query tokens broadcast, cosines map-side, then a
+    * two-level aggregation — the only shuffle carries the per-partition
+    * partial maxima (≤ docs·|Q| rows after map-side combine); the corpus
+    * is never re-partitioned. Per-token maxima compare exact rounded
+    * doubles; the final per-doc sum runs in DECIMAL(18,6) so token order
+    * can't perturb the last bit. Output: (doc, n_qtok, maxsim).
+    */
+  def maxSimScores(corpus: DataFrame, queryTokens: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      docCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(docCol).as("doc"),
+        col(vecCol).cast("array<double>").as("vc"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
+    val q = queryTokens.select(col(idCol).as("qtok"),
+        col(vecCol).cast("array<double>").as("vq"))
+      .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
+    c.crossJoin(broadcast(q))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+      .groupBy(col("doc"), col("qtok"))
+      .agg(max(col("cosine")).as("best"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_qtok"),
+        sum(col("best").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("maxsim"))
+  }
+
   /** Deterministic centroid set: rows whose id % modulus == 0. */
   def sampleCentroids(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", modulus: Int = 50): DataFrame =

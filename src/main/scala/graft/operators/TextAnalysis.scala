@@ -288,6 +288,18 @@ object TextAnalysis {
         regexp_replace(noUrl, EmailPattern, "<EMAIL>"))
   }
 
+  /** CCNet-style normalization for fuzzy exact-dedup: lowercase, strip
+    * everything but letters/digits/whitespace (any script — \p{L}/\p{N}
+    * are Unicode categories in both engines' regex dialects), collapse
+    * every digit run to a single `0` (so "page 17" and "page 42"
+    * normalize together), collapse whitespace, trim. Map-only; feeding
+    * the result into an md5 groupBy catches near-identical boilerplate
+    * that raw exact dedup misses (casing, punctuation, counters).
+    */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[^\\p{L}\\p{N}\\s]", " "), "\\p{N}+", "0"), "\\s+", " "))
+
   /** fastText-style linear quality classifier scoring: hash every unigram
     * and bigram (occurrences, not distinct — term frequency is the
     * feature) into `dim` buckets, look the buckets up in a trained weight

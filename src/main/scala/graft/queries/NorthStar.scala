@@ -341,6 +341,17 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // ColBERT-style MaxSim late interaction: multi-vector documents
+    // (corpus vectors grouped by label), an 8-token query; each token
+    // takes its best cosine within the doc, the doc scores the decimal
+    // sum of the maxima. Broadcast tokens, two-stage agg, corpus never
+    // re-partitioned.
+    "s13_maxsim" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.maxSimScores(e, e.filter(col("vec_id") < 8))
+        .orderBy(col("doc"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -420,6 +431,21 @@ object NorthStar {
           round(col("__q").cast("double") / col("n_docs"), 6)
             .as("mean_quality"))
         .orderBy(col("source"))
+    },
+
+    // CCNet-style normalized exact dedup: lower/strip-punct/digit-fold/
+    // whitespace-collapse BEFORE the md5 groupBy — catches boilerplate
+    // near-identicals raw d01 misses. n_distinct_raw > 1 in a group is
+    // exactly "normalization merged texts raw dedup kept apart".
+    "t24_normalized_dedup" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("raw_md5"),
+          TextAnalysis.normalizeForDedup(col("text")).as("norm"))
+        .groupBy(md5(col("norm")).as("norm_md5"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_md5")).as("n_distinct_raw"),
+          min(col("doc_id")).as("keep_id"))
+        .orderBy(col("norm_md5"))
     },
 
     // Overlapping token-window passage chunking (RAG/context prep):
@@ -1123,6 +1149,19 @@ object NorthStar {
         CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
+    "s13_maxsim" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS qtok, v, nrm FROM n WHERE vec_id < 8),
+      m AS (SELECT c.label AS doc, q.qtok,
+          max(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)) AS best
+        FROM n c, q GROUP BY c.label, q.qtok)
+      SELECT doc, count(*) AS n_qtok,
+        CAST(sum(CAST(best AS DECIMAL(18,6))) AS DOUBLE) AS maxsim
+      FROM m GROUP BY doc ORDER BY doc""",
+
     "s02_ivf_assign" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
@@ -1451,6 +1490,18 @@ object NorthStar {
         round(CAST(sum(CAST(round(quality_score, 6) AS DECIMAL(18,6)))
           AS DOUBLE) / count(*), 6) AS mean_quality
       FROM q GROUP BY source ORDER BY source""",
+
+    // Same Unicode-category regexes (\p{L}/\p{N}) and ASCII \s on both
+    // engines; digit runs fold to '0' before hashing.
+    "t24_normalized_dedup" -> raw"""
+      WITH nm AS (SELECT doc_id, md5(text) AS raw_md5,
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+            '[^\p{L}\p{N}\s]', ' ', 'g'), '\p{N}+', '0', 'g'),
+            '\s+', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT md5(norm) AS norm_md5, count(*) AS n_docs,
+        count(DISTINCT raw_md5) AS n_distinct_raw, min(doc_id) AS keep_id
+      FROM nm GROUP BY norm_md5 ORDER BY norm_md5""",
 
     "t22_passage_chunks" -> raw"""
       WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w

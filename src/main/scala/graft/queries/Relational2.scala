@@ -239,6 +239,64 @@ object Relational2 {
         FROM g ORDER BY event_id""")
     },
 
+    // LATERAL join: per-customer top-2 orders via a correlated lateral
+    // subquery with ORDER BY + LIMIT — Catalyst decorrelates it into a
+    // window top-k, the scalable shape (no per-row re-execution).
+    "q39_lateral_join" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 100
+        ORDER BY c_custkey, o_orderkey""")
+    },
+
+    // Modern-aggregate battery: median, bool_and/bool_or, arg-max,
+    // count_if, ordered listagg — all order-free or uniquely keyed, so
+    // cross-engine exact without decimal scaffolding (median rounds once
+    // at the end; the interpolation arithmetic is the same two-value
+    // midpoint in both engines).
+    "q40_agg_battery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderpriority,
+          round(median(o_totalprice), 6) AS med_price,
+          bool_and(o_totalprice > 100.0) AS all_over_100,
+          bool_or(o_orderstatus = 'P') AS any_pending,
+          max_by(o_orderstatus, o_orderkey) AS last_status,
+          count_if(o_orderstatus = 'O') AS n_open,
+          listagg(o_orderkey, ',') WITHIN GROUP (ORDER BY o_orderkey)
+            AS keys_csv
+        FROM orders WHERE o_custkey < 50
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+
+    // Array higher-order-function battery over per-order quantity lists:
+    // sort makes collect_list deterministic; aggregate/filter/exists/
+    // forall/transform/distinct all run in exact integer space.
+    "q41_array_hof" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH a AS (SELECT l_orderkey,
+            array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
+          FROM lineitem WHERE l_orderkey < 600 GROUP BY l_orderkey)
+        SELECT l_orderkey,
+          size(qs) AS n,
+          element_at(qs, 1) AS q_first,
+          element_at(qs, -1) AS q_last,
+          aggregate(qs, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS q_sum,
+          size(filter(qs, x -> x > 25)) AS n_big,
+          exists(qs, x -> x = 50) AS has_50,
+          forall(qs, x -> x > 0) AS all_pos,
+          size(array_distinct(qs)) AS n_distinct,
+          concat_ws(',', transform(qs, x -> CAST(x * 2 AS STRING)))
+            AS doubled
+        FROM a ORDER BY l_orderkey""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -397,6 +455,44 @@ object Relational2 {
           AS n_not_exists,
         (SELECT count(*) FROM orders WHERE o_custkey < 300
            AND o_custkey IN (SELECT k FROM sub)) AS n_in""",
+
+    "q39_lateral_join" -> """
+      SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey < 100
+      ORDER BY c_custkey, o_orderkey""",
+
+    "q40_agg_battery" -> """
+      SELECT o_orderpriority,
+        round(median(o_totalprice), 6) AS med_price,
+        bool_and(o_totalprice > 100.0) AS all_over_100,
+        bool_or(o_orderstatus = 'P') AS any_pending,
+        arg_max(o_orderstatus, o_orderkey) AS last_status,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+          AS keys_csv
+      FROM orders WHERE o_custkey < 50
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q41_array_hof" -> """
+      WITH a AS (SELECT l_orderkey,
+          list_sort(list(CAST(l_quantity AS INT))) AS qs
+        FROM lineitem WHERE l_orderkey < 600 GROUP BY l_orderkey)
+      SELECT l_orderkey,
+        CAST(len(qs) AS INT) AS n,
+        qs[1] AS q_first,
+        qs[-1] AS q_last,
+        CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        CAST(len(list_filter(qs, x -> x > 25)) AS INT) AS n_big,
+        len(list_filter(qs, x -> x = 50)) > 0 AS has_50,
+        len(list_filter(qs, x -> NOT (x > 0))) = 0 AS all_pos,
+        CAST(len(list_distinct(qs)) AS INT) AS n_distinct,
+        array_to_string(list_transform(qs, x -> CAST(x * 2 AS VARCHAR)), ',')
+          AS doubled
+      FROM a ORDER BY l_orderkey""",
 
     "q28_null_ordering" -> """
       SELECT event_id,
