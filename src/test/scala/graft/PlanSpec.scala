@@ -194,4 +194,24 @@ class PlanSpec extends SparkSpec {
     // the plan must hash-partition the window input on the shard key
     assert(p.contains("hashpartitioning(shard"), p)
   }
+
+  test("correlated LATERAL LIMIT decorrelates to a join, not per-row " +
+      "re-execution (q39)") {
+    val p = plan("q39_lateral_join")
+    // Catalyst must rewrite the lateral subquery into a windowed/grouped
+    // join — a CartesianProduct or nested-loop over the full orders table
+    // would re-run the subquery per customer row
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("maxsim broadcasts query tokens and aggregates corpus-side (s13)") {
+    val p = plan("s13_maxsim")
+    // the corpus joins the broadcast token set (nested-loop over the
+    // broadcast is fine: |Q| rows), then two-stage hash aggregation —
+    // no shuffle of raw corpus vectors
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

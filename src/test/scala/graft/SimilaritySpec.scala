@@ -257,4 +257,34 @@ class SimilaritySpec extends SparkSpec {
       assert(got === expect(q), s"query $q")
     }
   }
+
+  test("maxsim == driver-side recompute (round-6 max per token, exact sum)") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    val qs = rows.filter(_._1 < 8)
+    assert(qs.nonEmpty)
+    val expected = rows.groupBy(_._2).map { case (doc, members) =>
+      val sum = qs.map { case (_, _, qv) =>
+        val nq = math.sqrt(dot(qv, qv))
+        BigDecimal(members.map { case (_, _, cv) =>
+          round6(dot(qv, cv) / (nq * math.sqrt(dot(cv, cv))))
+        }.max).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      doc -> (qs.length.toLong, sum.toDouble)
+    }
+    val got = Similarity.maxSimScores(emb,
+        emb.filter(col("vec_id") < 8)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (doc, (n, s)) =>
+      assert(got(doc)._1 === n, s"doc $doc token count")
+      assert(java.lang.Double.doubleToLongBits(got(doc)._2) ===
+        java.lang.Double.doubleToLongBits(s), s"doc $doc score")
+    }
+  }
 }

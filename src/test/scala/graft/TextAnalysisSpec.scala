@@ -388,6 +388,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.resized_md5 === expected)
   }
 
+  test("normalizeForDedup folds case, punctuation, digits and whitespace") {
+    import spark.implicits._
+    val pairsSame = Seq(
+      ("Hello, World!", "hello world"),
+      ("page 17 of 42", "Page 99 of 100"),
+      ("a\t b\nc", " a b c "),
+      ("Preis: 12,50 EUR", "preis 0 0 eur"))
+    val pairsDiff = Seq(
+      ("foo bar", "foo baz"),
+      ("un deux", "un deux trois"))
+    val norm = (pairsSame ++ pairsDiff).flatMap(p => Seq(p._1, p._2))
+      .toDF("t")
+      .select(col("t"), TextAnalysis.normalizeForDedup(col("t")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    pairsSame.foreach { case (a, b) =>
+      assert(norm(a) === norm(b), s"'$a' vs '$b'") }
+    pairsDiff.foreach { case (a, b) =>
+      assert(norm(a) !== norm(b), s"'$a' vs '$b'") }
+    // non-Latin letters survive (Unicode \p{L}), so zh text doesn't
+    // collapse into one group
+    val zh = Seq("你好 世界", "再见 世界").toDF("t")
+      .select(TextAnalysis.normalizeForDedup(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(zh(0) !== zh(1))
+    assert(zh(0).nonEmpty)
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
