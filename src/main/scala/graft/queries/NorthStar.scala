@@ -134,6 +134,12 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Per-doc n-gram novelty: share of 8-gram positions whose hash is
+    // unique corpus-wide — the memorization-risk score next to quality.
+    "t25_ngram_novelty" -> { (s, dir) =>
+      Dedup.gramNovelty(docs(s, dir)).orderBy(col("doc_id"))
+    },
+
     // Second capstone — the MODERN data-mix chain, composing this round's
     // operators end-to-end: ExactSubstr span removal → linear-classifier
     // quality gate → decontamination of the CLEANED text → temperature
@@ -350,6 +356,24 @@ object NorthStar {
       val e = emb(s, dir)
       Similarity.maxSimScores(e, e.filter(col("vec_id") < 8))
         .orderBy(col("doc"))
+    },
+
+    // Two-stage retrieval: IVF-PQ candidates (top-20 by compressed ADC
+    // distance) re-ranked by exact cosine — the production shape where
+    // only candidates ever touch raw vectors.
+    "s14_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.rerankSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // J-L random projection 64→16: deterministic LCG matrix, map-only,
+    // index-order folds — bit-exact cross-engine.
+    "s15_random_projection" -> { (s, dir) =>
+      Similarity.randomProjection(emb(s, dir))
+        .select(col("id").as("vec_id"),
+          posexplode(col("pv")).as(Seq("j", "comp")))
+        .orderBy(col("vec_id"), col("j"))
     },
 
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
@@ -606,6 +630,16 @@ object NorthStar {
 
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
+
+  /** The s15 projection-matrix entry R(i,j) as DuckDB SQL over fold vars
+    * (i, t.j): Wang-style mix of n = i·16 + j, mapped into [-1, 1).
+    * Mirrors Similarity.randomProjection's r() exactly.
+    */
+  private val WangR: String = {
+    def mix(x: String) = s"((xor(($x), ($x) >> 16) * 73244475) % 4294967296)"
+    val m2 = mix(mix("i * 16 + t.j"))
+    s"CAST((xor($m2, $m2 >> 16)) % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0"
+  }
 
   /** PQ base: 8×8 subspace slices, sampled codebook, per-(vector,
     * subspace) nearest-codeword codes — shared by s09 (dump) and s10
@@ -968,6 +1002,25 @@ object NorthStar {
           AS INT) AS n_removed_tokens
       FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
 
+    "t25_ngram_novelty" -> raw"""
+      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      pos AS (SELECT doc_id, i AS pos,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      cnt AS (SELECT gh, count(*) AS n FROM pos GROUP BY gh),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_grams
+        FROM pos JOIN cnt USING (gh) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+        coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+        CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+          ELSE round(1.0 - p.n_dup_grams / CAST(p.n_grams AS DOUBLE), 6)
+        END AS novelty_ratio
+      FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id""",
+
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE
       w0 AS (SELECT doc_id, text, n_chars,
@@ -1260,6 +1313,61 @@ object NorthStar {
             ORDER BY CAST(s AS DOUBLE), neighbor_id) AS "rank" FROM adc)
       SELECT query_id, neighbor_id, approx_d2, CAST("rank" AS INT) AS "rank"
       FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
+
+    // s11's candidate/ADC chain with kCand=20 survivors, then exact
+    // cosine re-ranks them (n = norms over the shared e CTE).
+    "s14_rerank" -> (PqCodesCte + raw""",
+      ivfs AS (SELECT e.vec_id, cbv.code AS centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, cbv.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, cbv),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM ivfs) WHERE rn = 1),
+      qp AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS pr FROM ivfs
+          WHERE vec_id % 100 = 0) WHERE pr <= 2),
+      cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        FROM qp JOIN a ON a.cell = qp.cell WHERE a.vec_id != qp.query_id),
+      qe AS (SELECT vec_id AS query_id, m, sv FROM ve
+             WHERE vec_id % 100 = 0),
+      dt AS (SELECT qe.query_id, cb.m, cb.code,
+          round(list_reduce(list_transform(list_zip(qe.sv, cb.sv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS pd
+        FROM qe JOIN cb USING (m)),
+      adc AS (SELECT x.query_id, c.vec_id AS neighbor_id,
+          CAST(sum(CAST(d.pd AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+        FROM cand x JOIN codes c ON c.vec_id = x.neighbor_id
+             JOIN dt d ON d.query_id = x.query_id AND d.m = c.m
+                      AND d.code = c.code
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY CAST(s AS DOUBLE), neighbor_id) AS cr FROM adc),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      rr AS (SELECT r.query_id, r.neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6)
+            AS cosine
+        FROM r JOIN n cn ON cn.vec_id = r.neighbor_id
+               JOIN n qn ON qn.vec_id = r.query_id
+        WHERE r.cr <= 20),
+      rr2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM rr)
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank"
+      FROM rr2 WHERE "rank" <= 5 ORDER BY query_id, "rank""""),
+
+    // R(i,j) from the Wang-style mix h(n) = xorfold(m(m(n))) with
+    // m(x) = (xor(x, x>>16) * 73244475) % 2^32 — built by WangR below;
+    // must stay in lockstep with Similarity.randomProjection.
+    "s15_random_projection" -> s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT vec_id, CAST(t.j AS INT) AS j,
+        list_reduce(list_transform(generate_series(0, len(e.v) - 1),
+          i -> e.v[i + 1] * ($WangR)),
+          (x, y) -> x + y) * sqrt(3.0 / 16.0) AS comp
+      FROM e, generate_series(0, 15) t(j)
+      ORDER BY vec_id, j""",
 
     "s04_lsh_search" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("gram novelty: exact dup/total accounting, short docs get NULL") {
+    import spark.implicits._
+    val S = (1 to 10).map("s" + _).mkString(" ") // 10 tokens, 3 8-grams
+    val fixture = Seq(
+      (1L, s"u1 u2 u3 $S v1 v2"),  // 15 toks → 8 grams; 3 dup (the S ones)
+      (2L, s"w1 $S x1"),           // 12 toks → 5 grams; 3 dup
+      (3L, (1 to 12).map("z" + _).mkString(" ")), // 12 toks → 5, all novel
+      (4L, "a1 a2 a3")             // < 8 tokens → no grams
+    ).toDF("doc_id", "text")
+    val got = Dedup.gramNovelty(fixture).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) === ((8L, 3L, Some(0.625))))
+    assert(got(2L) === ((5L, 3L, Some(0.4))))
+    assert(got(3L) === ((5L, 0L, Some(1.0))))
+    assert(got(4L) === ((0L, 0L, None)))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val emb = Tables.load(spark, sf, "embeddings")
     val pairs = Dedup.embeddingNearDupPairs(emb).collect()

@@ -258,6 +258,78 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("rerank with full probes and corpus-wide kCand == brute force " +
+      "(re-ranking restores exact order); default rerank never mis-scores") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count().toInt
+    // all cells probed + every candidate kept -> the exact top-k
+    val full = Similarity.rerankSearch(emb, qs, nprobe = 1000, kCand = n)
+      .collect().map(_.toSeq).toSet
+    val brute = Similarity.bruteForceTopK(emb, qs).collect()
+      .map(_.toSeq).toSet
+    assert(full === brute)
+    // default (restricted) rerank: every returned cosine must equal the
+    // brute-force cosine for that pair — candidates may be missed, but a
+    // surviving candidate is scored exactly
+    val bruteAll = Similarity.bruteForceTopK(emb, qs, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.rerankSearch(emb, qs).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(bruteAll((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+    // exact-cosine order within each query, ranks dense from 1
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ===
+        (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cos === cos.sorted.reverse)
+    }
+  }
+
+  test("random projection: deterministic, right shape, and J-L distance " +
+      "preservation in the aggregate") {
+    val p1 = Similarity.randomProjection(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val p2 = Similarity.randomProjection(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(p1.keySet === p2.keySet)
+    p1.foreach { case (id, v) =>
+      assert(v.length === 16)
+      assert(v.toSeq === p2(id).toSeq)
+    }
+    // driver-side recompute of one row pins the hash matrix + fold order
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    def mix(x: Long): Long = ((x ^ (x >> 16)) * 73244475L) % 4294967296L
+    val expect0 = (0 until 16).map { j =>
+      v0.indices.foldLeft(0.0) { (acc, i) =>
+        val m2 = mix(mix((i * 16 + j).toLong))
+        val x = (m2 ^ (m2 >> 16)) % 2147483648L
+        acc + v0(i) * (x.toDouble / 1073741824.0 - 1.0)
+      } * math.sqrt(3.0 / 16.0)
+    }
+    assert(p1(0L).toSeq === expect0)
+    // J-L sanity: the sqrt(3/k) scale makes the projection an isometry
+    // in expectation — per-vector norm ratios ‖Pv‖²/‖v‖² concentrate
+    // around 1 (k=16 → sd ≈ sqrt(2/k) ≈ 0.35 per vector, tight mean
+    // over 500). A structured (e.g. affine-in-the-index) matrix fails
+    // this: correlated columns inflate the ratio variance.
+    val orig = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def n2(a: Array[Double]) = a.map(x => x * x).sum
+    val ratios = orig.map { case (id, vfull) => n2(p1(id)) / n2(vfull) }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.85 && mean < 1.15,
+      s"projection is not an isometry in expectation: mean ratio $mean")
+    val inBand = ratios.count(x => x > 0.3 && x < 2.0).toDouble
+    assert(inBand / ratios.length > 0.9,
+      s"norm ratios too dispersed: ${inBand / ratios.length} in [0.3, 2]")
+  }
+
   test("maxsim == driver-side recompute (round-6 max per token, exact sum)") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
