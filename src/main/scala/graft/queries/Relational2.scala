@@ -297,6 +297,63 @@ object Relational2 {
         FROM a ORDER BY l_orderkey""")
     },
 
+    // Regex battery: extract/replace/count/match over part strings —
+    // patterns stay in the Java/RE2-common subset (classes, anchors, +)
+    // so both engines' regex dialects agree.
+    "q42_regex_battery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT p_partkey,
+          regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+          regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+          regexp_replace(p_name, '[aeiou]', '') AS no_vowels,
+          regexp_count(p_name, 'a') AS n_a,
+          p_name RLIKE '^[a-z]+ ' AS starts_word,
+          size(split(p_name, ' ')) AS n_words,
+          p_name LIKE '%blue%' AS has_blue,
+          regexp_replace(p_type, '[A-Z]+', 'X') AS masked_type
+        FROM part ORDER BY p_partkey""")
+    },
+
+    // Struct/map battery: construction, field access, key sort, and
+    // ordered struct-array comparison — outputs re-extracted to scalars
+    // (the driver compare requires scalar columns).
+    "q43_struct_map_battery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          named_struct('k', o_orderkey, 's', o_orderstatus).s AS st_field,
+          element_at(map('status', o_orderstatus, 'prio', o_orderpriority),
+            'prio') AS m_prio,
+          array_join(sort_array(map_keys(
+            map('status', o_orderstatus, 'prio', o_orderpriority))), ',')
+            AS m_keys,
+          element_at(sort_array(array(
+            named_struct('p', o_totalprice, 'tag', 'tp'),
+            named_struct('p', CAST(o_orderkey AS DOUBLE), 'tag', 'key'))),
+            1).tag AS min_tag,
+          named_struct('deep', named_struct('v', o_totalprice)).deep.v
+            AS nested_v
+        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")
+    },
+
+    // Semi-structured Variant battery (Spark 4's VARIANT type): parse
+    // once, typed extraction, and missing-path NULL semantics. The
+    // oracle extracts the same scalars from the raw JSON — variant is
+    // an encoding, not a semantic change, so results must agree.
+    "q44_variant_json" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH v AS (SELECT event_id, parse_json(props) AS pv
+                   FROM events WHERE event_id < 1000)
+        SELECT event_id,
+          variant_get(pv, '$.k', 'int') AS k_int,
+          variant_get(pv, '$.k', 'string') AS k_str,
+          try_variant_get(pv, '$.missing', 'int') AS missing_int,
+          variant_get(pv, '$.k', 'double') * 2.0 AS k_doubled
+        FROM v ORDER BY event_id""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -493,6 +550,41 @@ object Relational2 {
         array_to_string(list_transform(qs, x -> CAST(x * 2 AS VARCHAR)), ',')
           AS doubled
       FROM a ORDER BY l_orderkey""",
+
+    "q42_regex_battery" -> """
+      SELECT p_partkey,
+        regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+        regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+        CAST(len(regexp_extract_all(p_name, 'a')) AS INT) AS n_a,
+        regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+        p_name LIKE '%blue%' AS has_blue,
+        regexp_replace(p_type, '[A-Z]+', 'X', 'g') AS masked_type
+      FROM part ORDER BY p_partkey""",
+
+    "q43_struct_map_battery" -> """
+      SELECT o_orderkey,
+        struct_pack(k := o_orderkey, s := o_orderstatus).s AS st_field,
+        map(['status', 'prio'],
+            [o_orderstatus, o_orderpriority])['prio'][1] AS m_prio,
+        array_to_string(list_sort(map_keys(
+          map(['status', 'prio'], [o_orderstatus, o_orderpriority]))), ',')
+          AS m_keys,
+        (list_sort([{'p': o_totalprice, 'tag': 'tp'},
+                    {'p': CAST(o_orderkey AS DOUBLE), 'tag': 'key'}]))[1].tag
+          AS min_tag,
+        struct_pack(deep := struct_pack(v := o_totalprice)).deep.v
+          AS nested_v
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""",
+
+    "q44_variant_json" -> """
+      SELECT event_id,
+        json_extract(props, '$.k')::INT AS k_int,
+        CAST(json_extract(props, '$.k')::INT AS VARCHAR) AS k_str,
+        CAST(NULL AS INT) AS missing_int,
+        json_extract(props, '$.k')::DOUBLE * 2.0 AS k_doubled
+      FROM events WHERE event_id < 1000 ORDER BY event_id""",
 
     "q28_null_ordering" -> """
       SELECT event_id,

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types._
 
 import graft.sources.{KafkaRecord, KafkaSource}
@@ -13,6 +15,34 @@ case class OffsetGap(topic: String, partition: Int,
 
 /** Per-(topic,partition) offset tracking state. */
 case class OffsetState(lastOffset: Long)
+
+/** [[StreamOps.detectOffsetGaps]] re-expressed on Spark 4's
+  * transformWithState API: the same bounded one-long-per-partition state,
+  * held in a typed [[ValueState]] under the RocksDB state store (the new
+  * API's required provider). Same emission contract as the
+  * flatMapGroupsWithState twin — the spec gates their parity.
+  */
+class OffsetGapProcessor
+    extends StatefulProcessor[(String, Int), KafkaRecord, OffsetGap] {
+  @transient private var last: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    last = getHandle.getValueState[Long]("lastOffset", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: (String, Int),
+      rows: Iterator[KafkaRecord], tv: TimerValues): Iterator[OffsetGap] = {
+    val sorted = rows.map(_.offset).toArray.sorted
+    var l = if (last.exists()) last.get() else -1L
+    val gaps = Seq.newBuilder[OffsetGap]
+    sorted.foreach { off =>
+      if (l >= 0 && off > l + 1) gaps += OffsetGap(key._1, key._2, l, off)
+      if (off > l) l = off
+    }
+    last.update(l)
+    gaps.result().iterator
+  }
+}
 
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows): the
   * streaming twin of the batch replay source plus watermarked windows,
@@ -101,6 +131,21 @@ object StreamOps {
           state.update(OffsetState(last))
           gaps.result().iterator
       }
+  }
+
+  /** [[detectOffsetGaps]] on the transformWithState API (Spark 4's
+    * arbitrary-state surface — typed state cells, timers, TTL): identical
+    * semantics, state lives in a per-key [[ValueState]] long. Requires
+    * the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — the caller sets it; the
+    * HDFS-backed default store does not support this operator.
+    */
+  def detectOffsetGapsTws(records: Dataset[KafkaRecord]): Dataset[OffsetGap] = {
+    import records.sparkSession.implicits._
+    records.groupByKey(r => (r.topic, r.partition))
+      .transformWithState(new OffsetGapProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Stream-static enrichment join: the static dimension broadcasts to the

@@ -179,6 +179,40 @@ class SinkSpec extends SparkSpec {
     assert(gaps === Set((0, 2L, 5L), (0, 6L, 9L)))
   }
 
+  test("transformWithState gap detector matches the fMGWS twin (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[KafkaRecord]
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def rec(p: Int, off: Long) =
+        KafkaRecord("t", p, off, t0, "k", "v", null)
+      mem.addData(rec(0, 0), rec(0, 1), rec(0, 2), rec(1, 10))
+      mem.addData(rec(0, 5), rec(0, 6), rec(1, 11)) // hole 2->5 on p0
+      mem.addData(rec(0, 9), rec(1, 12))            // hole 6->9 on p0
+      val q = StreamOps.detectOffsetGapsTws(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("gaps_tws").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      val gaps = spark.table("gaps_tws").as[OffsetGapRow].collect()
+        .map(g => (g.partition, g.fromOffset, g.toOffset)).toSet
+      // identical emission contract to the flatMapGroupsWithState twin
+      assert(gaps === Set((0, 2L, 5L), (0, 6L, 9L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join enriches without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = classic.sqlContext
