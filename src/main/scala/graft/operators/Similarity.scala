@@ -268,6 +268,38 @@ object Similarity {
     cents
   }
 
+  /** Per-label centroid-distance outliers: each label's `k` vectors
+    * farthest from that label's mean embedding — the mislabeled/noisy-
+    * example detector a curation pipeline runs over classifier or
+    * clustering labels. Centroids come from the same bounded-buffer
+    * bit-reproducible chunked fold as s05 ([[chunkedOrderedSum]]), packed
+    * per label (≤ labels·dim rows) and broadcast; the distance pass is
+    * map-side; the only corpus exchange is the per-label window for
+    * top-k (WindowGroupLimit-pruned). Output: (label, id, d2, rank).
+    */
+  def centroidOutliers(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      k: Int = 3, chunkSize: Int = 256): DataFrame = {
+    val exploded = emb.select(col(labelCol).as("label"),
+      col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
+    val cents = chunkedOrderedSum(exploded, Seq("label", "idx"), "id",
+        "comp", chunkSize)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"),
+          (col("s") / col("cnt")).as("m")))),
+          e => e.getField("m")).as("cv"))
+    val c = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+      col(vecCol).cast("array<double>").as("v"))
+    val scored = c.join(broadcast(cents), "label")
+      .withColumn("d2", round(dist2(col("v"), col("cv")), 6))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("d2").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("id"), col("d2"), col("rank"))
+  }
+
   /** Deterministic direction sample for hyperplane LSH: the first (up to)
     * `n` residue-matching corpus vectors by id, via TakeOrderedAndProject
     * (no corpus-wide single-partition window). Residue-only — no fallback —

@@ -643,6 +643,63 @@ object TextAnalysis {
           lit(window))).as("passage"))
   }
 
+  /** Per-doc out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * term vocabulary (ties broken by term asc, so the vocab is
+    * deterministic): the tokenizer-coverage diagnostic a data mix runs
+    * before committing to a vocab budget. Two shuffles — term counts, then
+    * the per-doc aggregation; the vocabulary itself is top-k
+    * (TakeOrderedAndProject, never a global sort) and broadcast back, so
+    * the corpus-side pass is map + one agg at any scale.
+    * Output: (idCol, n_tokens, n_oov, oov_rate).
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col(idCol),
+      explode(split(col(textCol), "\\s+")).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1).as("__in"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Cross-source n-gram overlap matrix: for each ordered source pair
+    * (a < b), how many distinct l-gram hashes they share, and what share
+    * of each side's distinct grams that is — the corpus-forensics view of
+    * inter-source contamination/syndication (which feeds dedup and
+    * decontamination decisions). One distinct pass to (source, gram),
+    * one self-join on the gram hash (fan-out per gram bounded by the
+    * SOURCE dimension, which is small by construction — never by corpus
+    * size), one pair aggregation. Output:
+    * (src_a, src_b, n_shared, frac_a, frac_b).
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text", l: Int = 8): DataFrame = {
+    val g = docs.select(col(srcCol).as("src"),
+        explode(graft.functions.TextFunctions.gram_hashes(col(textCol), l))
+          .as("gh"))
+      .distinct()
+    val tot = g.groupBy(col("src")).agg(count(lit(1)).as("__t"))
+    val pairs = g.select(col("src").as("src_a"), col("gh"))
+      .join(g.select(col("src").as("src_b"), col("gh")), "gh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(tot.select(col("src").as("src_a"),
+        col("__t").as("__ta"))), "src_a")
+      .join(broadcast(tot.select(col("src").as("src_b"),
+        col("__t").as("__tb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared") / col("__ta").cast("double"), 6).as("frac_a"),
+        round(col("n_shared") / col("__tb").cast("double"), 6).as("frac_b"))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

@@ -140,6 +140,21 @@ object NorthStar {
       Dedup.gramNovelty(docs(s, dir)).orderBy(col("doc_id"))
     },
 
+    // Tokenizer-coverage diagnostic: per-doc OOV rate against the
+    // corpus's own top-200 term vocabulary (top-k + broadcast, no
+    // global sort).
+    "t26_oov_rate" -> { (s, dir) =>
+      TextAnalysis.oovRate(docs(s, dir), vocabSize = 200)
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-source contamination matrix: distinct shared 8-grams per
+    // source pair, with each side's coverage fraction.
+    "t27_source_overlap" -> { (s, dir) =>
+      TextAnalysis.sourceOverlap(docs(s, dir))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Second capstone — the MODERN data-mix chain, composing this round's
     // operators end-to-end: ExactSubstr span removal → linear-classifier
     // quality gate → decontamination of the CLEANED text → temperature
@@ -1020,6 +1035,39 @@ object NorthStar {
           ELSE round(1.0 - p.n_dup_grams / CAST(p.n_grams AS DOUBLE), 6)
         END AS novelty_ratio
       FROM documents d LEFT JOIN pd p USING (doc_id) ORDER BY d.doc_id""",
+
+    "t26_oov_rate" -> raw"""
+      WITH tok AS (SELECT doc_id,
+          unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      vc AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+      vocab AS (SELECT term FROM (
+          SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn
+          FROM vc) WHERE rn <= 200)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_oov,
+        round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+          / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+      FROM tok LEFT JOIN vocab v USING (term)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "t27_source_overlap" -> raw"""
+      WITH wt AS (SELECT source, string_split_regex(text, '\s+') AS w
+                  FROM documents),
+      g AS (SELECT DISTINCT source AS src,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      tot AS (SELECT src, count(*) AS t FROM g GROUP BY src),
+      pr AS (SELECT x.src AS src_a, y.src AS src_b, count(*) AS n_shared
+        FROM g x JOIN g y ON x.gh = y.gh AND x.src < y.src
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_shared,
+        round(n_shared / CAST(ta.t AS DOUBLE), 6) AS frac_a,
+        round(n_shared / CAST(tb.t AS DOUBLE), 6) AS frac_b
+      FROM pr JOIN tot ta ON ta.src = pr.src_a
+              JOIN tot tb ON tb.src = pr.src_b
+      ORDER BY src_a, src_b""",
 
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE

@@ -166,6 +166,16 @@ object Pipeline {
         .select(col("label"), col("idx"),
           (col("s") / col("cnt")).as("mean"), col("cnt").as("n_vectors"))
         .orderBy(col("label"), col("idx"))
+    },
+
+    // Mislabeled/noisy-example detection: each label's 3 vectors farthest
+    // from its own certified (s05-fold) centroid — broadcast centroids,
+    // map-side distances, WindowGroupLimit top-k.
+    "s16_centroid_outliers" -> { (s, dir) =>
+      graft.operators.Similarity
+        .centroidOutliers(Tables.load(s, dir, "embeddings"))
+        .select(col("label"), col("id").as("vec_id"), col("d2"), col("rank"))
+        .orderBy(col("label"), col("rank"))
     })
 
   // NOTE: must precede `oracles` — Scala object vals initialize in
@@ -294,5 +304,31 @@ object Pipeline {
              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
                / CAST(sum(cnt) AS BIGINT) AS mean,
              CAST(sum(cnt) AS BIGINT) AS n_vectors
-      FROM p GROUP BY label, i ORDER BY label, idx""")
+      FROM p GROUP BY label, i ORDER BY label, idx""",
+
+    // Same centroid fold as s05, re-packed to per-label vectors; distance
+    // is the index-ordered left fold every vector oracle here uses.
+    "s16_centroid_outliers" -> """
+      WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      x AS (SELECT label, vec_id, t.i, v[t.i] AS comp
+            FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      p AS (SELECT label, i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
+              count(*) AS cnt
+            FROM x GROUP BY label, i, chunk),
+      m AS (SELECT label, i,
+              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+                / CAST(sum(cnt) AS BIGINT) AS mean
+            FROM p GROUP BY label, i),
+      cv AS (SELECT label, list(mean ORDER BY i) AS cv FROM m
+             GROUP BY label),
+      sc AS (SELECT e.label, e.vec_id,
+          round(list_reduce(list_transform(list_zip(e.v, cv.cv),
+            q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b), 6) AS d2
+        FROM e JOIN cv USING (label)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY d2 DESC, vec_id) AS "rank" FROM sc)
+      SELECT label, vec_id, d2, CAST("rank" AS INT) AS "rank" FROM r
+      WHERE "rank" <= 3 ORDER BY label, "rank"""")
 }

@@ -330,6 +330,29 @@ class SimilaritySpec extends SparkSpec {
       s"norm ratios too dispersed: ${inBand / ratios.length} in [0.3, 2]")
   }
 
+  test("centroid outliers: planted far vector ranks first for its label") {
+    import spark.implicits._
+    // 9 near-origin vectors + 1 planted far outlier per label
+    val rows = (for {
+      lbl <- 0 until 2
+      i <- 0 until 10
+    } yield {
+      val base = if (i == 9) 100.0 else i * 0.1
+      ((lbl * 10 + i).toLong, Array(base + lbl, 0.0f + lbl), lbl)
+    }).map { case (id, v, l) => (id, v.map(_.toFloat), l) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(rows, k = 2).collect()
+      .map(r => (r.getInt(0), r.getAs[Int]("rank")) -> r.getLong(1)).toMap
+    // the planted 100.0 vector is rank 1 in both labels
+    assert(got((0, 1)) === 9L)
+    assert(got((1, 1)) === 19L)
+    // d2 ordering: rank1 strictly farther than rank2
+    val d2s = Similarity.centroidOutliers(rows, k = 2).collect()
+      .groupBy(_.getInt(0)).view.mapValues(
+        _.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("d2")).toSeq)
+    d2s.foreach { case (_, ds) => assert(ds(0) > ds(1)) }
+  }
+
   test("maxsim == driver-side recompute (round-6 max per token, exact sum)") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -415,6 +415,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(zh(0).nonEmpty)
   }
 
+  test("oov rate: top-k vocabulary is deterministic, counts exact") {
+    import spark.implicits._
+    // corpus term counts: a×5, b×4, c×3, d×1, e×1 → vocab(3) = {a, b, c}
+    val fixture = Seq(
+      (1L, "a a b b c"),
+      (2L, "a a b c c d"),
+      (3L, "a b e")).toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(fixture, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) === ((5L, 0L, 0.0)))
+    assert(got(2L) === ((6L, 1L, BigDecimal(1.0 / 6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(3L) === ((3L, 1L, BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // ties at the vocab boundary break by term asc: with size 4 the
+    // d/e tie (count 1 each) admits 'd', not 'e'
+    val got4 = TextAnalysis.oovRate(fixture, vocabSize = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got4(2L) === 0L) // 'd' now in vocab
+    assert(got4(3L) === 1L) // 'e' still out
+  }
+
+  test("source overlap: shared distinct grams and coverage fractions") {
+    import spark.implicits._
+    val S = (1 to 8).map("s" + _).mkString(" ")  // exactly one 8-gram
+    val T = (1 to 9).map("t" + _).mkString(" ")  // two 8-grams
+    val fixture = Seq(
+      ("s1", s"$S"),          // srcA: gram set {S}
+      ("s2", s"$S"),          // srcB: {S} — shares S with s1
+      ("s2", s"$T"),          // ... plus T's two grams → s2 has 3 distinct
+      ("s3", (1 to 10).map("z" + _).mkString(" "))) // disjoint
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === Set(("s1", "s2")))
+    assert(got(("s1", "s2")) === ((1L, 1.0, 0.333333)))
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
