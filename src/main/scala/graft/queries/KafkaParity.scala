@@ -64,6 +64,23 @@ object KafkaParity {
           min(col("offset")).as("min_offset"),
           max(col("offset")).as("max_offset"))
         .orderBy(col("partition"))
+    },
+
+    // Time-range-pruned scan: `start_ts`/`end_ts` named args — broker
+    // timestamp-index offset resolution in production
+    // (startingTimestamp/endingTimestamp), the second pushdown the
+    // reference declines; inclusive-exclusive range.
+    "k05_time_pruned" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      s.conf.set(KafkaSource.ReplayConfKey, dir)
+      s.sql("""SELECT * FROM kafka_consumer(
+          'localhost:9092', 'events', 'grp',
+          start_ts => '2024-01-05 00:00:00', end_ts => '2024-01-12 00:00:00')""")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("timestamp")).as("min_ts"),
+          max(col("timestamp")).as("max_ts"))
+        .orderBy(col("partition"))
     })
 
   private val replaySql = """
@@ -94,5 +111,13 @@ object KafkaParity {
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,
         max("offset") AS max_offset
       FROM ($replaySql) WHERE "partition" IN (0, 3)
+      GROUP BY 1 ORDER BY 1""",
+
+    "k05_time_pruned" -> s"""
+      SELECT "partition", count(*) AS n, min("timestamp") AS min_ts,
+        max("timestamp") AS max_ts
+      FROM ($replaySql)
+      WHERE "timestamp" >= TIMESTAMP '2024-01-05 00:00:00'
+        AND "timestamp" < TIMESTAMP '2024-01-12 00:00:00'
       GROUP BY 1 ORDER BY 1""")
 }

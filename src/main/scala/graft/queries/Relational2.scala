@@ -239,6 +239,39 @@ object Relational2 {
         FROM g ORDER BY event_id""")
     },
 
+    // Linear interpolation of missing readings between the nearest
+    // non-null neighbors (time-weighted), the gap-imputation twin of
+    // q38's LOCF. Bounds ride IGNORE-NULLS window structs; the factor is
+    // exact integer microseconds; boundary gaps (no prev/next) stay NULL.
+    // Both windows are per-user (state bounded by a user's history).
+    "q45_interpolate" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH g AS (SELECT event_id, user_id,
+            unix_micros(CAST(ts AS TIMESTAMP)) AS tm,
+            CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+          FROM events WHERE user_id < 20),
+        b AS (SELECT event_id, user_id, v,
+            last_value(CASE WHEN v IS NOT NULL
+                THEN named_struct('t', tm, 'x', v) END) IGNORE NULLS
+              OVER (PARTITION BY user_id ORDER BY tm, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+            first_value(CASE WHEN v IS NOT NULL
+                THEN named_struct('t', tm, 'x', v) END) IGNORE NULLS
+              OVER (PARTITION BY user_id ORDER BY tm, event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+            tm
+          FROM g)
+        SELECT event_id, user_id, v,
+          CASE WHEN v IS NOT NULL THEN round(v, 6)
+               WHEN pb IS NOT NULL AND nb IS NOT NULL AND nb.t > pb.t
+               THEN round(pb.x + (nb.x - pb.x)
+                 * (CAST(tm - pb.t AS DOUBLE) / CAST(nb.t - pb.t AS DOUBLE)),
+                 6)
+          END AS v_interp
+        FROM b ORDER BY event_id""")
+    },
+
     // LATERAL join: per-customer top-2 orders via a correlated lateral
     // subquery with ORDER BY + LIMIT — Catalyst decorrelates it into a
     // window top-k, the scalable shape (no per-row re-execution).
@@ -550,6 +583,30 @@ object Relational2 {
         array_to_string(list_transform(qs, x -> CAST(x * 2 AS VARCHAR)), ',')
           AS doubled
       FROM a ORDER BY l_orderkey""",
+
+    "q45_interpolate" -> """
+      WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tm,
+          CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events WHERE user_id < 20),
+      b AS (SELECT event_id, user_id, v,
+          last_value(CASE WHEN v IS NOT NULL
+              THEN {'t': tm, 'x': v} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY tm, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+          first_value(CASE WHEN v IS NOT NULL
+              THEN {'t': tm, 'x': v} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY tm, event_id
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb,
+          tm
+        FROM g)
+      SELECT event_id, user_id, v,
+        CASE WHEN v IS NOT NULL THEN round(v, 6)
+             WHEN pb IS NOT NULL AND nb IS NOT NULL AND nb.t > pb.t
+             THEN round(pb.x + (nb.x - pb.x)
+               * (CAST(tm - pb.t AS DOUBLE) / CAST(nb.t - pb.t AS DOUBLE)),
+               6)
+        END AS v_interp
+      FROM b ORDER BY event_id""",
 
     "q42_regex_battery" -> """
       SELECT p_partkey,

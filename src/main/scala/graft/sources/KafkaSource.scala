@@ -55,12 +55,22 @@ object KafkaSource {
 
   val ValidProtocols: Set[String] = Set("SASL_SSL", "SASL_PLAINTEXT") // cpp:80-82
   val ValidMechanisms: Set[String] = Set("SCRAM-SHA-256", "PLAIN")    // cpp:85-87
-  /** cpp:216-221 plus `partitions` — the one pushdown a Kafka scan CAN do,
-    * which the reference declines (subscribe-whole-topic, cpp:126,226-227).
+  /** cpp:216-221 plus `partitions` and `start_ts`/`end_ts` — the two
+    * pushdowns a Kafka scan CAN do (partition pruning via assign,
+    * offset-range pruning via broker timestamp lookup), both of which the
+    * reference declines (subscribe-whole-topic, cpp:126,226-227).
     */
   val KnownNamedParams: Set[String] =
     Set("security_protocol", "sasl_mechanism", "username", "password",
-      "partitions")
+      "partitions", "start_ts", "end_ts")
+
+  /** Parse a `start_ts`/`end_ts` argument into a naive timestamp. */
+  def parseTs(s: String, what: String): java.sql.Timestamp =
+    try java.sql.Timestamp.valueOf(s)
+    catch { case _: IllegalArgumentException =>
+      throw new IllegalArgumentException(
+        s"$what must be 'yyyy-mm-dd hh:mm:ss[.fff]', got '$s'")
+    }
 
   /** Bind-time validation, error-for-error with the reference (cpp:77-99). */
   def validate(sasl: Option[SaslConfig]): Unit = sasl.foreach { c =>
@@ -180,14 +190,29 @@ object KafkaSource {
       groupId: String, sasl: Option[SaslConfig] = None): DataFrame =
     stream(spark, brokers, topic, groupId, sasl)
 
-  /** Batch twin (earliest→latest snapshot) for testability. */
+  /** Batch twin (earliest→latest snapshot) for testability. With a time
+    * range, the connector resolves offsets from broker timestamp indexes
+    * (`startingTimestamp`/`endingTimestamp`, epoch-ms UTC) — offset-range
+    * pruning: messages outside the range are never fetched at all, the
+    * second scan-level pushdown the reference declines (cpp:226-227).
+    */
   def read(spark: SparkSession, brokers: String, topic: String,
       groupId: String, sasl: Option[SaslConfig] = None,
-      partitions: Option[Seq[Int]] = None): DataFrame =
-    project(spark.read.format("kafka")
+      partitions: Option[Seq[Int]] = None,
+      startTs: Option[java.sql.Timestamp] = None,
+      endTs: Option[java.sql.Timestamp] = None): DataFrame = {
+    for (s <- startTs; e <- endTs) require(s.before(e),
+      s"start_ts ($s) must precede end_ts ($e)")
+    val reader = spark.read.format("kafka")
       .options(kafkaOptions(brokers, topic, groupId, sasl, partitions))
-      .option("startingOffsets", "earliest")
-      .load())
+    val withStart = startTs match {
+      case Some(t) => reader.option("startingTimestamp", t.getTime.toString)
+      case None => reader.option("startingOffsets", "earliest")
+    }
+    val withEnd = endTs.fold(withStart)(t =>
+      withStart.option("endingTimestamp", t.getTime.toString))
+    project(withEnd.load())
+  }
 
   /** Session conf: when set to a testdata directory, the SQL
     * `kafka_consumer(...)` table function reads the deterministic
@@ -232,18 +257,32 @@ object KafkaSource {
     val sasl = named.get("security_protocol").map(sp =>
       SaslConfig(sp, named.getOrElse("sasl_mechanism", "PLAIN"),
         named.getOrElse("username", null), named.getOrElse("password", null)))
-    // `partitions => '0,3'` — partition-pruned scan (assign), an upgrade
-    // the reference declines (cpp:226-227). Parsed/validated at bind time.
+    // `partitions => '0,3'` — partition-pruned scan (assign), and
+    // `start_ts`/`end_ts => 'yyyy-mm-dd hh:mm:ss'` — broker-side
+    // offset-range pruning: the two upgrades the reference declines
+    // (cpp:226-227). All parsed/validated at bind time.
     val parts = named.get("partitions").map(parsePartitions)
+    val startTs = named.get("start_ts").map(parseTs(_, "start_ts"))
+    val endTs = named.get("end_ts").map(parseTs(_, "end_ts"))
+    for (s <- startTs; e <- endTs) require(s.before(e),
+      s"start_ts ($s) must precede end_ts ($e)")
     val df = spark.conf.getOption(ReplayConfKey) match {
       case Some(dir) =>
         // Broker-free harness path: same validation, same 7-col schema,
-        // same partition pruning semantics as `assign`.
+        // same pruning semantics (partition filter ≈ assign; timestamp
+        // range ≈ startingTimestamp/endingTimestamp, inclusive-exclusive
+        // like the connector's offset resolution).
         validateArgs(brokers, topic, groupId, sasl)
         kafkaOptions(brokers, topic, groupId, sasl, parts) // arg-surface parity
         val base = replay(graft.Tables.load(spark, dir, "events"), topic)
-        parts.fold(base)(ps => base.filter(col("partition").isin(ps: _*)))
-      case None => read(spark, brokers, topic, groupId, sasl, parts)
+        val pruned = parts.fold(base)(ps =>
+          base.filter(col("partition").isin(ps: _*)))
+        val fromTs = startTs.fold(pruned)(t => pruned.filter(
+          col("timestamp") >= to_timestamp_ntz(lit(t.toString))))
+        endTs.fold(fromTs)(t => fromTs.filter(
+          col("timestamp") < to_timestamp_ntz(lit(t.toString))))
+      case None =>
+        read(spark, brokers, topic, groupId, sasl, parts, startTs, endTs)
     }
     df.queryExecution.logical
   }

@@ -138,6 +138,38 @@ class KafkaSourceSpec extends SparkSpec {
     } finally spark.conf.unset(KafkaSource.ReplayConfKey)
   }
 
+  test("start_ts/end_ts prune the scan to the half-open time range") {
+    GraftExtensions.register(spark)
+    spark.conf.set(KafkaSource.ReplayConfKey, sf)
+    try {
+      val pruned = spark.sql("""SELECT * FROM kafka_consumer(
+        'localhost:9092', 'events', 'grp',
+        start_ts => '2024-01-05 00:00:00', end_ts => '2024-01-12 00:00:00')""")
+      val all = spark.sql(
+        "SELECT * FROM kafka_consumer('localhost:9092', 'events', 'grp')")
+      val bounds = pruned.agg(min(col("timestamp")), max(col("timestamp")))
+        .collect()(0)
+      assert(!bounds.isNullAt(0))
+      assert(bounds.get(0).toString >= "2024-01-05 00:00:00")
+      assert(bounds.get(1).toString < "2024-01-12 00:00:00")
+      assert(pruned.count() < all.count())
+      // half-open: count equals the direct range filter on the full scan
+      assert(pruned.count() === all.filter(
+        col("timestamp") >= lit("2024-01-05 00:00:00") &&
+          col("timestamp") < lit("2024-01-12 00:00:00")).count())
+      // bad literal and inverted range fail at bind time
+      val e1 = intercept[IllegalArgumentException](spark.sql(
+        """SELECT * FROM kafka_consumer('b', 't', 'g',
+          start_ts => 'yesterday')""").collect())
+      assert(e1.getMessage.contains("start_ts"))
+      val e2 = intercept[IllegalArgumentException](spark.sql(
+        """SELECT * FROM kafka_consumer('localhost:9092', 'events', 'grp',
+          start_ts => '2024-01-12 00:00:00',
+          end_ts => '2024-01-05 00:00:00')""").collect())
+      assert(e2.getMessage.contains("must precede"))
+    } finally spark.conf.unset(KafkaSource.ReplayConfKey)
+  }
+
   /** The reference README's third flow (README.md:31-38): CREATE VIEW over
     * the consumer, then query the view — 1:1 through spark.sql.
     */
