@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series subsequence similarity search: find the sliding windows of
+  * a per-key value series closest (z-normalized euclidean) to a query
+  * pattern — the UCR-suite-style primitive behind motif/pattern mining on
+  * event streams (cf. "Time Series Similarity Search for Streaming Data
+  * in Distributed Systems", EDBT 2019 — the distributed formulation this
+  * mirrors: series are partitioned by key, windows never leave their
+  * key's partition).
+  *
+  * Scale shape: one shuffle groups each key's readings (state bounded by
+  * a single key's history length, the same per-doc discipline as every
+  * text operator here); window expansion and the z-norm distance folds
+  * are per-row HOF arithmetic inside the key's partition; the global
+  * top-k is TakeOrderedAndProject (no global sort, no corpus-wide
+  * window). Distance math is index-order left folds — bit-reproducible
+  * cross-engine.
+  */
+object TimeSeries {
+
+  /** Top-`k` windows of length `w` across all keys, ranked by
+    * z-normalized euclidean distance to the z-normalized RAMP pattern
+    * (0, 1, …, w−1) — i.e. the strongest linear-trend matches. The ramp's
+    * z-norm is closed-form: mean (w−1)/2, variance (w²−1)/12, both exact
+    * in double for any sane w, so both engines build the identical query
+    * vector. Flat windows (sd = 0 after round-12) are skipped — z-norm is
+    * undefined there. Output: (key, start_idx, d2, rank), rank assigned
+    * after the top-k cut.
+    */
+  def rampSearch(events: DataFrame, keyCol: String = "user_id",
+      timeCol: String = "ts", tieCol: String = "event_id",
+      valCol: String = "value", w: Int = 8, k: Int = 10): DataFrame = {
+    require(w >= 2, "window length must be at least 2")
+    require(k > 0, "k must be positive")
+    val qMean = (w - 1) / 2.0
+    val qSd = math.sqrt((w.toDouble * w - 1.0) / 12.0)
+    val qz: Column = transform(sequence(lit(0), lit(w - 1)),
+      i => (i.cast("double") - qMean) / qSd)
+    val ser = events.groupBy(col(keyCol).as("key"))
+      .agg(transform(array_sort(collect_list(
+          struct(col(timeCol), col(tieCol), col(valCol).as("v")))),
+        e => e.getField("v")).as("vs"))
+    val win = ser.filter(size(col("vs")) >= w)
+      .select(col("key"), col("vs"),
+        posexplode(sequence(lit(0), size(col("vs")) - w))
+          .as(Seq("start_idx", "__i")))
+      .select(col("key"), col("start_idx"),
+        slice(col("vs"), col("start_idx") + 1, lit(w)).as("win"))
+    val stats = win
+      .withColumn("m",
+        aggregate(col("win"), lit(0.0), (a, x) => a + x) / w.toDouble)
+      .withColumn("sd", sqrt(
+        aggregate(col("win"), lit(0.0),
+          (a, x) => a + (x - col("m")) * (x - col("m"))) / w.toDouble))
+      .filter(round(col("sd"), 12) > 0.0)
+    val scored = stats.select(col("key"), col("start_idx"),
+      round(aggregate(zip_with(col("win"), qz,
+          (x, q) => ((x - col("m")) / col("sd") - q) *
+            ((x - col("m")) / col("sd") - q)),
+        lit(0.0), (a, x) => a + x), 6).as("d2"))
+    val top = scored.orderBy(col("d2"), col("key"), col("start_idx")).limit(k)
+    // rank AFTER the cut — the un-partitioned window sees only k rows
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("d2"), col("key"), col("start_idx"))))
+  }
+}

@@ -391,6 +391,18 @@ object NorthStar {
         .orderBy(col("vec_id"), col("j"))
     },
 
+    // Time-series subsequence search: top-10 strongest linear-trend
+    // windows (z-normalized distance to the ramp pattern) across every
+    // user's value series — per-key series state, TakeOrderedAndProject
+    // top-k.
+    "s17_subseq_search" -> { (s, dir) =>
+      TimeSeries.rampSearch(Tables.load(s, dir, "events")
+          .filter(col("user_id") < 50))
+        .select(col("key").as("user_id"), col("start_idx"), col("d2"),
+          col("rank"))
+        .orderBy(col("rank"))
+    },
+
     // Trained IVF: 2 Lloyd iterations from the deterministic seed. Output
     // is scalar rows (cell, idx, mean, n_members) — the full trained
     // codebook, bit-certified against an unrolled SQL oracle.
@@ -1416,6 +1428,31 @@ object NorthStar {
           (x, y) -> x + y) * sqrt(3.0 / 16.0) AS comp
       FROM e, generate_series(0, 15) t(j)
       ORDER BY vec_id, j""",
+
+    // Ramp z-norm is closed-form ((w-1)/2, sqrt((w^2-1)/12)); all folds
+    // index-ordered; flat windows (sd round-12 zero) skipped; rank after
+    // the LIMIT like the Spark side.
+    "s17_subseq_search" -> """
+      WITH s AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+        FROM events WHERE user_id < 50 GROUP BY user_id),
+      w AS (SELECT user_id, t.i AS start_idx, vs[t.i+1 : t.i+8] AS win
+        FROM s, unnest(generate_series(0, len(vs) - 8)) AS t(i)
+        WHERE len(vs) >= 8),
+      st AS (SELECT user_id, start_idx, win,
+          list_reduce(win, (a, b) -> a + b) / 8.0 AS m FROM w),
+      st2 AS (SELECT *, sqrt(list_reduce(list_transform(win,
+          x -> (x - m) * (x - m)), (a, b) -> a + b) / 8.0) AS sd FROM st),
+      qz AS (SELECT list_transform(generate_series(0, 7),
+          i -> (CAST(i AS DOUBLE) - 3.5) / sqrt(63.0 / 12.0)) AS q),
+      d AS (SELECT user_id, start_idx,
+          round(list_reduce(list_transform(list_zip(win, qz.q),
+            p -> ((p[1] - m) / sd - p[2]) * ((p[1] - m) / sd - p[2])),
+            (a, b) -> a + b), 6) AS d2
+        FROM st2, qz WHERE round(sd, 12) > 0.0),
+      top AS (SELECT * FROM d ORDER BY d2, user_id, start_idx LIMIT 10)
+      SELECT user_id, start_idx, d2, CAST(row_number() OVER (
+          ORDER BY d2, user_id, start_idx) AS INT) AS "rank"
+      FROM top ORDER BY "rank"""",
 
     "s04_lsh_search" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

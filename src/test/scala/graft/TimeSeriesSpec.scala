@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+
+  test("ramp search: planted linear trend scores ~0, flat windows skipped") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(i: Int) = new java.sql.Timestamp(t0.getTime + i * 60000L)
+    // user 1: flat prefix, an exact ramp (scaled+shifted: z-norm equal to
+    // the ramp pattern), flat suffix; user 2: all flat (every window
+    // skipped — sd = 0)
+    val vals1 = Seq(9.0, 9.0, 9.0) ++
+      (0 until 8).map(i => 100.0 + 3.0 * i) ++ Seq(9.0, 9.0)
+    val rows =
+      vals1.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+        (0 until 12).map(i => (2L, ts(i), (100 + i).toLong, 7.0))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val got = TimeSeries.rampSearch(df, w = 8, k = 5).collect()
+    assert(got.nonEmpty)
+    // rank 1 is the planted ramp at start_idx 3, distance exactly 0
+    val first = got.minBy(_.getAs[Int]("rank"))
+    assert(first.getAs[Long]("key") === 1L)
+    assert(first.getAs[Int]("start_idx") === 3)
+    assert(first.getAs[Double]("d2") === 0.0)
+    // user 2 contributed nothing (all-flat series has sd = 0 everywhere)
+    assert(!got.exists(_.getAs[Long]("key") === 2L))
+    // every emitted distance is non-negative and ranks are dense from 1
+    val ranks = got.map(_.getAs[Int]("rank")).sorted.toSeq
+    assert(ranks === (1 to got.length))
+    got.foreach(r => assert(r.getAs[Double]("d2") >= 0.0))
+  }
+
+  test("ramp search matches a driver-side recompute on real events") {
+    val ev = Tables.load(spark, sf, "events").filter(col("user_id") < 10)
+    val got = TimeSeries.rampSearch(ev, w = 8, k = 5).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Int]("start_idx")) ->
+        r.getAs[Double]("d2")).toMap
+    // recompute the same windows on the driver
+    val series = ev.select(col("user_id"), col("ts"), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(x => (x._2, x._3)).map(_._4).toArray).toMap
+    val qSd = math.sqrt(63.0 / 12.0)
+    val qz = (0 until 8).map(i => (i - 3.5) / qSd)
+    val all = series.toSeq.flatMap { case (u, vs) =>
+      (0 to vs.length - 8).map { s =>
+        val win = vs.slice(s, s + 8)
+        val m = win.foldLeft(0.0)(_ + _) / 8.0
+        val sd = math.sqrt(
+          win.foldLeft(0.0)((a, x) => a + (x - m) * (x - m)) / 8.0)
+        val d2 = if (BigDecimal(sd).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP) <= 0) Double.NaN
+          else BigDecimal(win.indices.foldLeft(0.0) { (a, i) =>
+            val z = (win(i) - m) / sd - qz(i)
+            a + z * z
+          }).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (u, s, d2)
+      }
+    }.filterNot(_._3.isNaN)
+    val expect = all.sortBy(x => (x._3, x._1, x._2)).take(5)
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(got === expect)
+  }
+}
