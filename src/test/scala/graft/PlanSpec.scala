@@ -214,4 +214,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("random projection is map-only: no exchange at all (s15)") {
+    val p = plan("s15_random_projection")
+    // the matrix is literal arrays, the projection per-row dot products:
+    // nothing may shuffle (ordering the dump is the query's own orderBy —
+    // a single Sort/TakeOrdered is fine, an Exchange before it is not)
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ArrayDotProduct") || p.contains("dot_product"), p)
+  }
+
+  test("rerank joins broadcast candidates against the corpus (s14)") {
+    val p = plan("s14_rerank")
+    // the re-rank stage must broadcast the (|Q|*kCand) candidate list and
+    // the query vectors — never shuffle the corpus for the re-rank join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("oov rate broadcasts the top-k vocabulary (t26)") {
+    val p = plan("t26_oov_rate")
+    // vocab = TakeOrderedAndProject top-k, joined broadcast: the corpus
+    // token stream is never sort-shuffled by a global vocabulary sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("centroid outliers broadcast centroids; top-k is group-limited " +
+      "(s16)") {
+    val p = plan("s16_centroid_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("subsequence search ranks via TakeOrderedAndProject (s17)") {
+    val p = plan("s17_subseq_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
