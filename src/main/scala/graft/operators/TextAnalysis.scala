@@ -700,6 +700,49 @@ object TextAnalysis {
         round(col("n_shared") / col("__tb").cast("double"), 6).as("frac_b"))
   }
 
+  /** Per-source domain drift: KL(source ‖ corpus) over the term
+    * distribution restricted to the corpus's top-`vocabSize` vocabulary,
+    * with add-one smoothing (a term a source never uses still
+    * contributes, and no log blows up). The data-mix health metric that
+    * flags a source whose language shifted away from the corpus.
+    *
+    * Shape: term counts (one shuffle), top-k vocab broadcast (the t26
+    * discipline), sources × vocab is |sources|·V rows — both dimensions
+    * small by construction. The KL sum folds per source in TERM order
+    * over a ≤V-entry collected list, so the double addition tree is
+    * fixed and cross-engine bit-exact (the chunkedOrderedSum discipline;
+    * V bounds the buffer). Output: (source, n_vocab_tokens, kl).
+    */
+  def klDrift(docs: DataFrame, vocabSize: Int = 200,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col(srcCol).as("src"),
+      explode(split(col(textCol), "\\s+")).as("term"))
+    val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("cq"))
+      .orderBy(col("cq").desc, col("term")).limit(vocabSize)
+    val nq = vocab.agg(sum(col("cq")).as("nq"))
+    val srcCnt = tok.groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).as("cs"))
+    val grid = docs.select(col(srcCol).as("src")).distinct()
+      .crossJoin(broadcast(vocab))
+      .join(srcCnt, Seq("src", "term"), "left")
+      .withColumn("cs", coalesce(col("cs"), lit(0L)))
+    val withN = grid.join(broadcast(
+      grid.groupBy(col("src")).agg(sum(col("cs")).as("ns"))), "src")
+      .crossJoin(broadcast(nq))
+    val contrib = withN.withColumn("p",
+        (col("cs") + 1).cast("double") / (col("ns") + vocabSize))
+      .withColumn("q",
+        (col("cq") + 1).cast("double") / (col("nq") + vocabSize))
+      .withColumn("c", col("p") * log(col("p") / col("q")))
+    contrib.groupBy(col("src").as("source"))
+      .agg(max(col("ns")).as("n_vocab_tokens"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("term"), col("c")))),
+            e => e.getField("c")),
+          lit(0.0), (a, x) => a + x), 6).as("kl"))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

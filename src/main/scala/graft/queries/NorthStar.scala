@@ -155,6 +155,12 @@ object NorthStar {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // Per-source domain drift: smoothed KL(source || corpus) over the
+    // top-200 vocabulary — term-ordered fold, bit-exact cross-engine.
+    "t28_kl_drift" -> { (s, dir) =>
+      TextAnalysis.klDrift(docs(s, dir)).orderBy(col("source"))
+    },
+
     // Second capstone — the MODERN data-mix chain, composing this round's
     // operators end-to-end: ExactSubstr span removal → linear-classifier
     // quality gate → decontamination of the CLEANED text → temperature
@@ -1080,6 +1086,29 @@ object NorthStar {
       FROM pr JOIN tot ta ON ta.src = pr.src_a
               JOIN tot tb ON tb.src = pr.src_b
       ORDER BY src_a, src_b""",
+
+    "t28_kl_drift" -> raw"""
+      WITH tok AS (SELECT source AS src,
+          unnest(string_split_regex(text, '\s+')) AS term FROM documents),
+      vc AS (SELECT term, count(*) AS cq FROM tok GROUP BY term),
+      vocab AS (SELECT term, cq FROM (
+          SELECT term, cq, row_number() OVER (ORDER BY cq DESC, term) AS rn
+          FROM vc) WHERE rn <= 200),
+      nq AS (SELECT sum(cq) AS nq FROM vocab),
+      sc AS (SELECT src, term, count(*) AS cs FROM tok GROUP BY src, term),
+      grid AS (SELECT s.src, v.term, v.cq, coalesce(sc.cs, 0) AS cs
+        FROM (SELECT DISTINCT source AS src FROM documents) s
+        CROSS JOIN vocab v
+        LEFT JOIN sc ON sc.src = s.src AND sc.term = v.term),
+      ns AS (SELECT src, sum(cs) AS ns FROM grid GROUP BY src),
+      ct AS (SELECT g.src, g.term, ns.ns,
+          (CAST(g.cs + 1 AS DOUBLE) / (ns.ns + 200))
+            * ln((CAST(g.cs + 1 AS DOUBLE) / (ns.ns + 200))
+              / (CAST(g.cq + 1 AS DOUBLE) / (nq.nq + 200))) AS c
+        FROM grid g JOIN ns USING (src), nq)
+      SELECT src AS source, CAST(max(ns) AS BIGINT) AS n_vocab_tokens,
+        round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6) AS kl
+      FROM ct GROUP BY src ORDER BY source""",
 
     "d12_pipeline_corpus" -> (raw"""
       WITH RECURSIVE

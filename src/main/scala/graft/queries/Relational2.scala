@@ -387,6 +387,64 @@ object Relational2 {
         FROM v ORDER BY event_id""")
     },
 
+    // Distribution window battery: ntile / percent_rank / cume_dist /
+    // nth_value / lag / lead over a named window — ratios are exact
+    // rationals evaluated by one double division, so bit-stable.
+    "q46_window_battery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pr,
+          round(cume_dist() OVER w, 6) AS cd,
+          nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+            ORDER BY o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+          lag(o_orderkey, 2) OVER w AS lag2,
+          lead(o_orderkey, 3) OVER w AS lead3,
+          first_value(o_orderkey) OVER w AS first_key
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        ORDER BY o_orderkey""")
+    },
+
+    // Statistical-moment battery with ORDER-FREE exactness: raw moments
+    // accumulate in DECIMAL (2-dp inputs → 4-dp products, exact), then
+    // mean/variance/stddev/covariance/correlation derive from the exact
+    // moments by one fixed double-op sequence — the only way grouped
+    // double statistics hash-match across engines (their native stddev/
+    // corr accumulate in partition order).
+    "q47_stats_battery" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH m AS (SELECT l_returnflag,
+            count(*) AS n,
+            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+            sum(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+          round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+          round((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sx AS DOUBLE) / n) / n, 6) AS var_pop_qty,
+          round(sqrt((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+            * CAST(sy AS DOUBLE) / n) / (n - 1)), 6) AS stddev_samp_price,
+          round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sy AS DOUBLE) / n) / n, 6) AS covar_pop,
+          round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE))
+            / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+              * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+                * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+        FROM m ORDER BY l_returnflag""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -607,6 +665,49 @@ object Relational2 {
                6)
         END AS v_interp
       FROM b ORDER BY event_id""",
+
+    "q46_window_battery" -> """
+      SELECT o_orderkey,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd,
+        nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+          ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        lag(o_orderkey, 2) OVER w AS lag2,
+        lead(o_orderkey, 3) OVER w AS lead3,
+        first_value(o_orderkey) OVER w AS first_key
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderkey""",
+
+    "q47_stats_battery" -> """
+      WITH m AS (SELECT l_returnflag,
+          count(*) AS n,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+          sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS sx2,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * CAST(l_extendedprice AS DECIMAL(18,2))) AS sy2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+        round((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+          * CAST(sx AS DOUBLE) / n) / n, 6) AS var_pop_qty,
+        round(sqrt((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+          * CAST(sy AS DOUBLE) / n) / (n - 1)), 6) AS stddev_samp_price,
+        round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+          * CAST(sy AS DOUBLE) / n) / n, 6) AS covar_pop,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sy AS DOUBLE))
+          / (sqrt(n * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sx AS DOUBLE))
+            * sqrt(n * CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE)
+              * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+      FROM m ORDER BY l_returnflag""",
 
     "q42_regex_battery" -> """
       SELECT p_partkey,

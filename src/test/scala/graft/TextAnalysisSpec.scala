@@ -455,6 +455,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("s1", "s2")) === ((1L, 1.0, 0.333333)))
   }
 
+  test("kl drift: matches hand recompute; corpus-like source scores lowest") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a a b c", "s_mix"),   // mirrors the corpus mix
+      (2L, "a a b c", "s_mix"),
+      (3L, "a a a a", "s_skew"),  // all mass on one term
+      (4L, "c c c b", "s_other")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.klDrift(fixture, vocabSize = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // hand recompute: corpus counts a=8 c=5 b=3 (vocab=3, all terms),
+    // nq=16; per source p=(cs+1)/(ns+3), q=(cq+1)/(nq+3)
+    val cq = Map("a" -> 8L, "b" -> 3L, "c" -> 5L)
+    val nq = 16L
+    def kl(cs: Map[String, Long]): Double = {
+      val ns = cs.values.sum
+      val s = cs.keys.toSeq.sorted.foldLeft(0.0) { (acc, t) =>
+        val p = (cs(t) + 1).toDouble / (ns + 3)
+        val q = (cq(t) + 1).toDouble / (nq + 3)
+        acc + p * math.log(p / q)
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got("s_mix") ===
+      ((8L, kl(Map("a" -> 4L, "b" -> 2L, "c" -> 2L)))))
+    assert(got("s_skew") === ((4L, kl(Map("a" -> 4L, "b" -> 0L, "c" -> 0L)))))
+    assert(got("s_other") === ((4L, kl(Map("a" -> 0L, "b" -> 1L, "c" -> 3L)))))
+    // the corpus-like source drifts least; every KL is non-negative
+    assert(got("s_mix")._2 < got("s_skew")._2)
+    assert(got("s_mix")._2 < got("s_other")._2)
+    got.values.foreach { case (_, k) => assert(k >= 0.0) }
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
