@@ -151,4 +151,40 @@ object Sampling {
         round(col("__s").cast("double"), 6).as("log_weight"),
         (col("__s").cast("double") > 0.0).as("keep"))
   }
+
+  /** Leakage-free train/val/test split: near-duplicate documents MUST land
+    * on the same side, or held-out evaluation silently overlaps training
+    * (the classic contamination bug d07's plain content-hash split cannot
+    * prevent). Every doc's split is decided by its near-dup CLUSTER's
+    * canonical (min-id) document — singletons are their own cluster — so
+    * an entire dup cluster moves together by construction. The membership
+    * test is the usual content-hash-vs-threshold (engine- and
+    * rerun-reproducible); `pairs` is any certified near-dup pair set
+    * (minhash, simhash, embedding — caller's choice of evidence).
+    * Output: (idCol, cluster_id, split).
+    *
+    * Scale: clusters via pointer-jumping [[Dedup.connectedComponents]]
+    * (O(log diameter) rounds); the canonical-text fetch is a key join on
+    * cluster_id; everything else is map-side hashing.
+    */
+  def leakFreeSplit(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "percentages must partition [0, 100)")
+    val clusters = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("cluster"))
+    val withCl = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster"), col(idCol)))
+      .drop("cluster")
+    val canon = docs.select(col(idCol).as("cluster_id"),
+      (md5Long(concat(lit("lfs:"), col(textCol))) % 100).as("__h"))
+    withCl.join(canon, "cluster_id")
+      .withColumn("split",
+        when(col("__h") < trainPct, "train")
+          .when(col("__h") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("cluster_id"), col("split"))
+  }
 }

@@ -161,6 +161,19 @@ object NorthStar {
       TextAnalysis.klDrift(docs(s, dir)).orderBy(col("source"))
     },
 
+    // Leakage-free split: near-dup clusters (certified minhash pairs)
+    // move to train/val/test TOGETHER, keyed by the canonical member's
+    // content hash — the contamination-proof version of d07.
+    "t29_leakfree_split" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      Sampling.leakFreeSplit(d, pairs)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy(col("split"))
+    },
+
     // Second capstone — the MODERN data-mix chain, composing this round's
     // operators end-to-end: ExactSubstr span removal → linear-classifier
     // quality gate → decontamination of the CLEANED text → temperature
@@ -1086,6 +1099,32 @@ object NorthStar {
       FROM pr JOIN tot ta ON ta.src = pr.src_a
               JOIN tot tb ON tb.src = pr.src_b
       ORDER BY src_a, src_b""",
+
+    // d08's recursive cluster CTE + singleton fallback + the canonical
+    // member's content hash deciding the whole cluster's split.
+    "t29_leakfree_split" -> s"""
+      WITH RECURSIVE $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+      alld AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id)
+                 AS cluster_id
+               FROM documents d LEFT JOIN cl USING (doc_id)),
+      ct AS (SELECT doc_id AS cluster_id,
+               ${h("'lfs:' || text")} % 100 AS hh FROM documents),
+      sp AS (SELECT a.doc_id, a.cluster_id,
+          CASE WHEN hh < 80 THEN 'train'
+               WHEN hh < 90 THEN 'val' ELSE 'test' END AS split
+        FROM alld a JOIN ct USING (cluster_id))
+      SELECT split, count(*) AS n_docs,
+        count(DISTINCT cluster_id) AS n_clusters
+      FROM sp GROUP BY split ORDER BY split""",
 
     "t28_kl_drift" -> raw"""
       WITH tok AS (SELECT source AS src,

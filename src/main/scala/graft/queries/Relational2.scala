@@ -445,6 +445,21 @@ object Relational2 {
         FROM m ORDER BY l_returnflag""")
     },
 
+    // UNPIVOT: wide per-user event counts back to (metric, n) rows —
+    // the q30 pivot's inverse, certified against DuckDB's UNPIVOT.
+    "q48_unpivot" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH p AS (SELECT user_id,
+            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+            count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+            count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+          FROM events GROUP BY user_id)
+        SELECT user_id, metric, n FROM p
+        UNPIVOT (n FOR metric IN (click, error, purchase))
+        ORDER BY user_id, metric""")
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -665,6 +680,16 @@ object Relational2 {
                6)
         END AS v_interp
       FROM b ORDER BY event_id""",
+
+    "q48_unpivot" -> """
+      WITH p AS (SELECT user_id,
+          count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+        FROM events GROUP BY user_id)
+      SELECT user_id, metric, n
+      FROM (UNPIVOT p ON click, error, purchase INTO NAME metric VALUE n)
+      ORDER BY user_id, metric""",
 
     "q46_window_battery" -> """
       SELECT o_orderkey,

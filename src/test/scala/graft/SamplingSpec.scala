@@ -112,4 +112,34 @@ class SamplingSpec extends SparkSpec {
       assert(r.getAs[Long]("nd") === r.getAs[Long]("n"))
     }
   }
+
+  test("leakFreeSplit: zero near-dup pairs cross splits; total partition") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(d)
+      .select(col("a"), col("b")).cache()
+    val split = graft.operators.Sampling.leakFreeSplit(d, pairs).cache()
+    // every doc assigned exactly once
+    assert(split.count() === d.count())
+    assert(split.select("doc_id").distinct().count() === d.count())
+    // THE property: no certified near-dup pair straddles two splits
+    val sa = split.select(col("doc_id").as("a"), col("split").as("sa"))
+    val sb = split.select(col("doc_id").as("b"), col("split").as("sb"))
+    val crossed = pairs.join(sa, "a").join(sb, "b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossed === 0L)
+    // d07's plain per-doc hash split DOES leak on this corpus — the
+    // contrast that justifies the operator (if it didn't, the fixture
+    // wouldn't exercise anything)
+    val plain = d.select(col("doc_id"),
+      when(graft.functions.CrossHash.md5Long(
+          concat(lit("lfs:"), col("text"))) % 100 < 80, "train")
+        .otherwise("holdout").as("split"))
+    val pa = plain.select(col("doc_id").as("a"), col("split").as("sa"))
+    val pb = plain.select(col("doc_id").as("b"), col("split").as("sb"))
+    val plainCrossed = pairs.join(pa, "a").join(pb, "b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(plainCrossed > 0L)
+    pairs.unpersist(); split.unpersist()
+  }
 }
