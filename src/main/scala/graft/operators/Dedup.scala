@@ -304,6 +304,52 @@ object Dedup {
         (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
   }
 
+  /** Directed containment pairs: C(a→b) = |sh(a) ∩ sh(b)| / |sh(a)| ≥
+    * threshold — the asymmetric near-dup Jaccard misses: a short document
+    * wholly embedded in a longer one scores low Jaccard but containment
+    * ≈ 1 (quote farms, wrapper boilerplate, excerpt spam).
+    *
+    * Candidate generation is prefix filtering on the inverted index:
+    * each doc blocks on its globally RAREST eligible shingle (min
+    * (df, shingle)); if sh(a) ⊆ sh(b) then b's postings contain a's
+    * rarest shingle, so the pair is found. Shingles with df > maxDf are
+    * ineligible as blockers AND as postings — fan-out per doc is ≤ maxDf
+    * (linear, like every capped generator here), at the documented cost
+    * that a doc whose EVERY shingle is ultra-common cannot block (such
+    * all-boilerplate docs are exact-dedup's job anyway). Threshold in
+    * integer space (hundredths). Output:
+    * (a, b, n_a, n_inter, containment), directed a→b.
+    */
+  def containmentPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 3, maxDf: Int = 100,
+      minContainmentPct: Int = 90): DataFrame = {
+    require(minContainmentPct > 0 && minContainmentPct <= 100,
+      "minContainmentPct must be in (0, 100]")
+    val sh = df.repartition(col(idCol))
+      .select(col(idCol).as("id"), shingles(col(textCol), w).as("sh"))
+    val post = sh.select(col("id"), explode(col("sh")).as("s"))
+    val dfc = post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val eligible = post.join(dfc, "s")
+    val rare = eligible.groupBy(col("id"))
+      .agg(min(struct(col("df"), col("s"))).as("m"))
+      .select(col("id").as("a"), col("m").getField("s").as("s"))
+    val cand = rare
+      .join(eligible.select(col("id").as("b"), col("s")), "s")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"))
+    cand
+      .join(sh.select(col("id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("id").as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
+      .filter(col("n_inter") * 100 >= col("n_a") * minContainmentPct)
+      .select(col("a"), col("b"), col("n_a"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_a"), 6)
+          .as("containment"))
+  }
+
   // ---- pair clustering --------------------------------------------------
 
   /** Connected components over an undirected pair list (a, b): the dedup

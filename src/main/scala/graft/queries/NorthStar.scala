@@ -120,6 +120,13 @@ object NorthStar {
         .orderBy(col("cluster_id"))
     },
 
+    // Directed containment (asymmetric Jaccard): short-doc-inside-long
+    // detection via rarest-shingle prefix filtering + exact confirm.
+    "d20_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir))
+        .orderBy(col("a"), col("b"))
+    },
+
     // ExactSubstr span detection (Lee et al. 2022): maximal token spans
     // whose every 8-gram occurs >= 2x corpus-wide, merged per doc.
     "d15_duplicated_spans" -> { (s, dir) =>
@@ -1102,6 +1109,26 @@ object NorthStar {
 
     // d08's recursive cluster CTE + singleton fallback + the canonical
     // member's content hash deciding the whole cluster's split.
+    "d20_containment" -> s"""
+      WITH $ShinglesCte,
+      post AS (SELECT doc_id AS id, unnest(sh) AS s FROM sgl),
+      dfc AS (SELECT s, count(*) AS df FROM post GROUP BY s
+              HAVING count(*) <= 100),
+      elig AS (SELECT id, post.s, df FROM post JOIN dfc USING (s)),
+      rare AS (SELECT id AS a, min({'d': df, 's': s}).s AS s
+               FROM elig GROUP BY id),
+      cand AS (SELECT r.a, e.id AS b FROM rare r
+               JOIN elig e ON e.s = r.s WHERE e.id != r.a),
+      conf AS (SELECT c.a, c.b,
+          CAST(len(sa.sh) AS INT) AS n_a,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS n_inter
+        FROM cand c JOIN sgl sa ON sa.doc_id = c.a
+                    JOIN sgl sb ON sb.doc_id = c.b)
+      SELECT a, b, n_a, n_inter,
+        round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
+      FROM conf WHERE n_inter * 100 >= n_a * 90
+      ORDER BY a, b""",
+
     "t29_leakfree_split" -> s"""
       WITH RECURSIVE $MinhashCtes,
       filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),

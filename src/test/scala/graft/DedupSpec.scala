@@ -221,6 +221,31 @@ class DedupSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("containment finds short-in-long embeddings that jaccard misses") {
+    import spark.implicits._
+    val short = (1 to 6).map("w" + _).mkString(" ")      // 4 shingles
+    val long = ((1 to 6).map("w" + _) ++ (1 to 30).map("x" + _))
+      .mkString(" ")                                     // 34 shingles
+    val fixture = Seq(
+      (1L, short),                      // wholly contained in doc 2
+      (2L, long),
+      (3L, (1 to 20).map("z" + _).mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getDouble(4)))).toMap
+    // directed: short→long is full containment; long→short is NOT (the
+    // reverse direction scores 4/34 and is filtered)
+    assert(got.contains((1L, 2L)))
+    assert(got((1L, 2L)) === ((4, 4, 1.0)))
+    assert(!got.contains((2L, 1L)))
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // jaccard on the same pair is far below any near-dup threshold —
+    // the asymmetric metric is what finds it
+    val jac = 4.0 / 34.0
+    assert(jac < 0.5)
+  }
+
   test("gram novelty: exact dup/total accounting, short docs get NULL") {
     import spark.implicits._
     val S = (1 to 10).map("s" + _).mkString(" ") // 10 tokens, 3 8-grams
