@@ -127,6 +127,38 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Third capstone — the CURATION chain composing this round's
+    // operators end-to-end: novelty gate (drop boilerplate-heavy docs)
+    // → containment dedup (drop docs embedded in longer ones, keep the
+    // longer) → leakage-free split of the survivors. One oracle
+    // certifies the composition; each stage equals its own oracle
+    // (t25, d20, t29).
+    "d21_curation_pipeline" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val keep1 = d.join(
+        Dedup.gramNovelty(d)
+          .filter(col("n_grams") > 0 && col("novelty_ratio") >= 0.3)
+          .select(col("doc_id")), "doc_id")
+      val sizes = keep1.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), 3)).as("n_sh"))
+      val drops = Dedup.containmentPairs(keep1)
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("n_b")),
+          "b")
+        .filter(col("n_b") > col("n_a") ||
+          (col("n_b") === col("n_a") && col("b") < col("a")))
+        .select(col("a").as("doc_id")).distinct()
+      val keep2 = keep1.join(drops, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minhashPairs(keep2).select(col("a"), col("b"))
+      Sampling.leakFreeSplit(keep2, pairs)
+        .join(keep2.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    },
+
     // ExactSubstr span detection (Lee et al. 2022): maximal token spans
     // whose every 8-gram occurs >= 2x corpus-wide, merged per doc.
     "d15_duplicated_spans" -> { (s, dir) =>
@@ -1109,6 +1141,72 @@ object NorthStar {
 
     // d08's recursive cluster CTE + singleton fallback + the canonical
     // member's content hash deciding the whole cluster's split.
+    // t25's novelty gate (wt0/pos0/cnt0) → d20's containment drop
+    // (wt2..conf2, keep-the-longer rule) → t29's cluster-keyed split over
+    // minhashCtes("keep2") — each fragment mirrors its own oracle.
+    "d21_curation_pipeline" -> s"""
+      WITH RECURSIVE
+      wt0 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+              FROM documents),
+      pos0 AS (SELECT doc_id, i AS pos,
+          ${h("array_to_string(w[i:i+7], ' ')")} AS gh
+        FROM wt0, unnest(generate_series(1, len(w) - 7)) AS t(i)
+        WHERE len(w) >= 8),
+      cnt0 AS (SELECT gh, count(*) AS n FROM pos0 GROUP BY gh),
+      nov AS (SELECT doc_id, count(*) AS n_grams,
+          sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM pos0 JOIN cnt0 USING (gh) GROUP BY doc_id),
+      keep1 AS (SELECT d.* FROM documents d JOIN nov USING (doc_id)
+        WHERE n_grams > 0
+          AND round(1.0 - n_dup / CAST(n_grams AS DOUBLE), 6) >= 0.3),
+      wt2 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+              FROM keep1),
+      sgl2 AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+          THEN list_transform(generate_series(1, len(w) - 2),
+            i -> array_to_string(w[i:i+2], ' '))
+          ELSE [array_to_string(w, ' ')] END) AS sh FROM wt2),
+      post2 AS (SELECT doc_id AS id, unnest(sh) AS s FROM sgl2),
+      dfc2 AS (SELECT s, count(*) AS df FROM post2 GROUP BY s
+               HAVING count(*) <= 100),
+      elig2 AS (SELECT id, post2.s, df FROM post2 JOIN dfc2 USING (s)),
+      rare2 AS (SELECT id AS a, min({'d': df, 's': s}).s AS s
+                FROM elig2 GROUP BY id),
+      cand2 AS (SELECT r.a, e.id AS b FROM rare2 r
+                JOIN elig2 e ON e.s = r.s WHERE e.id != r.a),
+      conf2 AS (SELECT c.a, c.b, CAST(len(sa.sh) AS INT) AS n_a,
+          CAST(len(sb.sh) AS INT) AS n_b,
+          CAST(len(list_intersect(sa.sh, sb.sh)) AS INT) AS n_inter
+        FROM cand2 c JOIN sgl2 sa ON sa.doc_id = c.a
+                     JOIN sgl2 sb ON sb.doc_id = c.b),
+      drops AS (SELECT DISTINCT a AS doc_id FROM conf2
+        WHERE n_inter * 100 >= n_a * 90
+          AND (n_b > n_a OR (n_b = n_a AND b < a))),
+      keep2 AS (SELECT * FROM keep1
+                WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+      ${minhashCtes("keep2")},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+      alld AS (SELECT k.doc_id, k.n_chars,
+          coalesce(cl.cluster_id, k.doc_id) AS cluster_id
+        FROM keep2 k LEFT JOIN cl USING (doc_id)),
+      ct AS (SELECT doc_id AS cluster_id,
+          ${h("'lfs:' || text")} % 100 AS hh FROM keep2),
+      sp AS (SELECT a.doc_id, a.n_chars,
+          CASE WHEN hh < 80 THEN 'train'
+               WHEN hh < 90 THEN 'val' ELSE 'test' END AS split
+        FROM alld a JOIN ct USING (cluster_id))
+      SELECT split, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      FROM sp GROUP BY split ORDER BY split""",
+
     "d20_containment" -> s"""
       WITH $ShinglesCte,
       post AS (SELECT doc_id AS id, unnest(sh) AS s FROM sgl),
