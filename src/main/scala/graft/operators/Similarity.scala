@@ -501,6 +501,67 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Materialize the IVF index as a cell-partitioned parquet dataset:
+    * one directory per cell carrying (id, v, nrm). This is the on-disk
+    * shape the ivfSearch docstring promises for 100 TB — a query's
+    * `nprobe` cells become PARTITION FILTERS on the scan, so the
+    * engine lists and reads only those directories; the rest of the
+    * corpus contributes zero I/O (asserted in SimilaritySpec against
+    * the plan's PartitionFilters).
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidModulus: Int = 50): Unit = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col("id"), col("cell"))
+    normed(corpus, idCol, vecCol, "id", "v", "nrm")
+      .join(assign, "id")
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Search a persisted [[writeIvfIndex]] dataset: probes resolve from
+    * the (tiny, re-derived) centroid set, then the index scan carries
+    * `cell IN (probes)` — partition pruning does the cell restriction
+    * at the FILE level. Ranking matches [[ivfSearch]] row-for-row
+    * (same round-6 cosine, same tie-break).
+    * Output: (query_id, neighbor_id, cosine, rank).
+    */
+  def ivfSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidModulus: Int = 50, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("vq"), col("nq"),
+        col("centroid_id").as("cell"))
+    // the probed cell set is tiny (≤ |Q|·nprobe ids) — collect it into
+    // the filter LITERAL so the scan prunes partitions statically; an
+    // isin against a literal list is what partition pruning understands.
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.read.parquet(path)
+      .filter(col("cell").isin(cells: _*))
+    val scored = idx
+      .select(col("id").as("neighbor_id"), col("v").as("vc"),
+        col("nrm").as("nc"), col("cell"))
+      .join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF-PQ search — the composition a production ANN index actually
     * runs at 100 TB: IVF restricts each query to its `nprobe` nearest
     * cells (so only that fraction of the corpus is scored at all) and PQ
