@@ -135,10 +135,16 @@ object NorthStar {
     // (t25, d20, t29).
     "d21_curation_pipeline" -> { (s, dir) =>
       val d = docs(s, dir)
+      // Stage boundaries materialize (the d17 discipline): keep1 feeds
+      // the containment machinery (which scans its input several times
+      // internally) and keep2 feeds four consumers — without the
+      // checkpoints the novelty/containment chains re-run per consumer
+      // (measured 13.7 s vs ~5 s at sf0.1).
       val keep1 = d.join(
         Dedup.gramNovelty(d)
           .filter(col("n_grams") > 0 && col("novelty_ratio") >= 0.3)
           .select(col("doc_id")), "doc_id")
+        .localCheckpoint()
       val sizes = keep1.select(col("doc_id"),
         size(Dedup.shingles(col("text"), 3)).as("n_sh"))
       val drops = Dedup.containmentPairs(keep1)
@@ -148,6 +154,7 @@ object NorthStar {
           (col("n_b") === col("n_a") && col("b") < col("a")))
         .select(col("a").as("doc_id")).distinct()
       val keep2 = keep1.join(drops, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val pairs = Dedup.minhashPairs(keep2).select(col("a"), col("b"))
       Sampling.leakFreeSplit(keep2, pairs)
         .join(keep2.select(col("doc_id"), col("n_chars")), "doc_id")
