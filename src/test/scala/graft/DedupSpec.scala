@@ -246,6 +246,46 @@ class DedupSpec extends SparkSpec {
     assert(jac < 0.5)
   }
 
+  test("containment randomized: precision exact; full containment with an " +
+      "eligible blocker is always found") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map("v" + _)
+    def doc(n: Int) =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc(6 + rnd.nextInt(20))))
+    // plant full containments: doc 100+i embeds doc i's text verbatim
+    val planted = (1L to 5L).map(i =>
+      (100L + i, base(i.toInt - 1)._2 + " " + doc(15)))
+    val fixture = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(fixture).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    def sh(t: String): Set[String] = {
+      val w = t.split("\\s+")
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val all = (base ++ planted).map { case (id, t) => id -> sh(t) }.toMap
+    // precision: every emitted pair carries the TRUE set counts and
+    // clears the threshold — candidates can be missed, never mis-scored
+    got.foreach { case ((a, b), (nA, nI)) =>
+      assert(nA === all(a).size, s"($a,$b) n_a")
+      assert(nI === all(a).intersect(all(b)).size, s"($a,$b) n_inter")
+      assert(nI * 100 >= nA * 90)
+    }
+    // the guarantee: sh(a) ⊆ sh(b) and a has an eligible (df ≤ 100)
+    // blocker → the pair MUST be found (rarest-shingle posting hit)
+    val dfc = all.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    for {
+      (a, sa) <- all; (b, sb) <- all
+      if a != b && sa.nonEmpty && sa.subsetOf(sb) &&
+        sa.exists(s => dfc(s) <= 100)
+    } assert(got.contains((a, b)), s"missed full containment $a ⊆ $b")
+    assert(got.nonEmpty)
+  }
+
   test("gram novelty: exact dup/total accounting, short docs get NULL") {
     import spark.implicits._
     val S = (1 to 10).map("s" + _).mkString(" ") // 10 tokens, 3 8-grams
