@@ -127,6 +127,14 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Blocked fuzzy entity resolution: distinct-name dictionary →
+    // first/last-token blocks (capped) → levenshtein confirm. The
+    // short-string dup detector shingle methods miss.
+    "d22_fuzzy_pairs" -> { (s, dir) =>
+      Fuzzy.fuzzyNamePairs(Tables.load(s, dir, "part"), "p_name")
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // Third capstone — the CURATION chain composing this round's
     // operators end-to-end: novelty gate (drop boilerplate-heavy docs)
     // → containment dedup (drop docs embedded in longer ones, keep the
@@ -1233,6 +1241,34 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "d22_fuzzy_pairs" -> """
+      WITH dict AS (
+        SELECT lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) AS nm,
+               count(*) AS n
+        FROM part
+        WHERE lower(trim(regexp_replace(p_name, '\s+', ' ', 'g'))) <> ''
+        GROUP BY 1),
+      blk0 AS (
+        SELECT nm, unnest(list_distinct([
+          'f:' || string_split(nm, ' ')[1],
+          'l:' || string_split(nm, ' ')[-1]])) AS bk
+        FROM dict),
+      blk AS (SELECT nm, bk FROM (
+          SELECT nm, bk, row_number()
+            OVER (PARTITION BY bk ORDER BY nm) AS bp FROM blk0)
+        WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.nm AS name_a, y.nm AS name_b
+        FROM blk x JOIN blk y ON x.bk = y.bk AND x.nm < y.nm),
+      conf AS (SELECT name_a, name_b,
+          CAST(levenshtein(name_a, name_b) AS INT) AS dist
+        FROM cand
+        WHERE abs(len(name_a) - len(name_b)) <= 2
+          AND levenshtein(name_a, name_b) <= 2)
+      SELECT name_a, name_b, dist, da.n AS n_a, db.n AS n_b
+      FROM conf JOIN dict da ON da.nm = conf.name_a
+                JOIN dict db ON db.nm = conf.name_b
+      ORDER BY name_a, name_b""",
 
     "t29_leakfree_split" -> s"""
       WITH RECURSIVE $MinhashCtes,
