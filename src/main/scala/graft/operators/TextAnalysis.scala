@@ -743,6 +743,45 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x), 6).as("kl"))
   }
 
+  /** Vocabulary growth curve (Heaps' law): distinct-term and token counts
+    * accumulated over doc-id buckets of `bucketDocs` documents — the
+    * corpus-health diagnostic that shows whether new data still brings new
+    * vocabulary or is saturating into repetition.
+    *
+    * Scale design: one shuffle on the term to find each term's FIRST
+    * bucket (min over a monotone key — partial-agg composable), one on the
+    * bucket for per-bucket token counts; the only unpartitioned window
+    * runs over the BUCKET SUMMARY (corpus_docs / bucketDocs rows — size
+    * `bucketDocs` to keep that in the thousands at production scale),
+    * the same two-level-scan contract as sequence packing
+    * (`Packing.scala`). No global sort, no per-doc rank: buckets come
+    * straight off `floor(doc_id / bucketDocs)`.
+    */
+  def vocabGrowth(docs: DataFrame, bucketDocs: Int = 50): DataFrame = {
+    require(bucketDocs >= 1, s"bucketDocs must be >= 1, got $bucketDocs")
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("bucket",
+        floor(col("doc_id") / bucketDocs).cast("long"))
+    val newTerms = tok.groupBy(col("t"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val bucketTokens = tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    bucketTokens.join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .select(col("bucket"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        col("new_terms"),
+        sum(col("new_terms")).over(w).as("vocab_size"))
+  }
+
   /** Declarative twin of the native feature hasher — the formulation the
     * DuckDB oracle mirrors; the spec proves the native expression
     * bit-identical (same order: unigrams then bigrams, occurrences kept).

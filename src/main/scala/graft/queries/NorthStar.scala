@@ -127,6 +127,12 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Heaps-law vocabulary growth: new-term and token counts per doc-id
+    // bucket with running totals — is new data still bringing new terms?
+    "t30_vocab_growth" -> { (s, dir) =>
+      TextAnalysis.vocabGrowth(docs(s, dir)).orderBy(col("bucket"))
+    },
+
     // Blocked fuzzy entity resolution: distinct-name dictionary →
     // first/last-token blocks (capped) → levenshtein confirm. The
     // short-string dup detector shingle methods miss.
@@ -1241,6 +1247,25 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "t30_vocab_growth" -> """
+      WITH tok AS (
+        SELECT doc_id, doc_id // 50 AS bucket,
+               unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      tf AS (SELECT bucket, t FROM tok WHERE t <> ''),
+      newb AS (SELECT bucket, count(*) AS new_terms FROM (
+          SELECT t, min(bucket) AS bucket FROM tf GROUP BY t)
+        GROUP BY bucket),
+      pos AS (SELECT bucket, count(*) AS n_tokens FROM tf GROUP BY bucket)
+      SELECT pos.bucket, pos.n_tokens,
+        sum(pos.n_tokens) OVER (ORDER BY pos.bucket
+          ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        coalesce(newb.new_terms, 0) AS new_terms,
+        sum(coalesce(newb.new_terms, 0)) OVER (ORDER BY pos.bucket
+          ROWS UNBOUNDED PRECEDING) AS vocab_size
+      FROM pos LEFT JOIN newb ON newb.bucket = pos.bucket
+      ORDER BY pos.bucket""",
 
     "d22_fuzzy_pairs" -> """
       WITH dict AS (

@@ -488,6 +488,31 @@ class TextAnalysisSpec extends SparkSpec {
     got.values.foreach { case (_, k) => assert(k >= 0.0) }
   }
 
+  test("vocab growth: totals equal corpus-wide truths for ANY bucket size") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val totalTokens = toks.count()
+    val totalVocab = toks.distinct().count()
+    for (b <- Seq(7, 50)) {
+      val rows = TextAnalysis.vocabGrowth(docs, bucketDocs = b)
+        .orderBy(col("bucket")).collect()
+      val last = rows.last
+      assert(last.getAs[Long]("cum_tokens") === totalTokens, s"b=$b")
+      assert(last.getAs[Long]("vocab_size") === totalVocab, s"b=$b")
+      // running totals are the prefix sums of the per-bucket columns
+      val cumT = rows.scanLeft(0L)(_ + _.getAs[Long]("n_tokens")).drop(1)
+      val cumV = rows.scanLeft(0L)(_ + _.getAs[Long]("new_terms")).drop(1)
+      assert(rows.map(_.getAs[Long]("cum_tokens")).toSeq === cumT.toSeq)
+      assert(rows.map(_.getAs[Long]("vocab_size")).toSeq === cumV.toSeq)
+      // growth is monotone and saturating-corpus-shaped: the first bucket
+      // introduces the most terms of any bucket
+      assert(rows.head.getAs[Long]("new_terms") ===
+        rows.map(_.getAs[Long]("new_terms")).max)
+    }
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
