@@ -127,6 +127,28 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Recursive CTE parity (Spark 4's UNION ALL recursion / UnionLoop):
+    // pointer-walk each doc's min-successor chain through the certified
+    // minhash pair graph. Edges run a < b so the walk is provably acyclic;
+    // the depth bound is mirrored in the oracle. Rows per level are
+    // bounded by the doc count — never path-enumeration explosion.
+    "q49_recursive_cte" -> { (s, dir) =>
+      Dedup.minhashPairs(docs(s, dir)).select(col("a"), col("b"))
+        .createOrReplaceTempView("q49_pairs")
+      s.sql("""
+        WITH RECURSIVE succ AS (
+          SELECT a AS src, min(b) AS nxt FROM q49_pairs GROUP BY a),
+        walk(src, cur, depth) AS (
+          SELECT src, nxt, 1 FROM succ
+          UNION ALL
+          SELECT w.src, s2.nxt, w.depth + 1
+          FROM walk w JOIN succ s2 ON w.cur = s2.src
+          WHERE w.depth < 50)
+        SELECT src AS doc_id, min(cur) AS chain_min,
+               CAST(max(depth) AS INT) AS chain_len
+        FROM walk GROUP BY src ORDER BY doc_id""")
+    },
+
     // Heaps-law vocabulary growth: new-term and token counts per doc-id
     // bucket with running totals — is new data still bringing new terms?
     "t30_vocab_growth" -> { (s, dir) =>
@@ -1247,6 +1269,20 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "q49_recursive_cte" -> s"""
+      WITH RECURSIVE $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      succ AS (SELECT a AS src, min(b) AS nxt FROM filt GROUP BY a),
+      walk(src, cur, depth) AS (
+        SELECT src, nxt, 1 FROM succ
+        UNION ALL
+        SELECT w.src, s2.nxt, w.depth + 1
+        FROM walk w JOIN succ s2 ON w.cur = s2.src
+        WHERE w.depth < 50)
+      SELECT src AS doc_id, min(cur) AS chain_min,
+        CAST(max(depth) AS INT) AS chain_len
+      FROM walk GROUP BY src ORDER BY doc_id""",
 
     "t30_vocab_growth" -> """
       WITH tok AS (

@@ -253,4 +253,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("recursive CTE executes through UnionLoop, not an unrolled plan " +
+      "(q49)") {
+    val p = plan("q49_recursive_cte")
+    assert(p.contains("UnionLoop"), p)
+  }
+
+  test("fuzzy pairs never go cartesian; dictionary joins broadcast (d22)") {
+    val p = plan("d22_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
