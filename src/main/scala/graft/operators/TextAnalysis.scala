@@ -126,6 +126,35 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Fuzzy (near-duplicate) benchmark decontamination: mark training docs
+    * that share a MinHash LSH band with ANY eval document — catching
+    * paraphrased/lightly-edited benchmark leakage that [[decontaminate]]'s
+    * exact n-gram overlap misses. Same signature machinery as
+    * [[Dedup.minhashPairs]], but no candidate PAIRS ever materialize:
+    * the eval side reduces to a distinct (band_idx, band_val) key set
+    * (eval suites are dimension-sized — broadcast), and the training side
+    * is marked by a broadcast join + per-doc count. A hot band therefore
+    * costs one semi-match per training doc, never a quadratic bucket.
+    * Output: (idCol, n_bands_hit, contaminated).
+    */
+  def decontaminateFuzzy(train: DataFrame, evalCorpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    val evKeys = Dedup.minhashBands(
+        Dedup.minhashSignatures(evalCorpus, idCol, textCol, k), k, bands)
+      .select(col("band_idx"), col("band_val")).distinct()
+    val trBands = Dedup.minhashBands(
+        Dedup.minhashSignatures(train.repartition(col(idCol)),
+          idCol, textCol, k), k, bands)
+      .select(col(idCol), col("band_idx"), col("band_val"))
+    val hits = trBands.join(broadcast(evKeys), Seq("band_idx", "band_val"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bands_hit"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bands_hit"))
+      .withColumn("contaminated", col("n_bands_hit") > 0)
+  }
+
   /** The eval-set-outgrows-executor-memory path of [[decontaminate]]:
     * a Bloom filter (built once over the distinct eval grams via Spark's
     * native BloomFilterAggregate, shipped as one foldable binary — it fits

@@ -127,6 +127,17 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Fuzzy decontamination: training docs sharing a MinHash band with
+    // any eval doc (doc_id % 10 == 7 plays the eval suite) — near-dup
+    // leakage the exact n-gram check (d13) misses.
+    "d23_decontaminate_fuzzy" -> { (s, dir) =>
+      val d = docs(s, dir)
+      TextAnalysis.decontaminateFuzzy(
+          d.filter(col("doc_id") % 10 =!= 7),
+          d.filter(col("doc_id") % 10 === 7))
+        .orderBy(col("doc_id"))
+    },
+
     // Recursive CTE parity (Spark 4's UNION ALL recursion / UnionLoop):
     // pointer-walk each doc's min-successor chain through the certified
     // minhash pair graph. Edges run a < b so the walk is provably acyclic;
@@ -1269,6 +1280,18 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "d23_decontaminate_fuzzy" -> s"""
+      WITH $MinhashCtes,
+      ev AS (SELECT DISTINCT b, bv FROM bands0 WHERE doc_id % 10 = 7),
+      tr AS (SELECT doc_id, b, bv FROM bands0 WHERE doc_id % 10 <> 7),
+      hits AS (SELECT doc_id, count(*) AS n_bands_hit
+               FROM tr JOIN ev USING (b, bv) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(h.n_bands_hit, 0) AS n_bands_hit,
+        coalesce(h.n_bands_hit, 0) > 0 AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "q49_recursive_cte" -> s"""
       WITH RECURSIVE $MinhashCtes,

@@ -488,6 +488,29 @@ class TextAnalysisSpec extends SparkSpec {
     got.values.foreach { case (_, k) => assert(k >= 0.0) }
   }
 
+  test("fuzzy decontamination flags near-dup eval leakage the exact " +
+      "n-gram path can miss") {
+    import spark.implicits._
+    val evalText = (1 to 40).map("e" + _).mkString(" ")
+    // one token changed out of 40: every 5-gram window around position 20
+    // differs, but 15/16 minhash values typically survive
+    val nearDup = (1 to 40).map(i => if (i == 20) "XX" else "e" + i)
+      .mkString(" ")
+    val unrelated = (1 to 40).map("u" + _).mkString(" ")
+    val train = Seq((1L, nearDup), (2L, unrelated), (3L, evalText))
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = TextAnalysis.decontaminateFuzzy(train, ev).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(3L), "verbatim copy must be flagged")
+    assert(got(1L), "one-token paraphrase must be flagged")
+    assert(!got(2L), "unrelated doc must not be flagged")
+    // empty eval corpus: nothing flagged, every train doc still present
+    val none = TextAnalysis.decontaminateFuzzy(train, ev.filter(lit(false)))
+      .collect()
+    assert(none.length === 3 && none.forall(!_.getBoolean(2)))
+  }
+
   test("vocab growth: totals equal corpus-wide truths for ANY bucket size") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
