@@ -460,6 +460,20 @@ object Relational2 {
         ORDER BY user_id, metric""")
     },
 
+    // Morton (z-order) key battery — the arithmetic behind the
+    // z-clustered layout (Sinks.writeZOrdered), certified per row; the
+    // file-level locality/pruning claims are gated in SinkSpec.
+    "q50_zorder_key" -> { (s, dir) =>
+      val x = col("l_partkey") % 1024
+      val y = col("l_suppkey") % 1024
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 600)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          x.as("zx"), y.as("zy"),
+          graft.sinks.Sinks.zOrderKey(x, y, 10).as("zkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -690,6 +704,17 @@ object Relational2 {
       SELECT user_id, metric, n
       FROM (UNPIVOT p ON click, error, purchase INTO NAME metric VALUE n)
       ORDER BY user_id, metric""",
+
+    "q50_zorder_key" -> """
+      SELECT l_orderkey, l_linenumber,
+        l_partkey % 1024 AS zx,
+        l_suppkey % 1024 AS zy,
+        list_sum(list_transform(generate_series(0, 9), i ->
+          (((l_partkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i)) +
+          (((l_suppkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))
+        ))::BIGINT AS zkey
+      FROM lineitem WHERE l_orderkey < 600
+      ORDER BY l_orderkey, l_linenumber""",
 
     "q46_window_battery" -> """
       SELECT o_orderkey,

@@ -42,6 +42,40 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Morton (z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of x lands at position 2i, bit i
+    * of y at 2i+1. Unrolled over literal shift amounts so the whole key is
+    * one codegen'd arithmetic expression (no UDF, no lambda).
+    */
+  def zOrderKey(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftright}
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      (shiftright(x.cast("long"), i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(y.cast("long"), i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order-clustered batch write: rows are range-partitioned and sorted
+    * on the Morton key of (xCol, yCol), so each output file covers a
+    * compact RECTANGLE-ish region of the 2-D key space and parquet min/max
+    * stats prune files for predicates on EITHER column — the multi-column
+    * locality layout [[writeRangeClustered]]'s single sort order can't
+    * give (a file layout sorted on x spans all of y, so a y-range query
+    * reads every file). This is the clustering primitive behind
+    * lakehouse OPTIMIZE ZORDER BY.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16, mode: String = "overwrite"): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", zOrderKey(col(xCol), col(yCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Streaming parquet sink with a checkpoint: offsets + file manifest are
     * committed atomically per micro-batch, so restart resumes exactly-once
     * (the delivery-semantics upgrade documented in SURVEY.md §1.4).

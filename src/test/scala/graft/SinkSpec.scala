@@ -132,6 +132,43 @@ class SinkSpec extends SparkSpec {
       Tables.load(spark, sf, "orders").count())
   }
 
+  test("z-ordered write clusters BOTH dimensions: a rectangle query " +
+      "prunes files a single-column sort layout cannot") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select((col("l_partkey") % 128).as("zx"),
+        (col("l_orderkey") % 128).as("zy"))
+    val nFiles = 8
+    val zOut = tmp("sink_zorder")
+    Sinks.writeZOrdered(li, zOut, "zx", "zy", nFiles, bits = 10)
+    val xOut = tmp("sink_xsort")
+    Sinks.writeRangeClustered(li, xOut, Seq("zx"), nFiles)
+
+    def boxes(path: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("zx")), max(col("zx")),
+              min(col("zy")), max(col("zy"))).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+    // rectangle in the middle of both ranges
+    val (xLo, xHi, yLo, yHi) = (32L, 63L, 32L, 63L)
+    def touched(bs: Array[(Long, Long, Long, Long)]): Int =
+      bs.count { case (x0, x1, y0, y1) =>
+        x1 >= xLo && x0 <= xHi && y1 >= yLo && y0 <= yHi }
+    val zb = boxes(zOut)
+    val xb = boxes(xOut)
+    assert(zb.length > 1 && xb.length > 1)
+    // the x-sorted layout can't bound zy: every x-relevant file spans
+    // the rect's y range, while the z-layout skips some file for the
+    // same rectangle
+    assert(touched(zb) < touched(xb),
+      s"z=${touched(zb)}/${zb.length} files, xsort=${touched(xb)}/${xb.length}")
+    // no rows lost, and the written schema carries no helper column
+    assert(spark.read.parquet(zOut).count() === li.count())
+    assert(spark.read.parquet(zOut).columns.toSeq === Seq("zx", "zy"))
+  }
+
   test("streaming parquet sink is exactly-once across a restart") {
     val out = tmp("sink_stream_out")
     val ckpt = tmp("sink_stream_ckpt")
