@@ -876,4 +876,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("approx_d2"),
         col("rank"))
   }
+
+  /** SIF-style document embeddings (Arora et al. 2017, "A Simple but
+    * Tough-to-Beat Baseline for Sentence Embeddings"): each doc maps to
+    * the frequency-weighted mean of its tokens' word vectors, weight
+    * a / (a + p(w)) — rare terms dominate, stopwords wash out. Word
+    * vectors are deterministic md5-derived components in [-1000, 1000]
+    * (stand-ins for trained vectors; the PLUMBING — corpus stats, the
+    * vocabulary join, the element-wise fold — is the operator), so the
+    * DuckDB oracle rebuilds them exactly.
+    *
+    * Scale design: term stats are one shuffle over tokens; word vectors
+    * are computed on the VOCABULARY (dim digests per distinct term, not
+    * per occurrence); the weighted fold shuffles (doc, dim) component
+    * rows once. Weights are DECIMAL(10,6) and components integer, so the
+    * per-(doc,dim) sum is order-free exact; the single double division
+    * (and /1000 component scale) happens once at the end.
+    * Output: (doc_id, dim, value) scalar rows.
+    */
+  def sifEmbeddings(docs: DataFrame, dim: Int = 16,
+      a: Double = 0.001): DataFrame = {
+    import graft.functions.CrossHash.md5Long
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n_total"))
+    val weights = counts.crossJoin(broadcast(total))
+      .select(col("t"),
+        round(lit(a) / (lit(a) +
+          col("c").cast("double") / col("n_total")), 6)
+          .cast("decimal(10,6)").as("w"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          (md5Long(concat(col("t"), lit(":"), d.cast("string")))
+            % 2001 - 1000).cast("int")).as("vec"))
+    val nTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    tok.join(weights, "t")
+      .select(col("doc_id"), col("w"),
+        posexplode(col("vec")).as(Seq("dim", "comp")))
+      .select(col("doc_id"), col("dim"),
+        (col("w") * col("comp")).as("wc"))
+      .groupBy(col("doc_id"), col("dim")).agg(sum(col("wc")).as("s"))
+      .join(nTok, "doc_id")
+      .select(col("doc_id"), col("dim"),
+        round(col("s").cast("double") / (col("n_tokens") * 1000.0), 6)
+          .as("value"))
+  }
 }

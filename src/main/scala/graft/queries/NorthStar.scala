@@ -127,6 +127,14 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // SIF document embeddings: frequency-weighted mean of deterministic
+    // word vectors — text becomes a dense vector ready for the s-series
+    // ANN stack, scalar (doc_id, dim, value) rows.
+    "s18_sif_embeddings" -> { (s, dir) =>
+      Similarity.sifEmbeddings(docs(s, dir))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
     // Fuzzy decontamination: training docs sharing a MinHash band with
     // any eval doc (doc_id % 10 == 7 plays the eval suite) — near-dup
     // leakage the exact n-gram check (d13) misses.
@@ -1280,6 +1288,27 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "s18_sif_embeddings" -> s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents),
+      tf AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      cnt AS (SELECT t, count(*) AS c FROM tf GROUP BY t),
+      tot AS (SELECT count(*) AS n_total FROM tf),
+      wts AS (SELECT t,
+          CAST(round(0.001 / (0.001 + CAST(c AS DOUBLE) / n_total), 6)
+            AS DECIMAL(10,6)) AS w
+        FROM cnt, tot),
+      ntk AS (SELECT doc_id, count(*) AS n_tokens FROM tf GROUP BY doc_id),
+      comp AS (SELECT tf.doc_id, CAST(d AS INT) AS dim,
+          w * CAST(${h("tf.t || ':' || d")} % 2001 - 1000 AS INT) AS wc
+        FROM tf JOIN wts ON wts.t = tf.t, generate_series(0, 15) g(d)),
+      agg AS (SELECT doc_id, dim, sum(wc) AS s
+              FROM comp GROUP BY doc_id, dim)
+      SELECT agg.doc_id, agg.dim,
+        round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) AS value
+      FROM agg JOIN ntk ON ntk.doc_id = agg.doc_id
+      ORDER BY agg.doc_id, agg.dim""",
 
     "d23_decontaminate_fuzzy" -> s"""
       WITH $MinhashCtes,

@@ -397,4 +397,28 @@ class SimilaritySpec extends SparkSpec {
         java.lang.Double.doubleToLongBits(s), s"doc $doc score")
     }
   }
+
+  test("sif embeddings: order-invariant, repetition-invariant, " +
+      "one row per (doc, dim)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"),     // permutation of doc 1
+      (3L, "delta delta"),          // repetition of a single term
+      (4L, "delta"),
+      (5L, "epsilon")).toDF("doc_id", "text")
+    val e = Similarity.sifEmbeddings(docs, dim = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(e.size === 5 * 4)
+    // weighted MEAN: token order and within-doc repetition don't move it
+    for (d <- 0 until 4) {
+      assert(e((1L, d)) === e((2L, d)), s"permutation, dim $d")
+      assert(e((3L, d)) === e((4L, d)), s"repetition, dim $d")
+    }
+    // distinct rare terms give distinct vectors
+    assert((0 until 4).exists(d => e((4L, d)) !== e((5L, d))))
+    // every component is a mean of weights in (0,1] times ints in
+    // [-1000,1000] scaled by 1/1000 — bounded by 1 in magnitude
+    e.values.foreach(v => assert(math.abs(v) <= 1.0))
+  }
 }
