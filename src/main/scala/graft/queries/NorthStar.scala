@@ -127,6 +127,22 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // PageRank centrality over the customer<->supplier order graph —
+    // the link-graph importance signal of crawl curation, as pure
+    // relational iterations (fixed count, decimal-exact folds).
+    "g01_pagerank" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+      val edges = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+      Graph.pageRank(edges).orderBy(col("id"))
+    },
+
     // SIF document embeddings: frequency-weighted mean of deterministic
     // word vectors — text becomes a dense vector ready for the s-series
     // ANN stack, scalar (doc_id, dim, value) rows.
@@ -1288,6 +1304,39 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "g01_pagerank" -> """
+      WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM cs
+          UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      p0 AS (SELECT id, CAST(10000000000 AS BIGINT) AS prl FROM nodes),
+      c1 AS (SELECT e.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM e JOIN p0 p ON p.id = e.src JOIN od ON od.src = e.src),
+      i1 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c1 GROUP BY dst),
+      p1 AS (SELECT id, 1500000000 + CAST(floor(0.85 *
+          CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS prl
+        FROM nodes LEFT JOIN i1 ON i1.dst = nodes.id),
+      c2 AS (SELECT e.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM e JOIN p1 p ON p.id = e.src JOIN od ON od.src = e.src),
+      i2 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c2 GROUP BY dst),
+      p2 AS (SELECT id, 1500000000 + CAST(floor(0.85 *
+          CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS prl
+        FROM nodes LEFT JOIN i2 ON i2.dst = nodes.id),
+      c3 AS (SELECT e.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM e JOIN p2 p ON p.id = e.src JOIN od ON od.src = e.src),
+      i3 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c3 GROUP BY dst),
+      p3 AS (SELECT id, 1500000000 + CAST(floor(0.85 *
+          CAST(coalesce(s, 0) AS DOUBLE) + 0.5) AS BIGINT) AS prl
+        FROM nodes LEFT JOIN i3 ON i3.dst = nodes.id)
+      SELECT id, CAST(prl AS DOUBLE) / 10000000000.0 AS pagerank
+      FROM p3 ORDER BY id""",
 
     "s18_sif_embeddings" -> s"""
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
