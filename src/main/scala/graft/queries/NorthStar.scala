@@ -127,6 +127,14 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Triangle counts over the certified near-dup pair graph — dense
+    // boilerplate clusters close triangles, borderline chains don't.
+    "g02_triangles" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.triangleCounts(pairs).orderBy(col("id"))
+    },
+
     // PageRank centrality over the customer<->supplier order graph —
     // the link-graph importance signal of crawl curation, as pure
     // relational iterations (fixed count, decimal-exact folds).
@@ -1304,6 +1312,18 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "g02_triangles" -> s"""
+      WITH $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+            FROM filt WHERE a <> b),
+      tris AS (SELECT x.a, x.b, y.b AS c
+        FROM e x JOIN e y ON y.a = x.b
+        WHERE EXISTS (SELECT 1 FROM e z WHERE z.a = x.a AND z.b = y.b)),
+      corners AS (SELECT unnest([a, b, c]) AS id FROM tris)
+      SELECT id, count(*) AS n_triangles FROM corners
+      GROUP BY id ORDER BY id""",
 
     "g01_pagerank" -> """
       WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp

@@ -23,6 +23,20 @@ class GraphSpec extends SparkSpec {
     assert(leaves.map(pr).distinct.size === 1)
   }
 
+  test("triangle counts: K4 gives every node 3; chain gives none; " +
+      "direction and duplicate edges don't matter") {
+    import spark.implicits._
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b }
+      yield (a, b))
+    // add reversed duplicates + a chain 10-11-12 that closes nothing
+    val edges = (k4 ++ k4.map(_.swap) ++ Seq((10L, 11L), (11L, 12L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each K4 node sits in C(3,2)=3 triangles; chain nodes absent
+    assert(got === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("pagerank is bit-stable under repartitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
