@@ -772,6 +772,33 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x), 6).as("kl"))
   }
 
+  /** Robust outlier detection: flag rows whose value deviates from the
+    * per-key median by more than `k` scaled MADs (median absolute
+    * deviation, consistency constant 1.4826) — the heavy-tail-safe
+    * data-quality gate (mean/stddev thresholds move with the outliers
+    * they're hunting; the median/MAD pair doesn't).
+    *
+    * Scale design: two aggregations over the rows (median, then MAD of
+    * the deviations) with the key-level stats broadcast back — the stats
+    * table is key-cardinality-sized. The comparison stays a raw
+    * inequality on doubles (no division), so mad = 0 degenerates to
+    * "any nonzero deviation flags" instead of dividing by zero.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+      idCol: String, k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val mad = df.join(broadcast(med), keyCol)
+      .groupBy(col(keyCol))
+      .agg(expr(s"percentile(abs($valCol - med), 0.5)").as("mad"))
+    df.join(broadcast(med), keyCol).join(broadcast(mad), keyCol)
+      .filter(abs(col(valCol) - col("med")) >
+        lit(k) * lit(1.4826) * col("mad"))
+      .select(col(idCol), col(keyCol), col(valCol),
+        round(abs(col(valCol) - col("med")), 6).as("abs_dev"),
+        round(col("mad"), 6).as("mad"))
+  }
+
   /** Vocabulary growth curve (Heaps' law): distinct-term and token counts
     * accumulated over doc-id buckets of `bucketDocs` documents — the
     * corpus-health diagnostic that shows whether new data still brings new

@@ -127,6 +127,14 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Robust (median/MAD) outlier gate on the event stream — the
+    // heavy-tail-safe anomaly filter, per event type.
+    "t31_mad_outliers" -> { (s, dir) =>
+      TextAnalysis.madOutliers(Tables.load(s, dir, "events"),
+          "event_type", "value", "event_id")
+        .orderBy(col("event_id"))
+    },
+
     // Triangle counts over the certified near-dup pair graph — dense
     // boilerplate clusters close triangles, borderline chains don't.
     "g02_triangles" -> { (s, dir) =>
@@ -1312,6 +1320,21 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "t31_mad_outliers" -> """
+      WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                   FROM events GROUP BY event_type),
+      mad AS (SELECT e.event_type,
+          quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type)
+      SELECT e.event_id, e.event_type, e.value,
+        round(abs(e.value - m.med), 6) AS abs_dev,
+        round(d.mad, 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+                    JOIN mad d USING (event_type)
+      WHERE abs(e.value - m.med) > 3.0 * 1.4826 * d.mad
+      ORDER BY e.event_id""",
 
     "g02_triangles" -> s"""
       WITH $MinhashCtes,

@@ -511,6 +511,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(none.length === 3 && none.forall(!_.getBoolean(2)))
   }
 
+  test("mad outliers: planted spike flagged, bulk untouched, mad=0 " +
+      "degenerates to any-deviation") {
+    import spark.implicits._
+    val bulk = (1L to 50L).map(i => (i, "a", 10.0 + (i % 5)))
+    val rows = (bulk :+ ((99L, "a", 1000.0)) :+ ((100L, "b", 7.0))
+      :+ ((101L, "b", 7.0)) :+ ((102L, "b", 7.1)))
+      .toDF("event_id", "event_type", "value")
+    val got = TextAnalysis.madOutliers(rows, "event_type", "value",
+      "event_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(99L), "spike must be flagged")
+    assert(!bulk.map(_._1).exists(got.contains), "bulk must pass")
+    // key b: median 7, MAD 0 -> the 7.1 row deviates and is flagged
+    assert(got.contains(102L) && !got.contains(100L) && !got.contains(101L))
+  }
+
   test("vocab growth: totals equal corpus-wide truths for ANY bucket size") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
