@@ -923,4 +923,18 @@ object Similarity {
         round(col("s").cast("double") / (col("n_tokens") * 1000.0), 6)
           .as("value"))
   }
+
+  /** [[sifEmbeddings]] re-packed as one dense vector per doc —
+    * (doc_id, vec) — ready for the ANN operators (assignment, search,
+    * quantization). The per-doc buffer is exactly `dim` elements, so
+    * unlike a whole-group collect this regrouping is bounded by
+    * construction.
+    */
+  def sifVectors(docs: DataFrame, dim: Int = 16,
+      a: Double = 0.001): DataFrame =
+    sifEmbeddings(docs, dim, a)
+      .groupBy(col("doc_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("value")))),
+        e => e.getField("value")).as("vec"))
 }

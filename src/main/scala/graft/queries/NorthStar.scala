@@ -127,6 +127,18 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Text -> embedding -> cluster, end-to-end: SIF vectors fed through
+    // the map-side IVF assignment — semantic bucketing of raw documents
+    // with no model artifacts, composing s18 with the certified s02 path.
+    "s19_sif_assign" -> { (s, dir) =>
+      val v = Similarity.sifVectors(docs(s, dir))
+      Similarity.ivfAssign(v,
+          Similarity.sampleCentroids(v, "doc_id", "vec"),
+          idCol = "doc_id", vecCol = "vec")
+        .select(col("id").as("doc_id"), col("cell"), col("d2"))
+        .orderBy(col("doc_id"))
+    },
+
     // Robust (median/MAD) outlier gate on the event stream — the
     // heavy-tail-safe anomaly filter, per event type.
     "t31_mad_outliers" -> { (s, dir) =>
@@ -810,6 +822,29 @@ object NorthStar {
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
 
+  /** SIF embedding CTE chain (s18's algorithm), ending in
+    * `sif(doc_id, dim, value)` — shared by s18 and the s19 composition.
+    */
+  private lazy val SifCtes = s"""tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      tf AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+      cnt AS (SELECT t, count(*) AS c FROM tf GROUP BY t),
+      tot AS (SELECT count(*) AS n_total FROM tf),
+      wts AS (SELECT t,
+          CAST(round(0.001 / (0.001 + CAST(c AS DOUBLE) / n_total), 6)
+            AS DECIMAL(10,6)) AS w
+        FROM cnt, tot),
+      ntk AS (SELECT doc_id, count(*) AS n_tokens FROM tf GROUP BY doc_id),
+      comp AS (SELECT tf.doc_id, CAST(d AS INT) AS dim,
+          w * CAST(${h("tf.t || ':' || d")} % 2001 - 1000 AS INT) AS wc
+        FROM tf JOIN wts ON wts.t = tf.t, generate_series(0, 15) g(d)),
+      sagg AS (SELECT doc_id, dim, sum(wc) AS s
+               FROM comp GROUP BY doc_id, dim),
+      sif AS (SELECT sagg.doc_id, sagg.dim,
+          round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) AS value
+        FROM sagg JOIN ntk ON ntk.doc_id = sagg.doc_id)"""
+
   /** The s15 projection-matrix entry R(i,j) as DuckDB SQL over fold vars
     * (i, t.j): Wang-style mix of n = i·16 + j, mapped into [-1, 1).
     * Mirrors Similarity.randomProjection's r() exactly.
@@ -1382,25 +1417,24 @@ object NorthStar {
       FROM p3 ORDER BY id""",
 
     "s18_sif_embeddings" -> s"""
-      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-                   FROM documents),
-      tf AS (SELECT doc_id, t FROM tok WHERE t <> ''),
-      cnt AS (SELECT t, count(*) AS c FROM tf GROUP BY t),
-      tot AS (SELECT count(*) AS n_total FROM tf),
-      wts AS (SELECT t,
-          CAST(round(0.001 / (0.001 + CAST(c AS DOUBLE) / n_total), 6)
-            AS DECIMAL(10,6)) AS w
-        FROM cnt, tot),
-      ntk AS (SELECT doc_id, count(*) AS n_tokens FROM tf GROUP BY doc_id),
-      comp AS (SELECT tf.doc_id, CAST(d AS INT) AS dim,
-          w * CAST(${h("tf.t || ':' || d")} % 2001 - 1000 AS INT) AS wc
-        FROM tf JOIN wts ON wts.t = tf.t, generate_series(0, 15) g(d)),
-      agg AS (SELECT doc_id, dim, sum(wc) AS s
-              FROM comp GROUP BY doc_id, dim)
-      SELECT agg.doc_id, agg.dim,
-        round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) AS value
-      FROM agg JOIN ntk ON ntk.doc_id = agg.doc_id
-      ORDER BY agg.doc_id, agg.dim""",
+      WITH $SifCtes
+      SELECT doc_id, dim, value FROM sif
+      ORDER BY doc_id, dim""",
+
+    "s19_sif_assign" -> s"""
+      WITH $SifCtes,
+      vecs AS (SELECT doc_id, list(value ORDER BY dim) AS v
+               FROM sif GROUP BY doc_id),
+      c AS (SELECT doc_id AS centroid_id, v AS cv FROM vecs
+            WHERE doc_id % 50 = 0),
+      sc AS (SELECT vecs.doc_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(vecs.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM vecs, c),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY d2, centroid_id) AS rn FROM sc)
+      SELECT doc_id, centroid_id AS cell, d2 FROM r WHERE rn = 1
+      ORDER BY doc_id""",
 
     "d23_decontaminate_fuzzy" -> s"""
       WITH $MinhashCtes,
