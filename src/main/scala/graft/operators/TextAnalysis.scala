@@ -772,6 +772,29 @@ object TextAnalysis {
           lit(0.0), (a, x) => a + x), 6).as("kl"))
   }
 
+  /** Length-bucketed batching report: documents banded by token count
+    * (band width `band`), with the padding waste a bucket-local batcher
+    * pays when every member pads to the bucket max — the planning twin
+    * of sequence packing (`Packing`): packing eliminates padding by
+    * splitting docs, bucketing keeps docs intact and this report prices
+    * that choice. Map + one bucket aggregation; all-integer until the
+    * single waste division.
+    */
+  def lengthBuckets(docs: DataFrame, band: Int = 32): DataFrame = {
+    require(band >= 1, s"band must be >= 1, got $band")
+    docs
+      .select(size(split(col("text"), " ")).as("n"))
+      .withColumn("bucket", ceil(col("n") / lit(band.toDouble)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n")).as("max_len"),
+        sum(col("n")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("waste_ratio",
+        round(lit(1.0) - col("sum_tokens").cast("double")
+          / col("padded_tokens"), 6))
+  }
+
   /** Robust outlier detection: flag rows whose value deviates from the
     * per-key median by more than `k` scaled MADs (median absolute
     * deviation, consistency constant 1.4826) — the heavy-tail-safe

@@ -139,6 +139,12 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Length-bucketed batching report: per-band doc counts and the
+    // padding waste bucket-local batching pays vs t17's packing.
+    "t32_length_buckets" -> { (s, dir) =>
+      TextAnalysis.lengthBuckets(docs(s, dir)).orderBy(col("bucket"))
+    },
+
     // Robust (median/MAD) outlier gate on the event stream — the
     // heavy-tail-safe anomaly filter, per event type.
     "t31_mad_outliers" -> { (s, dir) =>
@@ -1355,6 +1361,19 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "t32_length_buckets" -> """
+      WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS INT) AS n
+                 FROM documents),
+      b AS (SELECT CAST(ceil(n / 32.0) AS BIGINT) AS bucket,
+                   count(*) AS n_docs, max(n) AS max_len,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens
+            FROM d GROUP BY 1)
+      SELECT bucket, n_docs, max_len, sum_tokens,
+        n_docs * max_len AS padded_tokens,
+        round(1.0 - CAST(sum_tokens AS DOUBLE) / (n_docs * max_len), 6)
+          AS waste_ratio
+      FROM b ORDER BY bucket""",
 
     "t31_mad_outliers" -> """
       WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med

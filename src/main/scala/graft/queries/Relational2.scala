@@ -460,6 +460,31 @@ object Relational2 {
         ORDER BY user_id, metric""")
     },
 
+    // Sequential funnel analysis: first view -> first later click ->
+    // first later purchase per user — ordered-pattern matching as three
+    // min-aggregations that reuse one user_id partitioning, no
+    // per-user sort or UDF state machine.
+    "q51_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("view_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("view_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("click_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("click_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("purchase_ts"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage_reached",
+          when(col("purchase_ts").isNotNull, 3)
+            .when(col("click_ts").isNotNull, 2)
+            .when(col("view_ts").isNotNull, 1).otherwise(0))
+        .orderBy(col("user_id"))
+    },
+
     // Morton (z-order) key battery — the arithmetic behind the
     // z-clustered layout (Sinks.writeZOrdered), certified per row; the
     // file-level locality/pruning claims are gated in SinkSpec.
@@ -704,6 +729,29 @@ object Relational2 {
       SELECT user_id, metric, n
       FROM (UNPIVOT p ON click, error, purchase INTO NAME metric VALUE n)
       ORDER BY user_id, metric""",
+
+    "q51_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      u AS (SELECT DISTINCT user_id FROM e),
+      v AS (SELECT user_id, min(ts) AS view_ts FROM e
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS click_ts
+            FROM e JOIN v USING (user_id)
+            WHERE event_type = 'click' AND e.ts > v.view_ts
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+            FROM e JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND e.ts > c.click_ts
+            GROUP BY e.user_id)
+      SELECT u.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                  WHEN c.click_ts IS NOT NULL THEN 2
+                  WHEN v.view_ts IS NOT NULL THEN 1
+                  ELSE 0 END AS INT) AS stage_reached
+      FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY u.user_id""",
 
     "q50_zorder_key" -> """
       SELECT l_orderkey, l_linenumber,
