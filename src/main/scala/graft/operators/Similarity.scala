@@ -920,8 +920,10 @@ object Similarity {
       .groupBy(col("doc_id"), col("dim")).agg(sum(col("wc")).as("s"))
       .join(nTok, "doc_id")
       .select(col("doc_id"), col("dim"),
-        round(col("s").cast("double") / (col("n_tokens") * 1000.0), 6)
-          .as("value"))
+        // + 0.0 folds IEEE -0.0 (a negative sum rounding to zero) into
+        // +0.0 — engines disagree on the sign bit's survival otherwise
+        (round(col("s").cast("double") / (col("n_tokens") * 1000.0), 6)
+          + lit(0.0)).as("value"))
   }
 
   /** [[sifEmbeddings]] re-packed as one dense vector per doc —

@@ -848,7 +848,7 @@ object NorthStar {
       sagg AS (SELECT doc_id, dim, sum(wc) AS s
                FROM comp GROUP BY doc_id, dim),
       sif AS (SELECT sagg.doc_id, sagg.dim,
-          round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) AS value
+          round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) + 0.0 AS value
         FROM sagg JOIN ntk ON ntk.doc_id = sagg.doc_id)"""
 
   /** The s15 projection-matrix entry R(i,j) as DuckDB SQL over fold vars
