@@ -49,6 +49,28 @@ object KafkaParity {
         .orderBy(col("partition"))
     },
 
+    // Batch offset-continuity audit — the batch twin of
+    // StreamOps.detectOffsetGaps: per partition, how many adjacent-offset
+    // gaps and how much is missing. One window + one aggregation, both
+    // partition-keyed (the natural Kafka parallelism unit; no global
+    // sort).
+    "k06_offset_audit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
+      KafkaSource.replay(Tables.load(s, dir, "events"))
+        .select(col("partition"), col("offset"))
+        .withColumn("gap",
+          col("offset") - lag(col("offset"), 1).over(w) - 1)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"),
+          max(col("offset")).as("max_offset"),
+          count(when(col("gap") > 0, 1)).as("n_gaps"),
+          coalesce(sum(col("gap")), lit(0L)).as("n_missing"),
+          coalesce(max(col("gap")), lit(0L)).as("max_gap"))
+        .orderBy(col("partition"))
+    },
+
     // Partition-pruned scan through the SQL front door: the
     // `partitions => '0,3'` named arg (the connector's `assign` — the one
     // pushdown a Kafka scan CAN do, which the reference declines,
@@ -106,6 +128,18 @@ object KafkaParity {
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,
         max("offset") AS max_offset, count("error") AS n_errors
       FROM ($replaySql) GROUP BY 1 ORDER BY 1""",
+
+    "k06_offset_audit" -> s"""
+      WITH r AS (SELECT "partition", "offset",
+          "offset" - lag("offset", 1) OVER (PARTITION BY "partition"
+            ORDER BY "offset") - 1 AS gap
+        FROM ($replaySql))
+      SELECT "partition", count(*) AS n,
+        min("offset") AS min_offset, max("offset") AS max_offset,
+        count(*) FILTER (WHERE gap > 0) AS n_gaps,
+        CAST(coalesce(sum(gap), 0) AS BIGINT) AS n_missing,
+        CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
+      FROM r GROUP BY 1 ORDER BY 1""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,

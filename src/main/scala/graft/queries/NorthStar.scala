@@ -127,6 +127,17 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // SemDedup from RAW TEXT: SIF vectors through the cell-blocked
+    // IVF near-dup path — semantic dedup with no model artifacts,
+    // catching same-meaning/different-words pairs the lexical detectors
+    // (minhash/simhash/jaccard) under-score.
+    "d24_semantic_textdedup" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairsIvf(
+          Similarity.sifVectors(docs(s, dir)), "doc_id", "vec",
+          minCosine = 0.95)
+        .orderBy(col("a"), col("b"))
+    },
+
     // Text -> embedding -> cluster, end-to-end: SIF vectors fed through
     // the map-side IVF assignment — semantic bucketing of raw documents
     // with no model artifacts, composing s18 with the certified s02 path.
@@ -1439,6 +1450,35 @@ object NorthStar {
       WITH $SifCtes
       SELECT doc_id, dim, value FROM sif
       ORDER BY doc_id, dim""",
+
+    "d24_semantic_textdedup" -> s"""
+      WITH $SifCtes,
+      vecs AS (SELECT doc_id, list(value ORDER BY dim) AS v
+               FROM sif GROUP BY doc_id),
+      c AS (SELECT doc_id AS centroid_id, v AS cv FROM vecs
+            WHERE doc_id % 50 = 0),
+      sc AS (SELECT vecs.doc_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(vecs.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM vecs, c),
+      a AS (SELECT doc_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY d2, centroid_id) AS rn FROM sc) WHERE rn = 1),
+      ac AS (SELECT doc_id, cell FROM (
+          SELECT doc_id, cell, row_number() OVER (PARTITION BY cell
+            ORDER BY doc_id) AS bp FROM a) WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM ac x JOIN ac y ON x.cell = y.cell AND x.doc_id < y.doc_id),
+      n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM vecs)
+      SELECT cand.a, cand.b,
+        round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+          AS cosine
+      FROM cand JOIN n na ON na.doc_id = cand.a
+                JOIN n nb ON nb.doc_id = cand.b
+      WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+            >= 0.95
+      ORDER BY a, b""",
 
     "s19_sif_assign" -> s"""
       WITH $SifCtes,

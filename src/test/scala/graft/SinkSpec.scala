@@ -216,6 +216,35 @@ class SinkSpec extends SparkSpec {
     assert(gaps === Set((0, 2L, 5L), (0, 6L, 9L)))
   }
 
+  test("batch offset audit agrees with the streaming gap detector on " +
+      "the replay fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val replay = graft.sources.KafkaSource.replay(
+      Tables.load(spark, sf, "events"))
+    val batch = SparkEntry.queries("k06_offset_audit")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(4), r.getLong(5))).toMap
+    // drive the SAME records through the stateful streaming detector
+    val mem = MemoryStream[graft.sources.KafkaRecord]
+    mem.addData(replay.as[graft.sources.KafkaRecord].collect().toSeq)
+    val q = StreamOps.detectOffsetGaps(mem.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("audit_gaps").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val stream = spark.table("audit_gaps").as[OffsetGapRow].collect()
+      .groupBy(_.partition)
+      .map { case (p, gs) => p ->
+        ((gs.length.toLong,
+          gs.map(g => g.toOffset - g.fromOffset - 1).sum)) }
+    // per partition: same gap count and same total missing offsets
+    stream.foreach { case (p, (nGaps, missing)) =>
+      assert(batch(p) === ((nGaps, missing)), s"partition $p")
+    }
+    assert(batch.values.map(_._1).sum ===
+      stream.values.map(_._1).sum)
+    assert(stream.nonEmpty)
+  }
+
   test("transformWithState gap detector matches the fMGWS twin (RocksDB)") {
     import spark.implicits._
     implicit val sqlCtx = classic.sqlContext
