@@ -42,7 +42,7 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val baseL = math.round(base * Scale)
     var pr: DataFrame = nodes.withColumn("prl", lit(Scale))
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = e
         .join(pr.withColumnRenamed("id", "src"), "src")
         .join(outdeg, "src")
@@ -55,6 +55,12 @@ object Graph {
         .select(col("id"),
           (lit(baseL) + floor(lit(damping) *
             coalesce(col("s"), lit(0L)).cast("double") + 0.5)).as("prl"))
+      // Iterative lineage grows the plan linearly; past a handful of
+      // rounds, analysis/codegen time dominates. Cut it at the node-sized
+      // rank table every 5 iterations (lazy checkpoint: no extra action,
+      // values unchanged — 10-20-iteration production runs stay planar).
+      if (it % 5 == 0 && it < iterations)
+        pr = pr.localCheckpoint(false)
     }
     pr.select(col("id"),
       (col("prl").cast("double") / lit(Scale.toDouble)).as("pagerank"))

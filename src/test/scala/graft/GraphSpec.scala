@@ -43,8 +43,10 @@ class GraphSpec extends SparkSpec {
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong,
       rnd.nextInt(40).toLong)).filter(p => p._1 != p._2)
       .toDF("src", "dst")
+    // 6 iterations crosses the it=5 lineage cut, so the checkpoint path
+    // is exercised and proven value-neutral
     def run(parts: Int): Seq[(Long, Long)] =
-      Graph.pageRank(edges.repartition(parts), iterations = 4).collect()
+      Graph.pageRank(edges.repartition(parts), iterations = 6).collect()
         .map(r => (r.getLong(0),
           java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
     assert(run(2) === run(17))

@@ -254,6 +254,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("fuzzy decontamination broadcasts the eval band keys (d23)") {
+    val p = plan("d23_decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("recursive CTE executes through UnionLoop, not an unrolled plan " +
       "(q49)") {
     val p = plan("q49_recursive_cte")
