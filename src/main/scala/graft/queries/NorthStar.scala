@@ -132,9 +132,13 @@ object NorthStar {
     // catching same-meaning/different-words pairs the lexical detectors
     // (minhash/simhash/jaccard) under-score.
     "d24_semantic_textdedup" -> { (s, dir) =>
+      // The near-dup generator consumes the vector frame three times
+      // (assignment, candidate join, cosine confirm); for a COMPUTED
+      // frame that's three recomputations of the whole SIF chain unless
+      // the stage boundary is materialized (same lesson as d21).
       Dedup.embeddingNearDupPairsIvf(
-          Similarity.sifVectors(docs(s, dir)), "doc_id", "vec",
-          minCosine = 0.95)
+          Similarity.sifVectors(docs(s, dir)).localCheckpoint(),
+          "doc_id", "vec", minCosine = 0.95)
         .orderBy(col("a"), col("b"))
     },
 
@@ -142,7 +146,8 @@ object NorthStar {
     // the map-side IVF assignment — semantic bucketing of raw documents
     // with no model artifacts, composing s18 with the certified s02 path.
     "s19_sif_assign" -> { (s, dir) =>
-      val v = Similarity.sifVectors(docs(s, dir))
+      // Materialized once: the corpus AND centroid sides both read it.
+      val v = Similarity.sifVectors(docs(s, dir)).localCheckpoint()
       Similarity.ivfAssign(v,
           Similarity.sampleCentroids(v, "doc_id", "vec"),
           idCol = "doc_id", vecCol = "vec")
@@ -213,7 +218,12 @@ object NorthStar {
     // the depth bound is mirrored in the oracle. Rows per level are
     // bounded by the doc count — never path-enumeration explosion.
     "q49_recursive_cte" -> { (s, dir) =>
+      // Materialize the edge table: the recursion's working set joins
+      // this view EVERY level, and a lazy view would re-run the whole
+      // minhash pipeline once per UnionLoop iteration (measured 4x the
+      // query's total cost at sf0.1).
       Dedup.minhashPairs(docs(s, dir)).select(col("a"), col("b"))
+        .localCheckpoint()
         .createOrReplaceTempView("q49_pairs")
       s.sql("""
         WITH RECURSIVE succ AS (
@@ -221,7 +231,7 @@ object NorthStar {
         walk(src, cur, depth) AS (
           SELECT src, nxt, 1 FROM succ
           UNION ALL
-          SELECT w.src, s2.nxt, w.depth + 1
+          SELECT /*+ BROADCAST(s2) */ w.src, s2.nxt, w.depth + 1
           FROM walk w JOIN succ s2 ON w.cur = s2.src
           WHERE w.depth < 50)
         SELECT src AS doc_id, min(cur) AS chain_min,
