@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -499,6 +499,53 @@ object Relational2 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // LATERAL correlated subquery (per-customer top-2 orders): the
+    // decorrelated form Catalyst rewrites to a ranked window join — the
+    // scalable shape for "top-N per key against another table". Certified
+    // against DuckDB's native LATERAL executor.
+    "q52_lateral_join" -> { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey < 30
+        ORDER BY c_custkey, o_orderkey""")
+    },
+
+    // Higher-order array-function battery: transform / filter / aggregate /
+    // zip_with / sort+distinct / flatten over per-row sequences — all
+    // builtins (never UDFs), certified against DuckDB's list_* lambdas.
+    // Elements are BIGINT on both sides (list_sum yields HUGEINT and
+    // range() yields BIGINT[] in DuckDB; the casts pin the widths). The
+    // arrays leave the query as (part, idx, val) SCALAR rows via one
+    // inline() generator — the driver's compare rejects array columns.
+    "q53_array_battery" -> { (s, dir) =>
+      val n = col("l_linenumber").cast("long")
+      val seq = sequence(lit(1L), n)
+      def tag(part: String, arr: Column): Column =
+        transform(arr, (x, i) => struct(lit(part).as("part"),
+          i.cast("long").as("idx"), x.as("val")))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          aggregate(seq, lit(0L), (a, x) => a + x).as("sum_seq"),
+          concat(
+            tag("sq", transform(seq, x => x * x)),
+            tag("ev", filter(seq, x => x % 2 === 0)),
+            tag("zw", zip_with(seq, reverse(seq), (a, b) => a * b)),
+            tag("dis", sort_array(array_distinct(
+              array(n, lit(1L), lit(5L))))),
+            tag("fl", flatten(array(seq, transform(seq, x => x * x)))))
+            .as("tagged"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("sum_seq"),
+          inline(col("tagged")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("part"),
+          col("idx"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -752,6 +799,53 @@ object Relational2 {
       FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
              LEFT JOIN p USING (user_id)
       ORDER BY u.user_id""",
+
+    "q52_lateral_join" -> """
+      SELECT c_custkey, o_orderkey, o_totalprice
+      FROM customer, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey < 30
+      ORDER BY c_custkey, o_orderkey""",
+
+    "q53_array_battery" -> """
+      WITH b AS (
+        SELECT l_orderkey, l_linenumber,
+               range(1, CAST(l_linenumber AS BIGINT) + 1) AS seq,
+               CAST(l_linenumber AS BIGINT) AS n
+        FROM lineitem WHERE l_orderkey < 50),
+      arrs AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(list_sum(seq) AS BIGINT) AS sum_seq,
+               list_transform(seq, x -> x * x) AS sq,
+               list_filter(seq, x -> x % 2 = 0) AS ev,
+               list_transform(seq, i -> i * (n + 1 - i)) AS zw,
+               list_sort(list_distinct([n, 1, 5])) AS dis,
+               flatten([seq, list_transform(seq, x -> x * x)]) AS fl
+        FROM b),
+      parts AS (
+        SELECT l_orderkey, l_linenumber, sum_seq, 'sq' AS part,
+               CAST(i - 1 AS BIGINT) AS idx, sq[i] AS val
+        FROM arrs, unnest(generate_series(1, len(sq))) AS t(i)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, sum_seq, 'ev',
+               CAST(i - 1 AS BIGINT), ev[i]
+        FROM arrs, unnest(generate_series(1, len(ev))) AS t(i)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, sum_seq, 'zw',
+               CAST(i - 1 AS BIGINT), zw[i]
+        FROM arrs, unnest(generate_series(1, len(zw))) AS t(i)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, sum_seq, 'dis',
+               CAST(i - 1 AS BIGINT), dis[i]
+        FROM arrs, unnest(generate_series(1, len(dis))) AS t(i)
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, sum_seq, 'fl',
+               CAST(i - 1 AS BIGINT), fl[i]
+        FROM arrs, unnest(generate_series(1, len(fl))) AS t(i))
+      SELECT * FROM parts
+      ORDER BY l_orderkey, l_linenumber, part, idx""",
 
     "q50_zorder_key" -> """
       SELECT l_orderkey, l_linenumber,

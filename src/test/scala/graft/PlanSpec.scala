@@ -271,4 +271,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("LATERAL top-N decorrelates to WindowGroupLimit + hash join, " +
+      "never a per-row nested loop (q52)") {
+    val p = plan("q52_lateral_join")
+    // Catalyst's DecorrelateInnerQuery must rewrite the correlated
+    // ORDER BY ... LIMIT into a ranked window; WindowGroupLimit prunes
+    // to top-N map-side BEFORE the rank shuffle.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("array battery is map-only: one exchange (the output sort), " +
+      "no join, filter pushed to the scan (q53)") {
+    val p = plan("q53_array_battery")
+    // one node-header occurrence (the formatted dump repeats each node in
+    // its detail section)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), " +
+      "LessThan(l_orderkey,50)]"), p)
+  }
 }
