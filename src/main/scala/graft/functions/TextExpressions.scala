@@ -151,6 +151,30 @@ object TextKernels {
     while (j + 1 < n) { out(n + j) = bucket(toks(j) + " " + toks(j + 1)); j += 1 }
     new GenericArrayData(out)
   }
+
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // Fast path: Normalizer.isNormalized is a cheap scan and ASCII-heavy
+    // corpora skip the allocation entirely.
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC))
+      s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 /** Native MinHash signature: tokenize → w-word shingles → md5 → k linear
@@ -280,6 +304,50 @@ case class GramHashes(child: Expression, l: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Canonical Unicode composition (NFC). Spark has no normalization
+  * builtin; DuckDB ships `nfc_normalize` (the oracle twin). A native
+  * expression (not a UDF) keeps the cleanup pass inside whole-stage
+  * codegen next to the other per-row text kernels.
+  */
+case class UnicodeNfc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "unicode_nfc"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.nfc($c)")
+
+  override protected def withNewChildInternal(c: Expression): UnicodeNfc =
+    copy(child = c)
+}
+
+/** Accent folding: NFD, then drop every non-spacing mark (Unicode Mn) —
+  * byte-equal to DuckDB's `strip_accents` on the stable Latin range
+  * (both sides decompose; neither re-composes, so 'é' → 'e' while
+  * non-decomposable letters like 'ø' and ligatures like 'ﬁ' pass
+  * through untouched). Unicode-version skew between the JVM and
+  * utf8proc only affects marks added after Unicode 13 — keep fixtures
+  * to the stable range.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.stripAccents($c)")
+
+  override protected def withNewChildInternal(c: Expression): StripAccents =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** MinHash signature column: array<long> of length k. */
   def minhash_signature(text: Column, k: Int = 16, w: Int = 3): Column =
@@ -304,4 +372,12 @@ object TextFunctions {
     */
   def gram_hashes(text: Column, l: Int): Column =
     Bridge.toColumn(GramHashes(Bridge.toExpression(text), l))
+
+  /** NFC-normalized text column. */
+  def nfc_normalize(text: Column): Column =
+    Bridge.toColumn(UnicodeNfc(Bridge.toExpression(text)))
+
+  /** Accent-stripped (NFD minus Mn) text column. */
+  def strip_accents(text: Column): Column =
+    Bridge.toColumn(StripAccents(Bridge.toExpression(text)))
 }

@@ -795,6 +795,28 @@ object TextAnalysis {
           / col("padded_tokens"), 6))
   }
 
+  /** Unicode text normalization battery — the cleanup pass that runs
+    * before any hashing/dedup stage (two byte-different encodings of the
+    * same visible text must never dodge an exact-dup check): NFC
+    * composition (native [[graft.functions.UnicodeNfc]] — Spark has no
+    * builtin), accent folding (NFD minus Mn, DuckDB `strip_accents`
+    * parity), control-char removal, whitespace collapse, and lowercasing.
+    *
+    * Scale design: map-only per-row projection, every step a codegen'd
+    * builtin or native expression — 100 TB = one pass, no shuffle.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.{nfc_normalize, strip_accents}
+    val t = col(textCol)
+    docs
+      .withColumn("nfc", nfc_normalize(t))
+      .withColumn("stripped", strip_accents(col("nfc")))
+      .withColumn("cleaned", lower(trim(
+        regexp_replace(
+          regexp_replace(col("stripped"), "[\\x00-\\x1F\\x7F]", " "),
+          " +", " "))))
+  }
+
   /** Robust outlier detection: flag rows whose value deviates from the
     * per-key median by more than `k` scaled MADs (median absolute
     * deviation, consistency constant 1.4826) — the heavy-tail-safe

@@ -161,6 +161,25 @@ object NorthStar {
       TextAnalysis.lengthBuckets(docs(s, dir)).orderBy(col("bucket"))
     },
 
+    // Unicode normalization battery: the ASCII fixture is mutated into
+    // composed ('á'), decomposed ('e'+U+0301), ligature and control-char
+    // text on BOTH engines, then NFC / strip-accents / cleanup run
+    // through the native expressions (Spark has no normalization
+    // builtin; DuckDB's nfc_normalize + strip_accents are the oracle).
+    "t33_normalize_text" -> { (s, dir) =>
+      val mut = concat(
+        regexp_replace(regexp_replace(substring(col("text"), 1, 60),
+          "a", "á"), "e", "é"),
+        lit(" ﬁn Ångström\tx\u0007"))
+      val base = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), mut.as("text"))
+      TextAnalysis.normalizeText(base)
+        .select(col("doc_id"), length(col("text")).as("raw_len"),
+          length(col("nfc")).as("nfc_len"), col("nfc"), col("stripped"),
+          col("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     // Robust (median/MAD) outlier gate on the event stream — the
     // heavy-tail-safe anomaly filter, per event type.
     "t31_mad_outliers" -> { (s, dir) =>
@@ -1382,6 +1401,24 @@ object NorthStar {
         round(CAST(n_inter AS DOUBLE) / n_a, 6) AS containment
       FROM conf WHERE n_inter * 100 >= n_a * 90
       ORDER BY a, b""",
+
+    "t33_normalize_text" -> """
+      WITH b AS (
+        SELECT doc_id,
+          regexp_replace(regexp_replace(substring(text, 1, 60),
+            'a', chr(225), 'g'), 'e', 'e' || chr(769), 'g')
+          || ' ' || chr(64257) || 'n ' || chr(197) || 'ngstr' || chr(246)
+          || 'm' || chr(9) || 'x' || chr(7) AS s
+        FROM documents WHERE doc_id < 300),
+      n AS (SELECT doc_id, s, nfc_normalize(s) AS nfc FROM b),
+      st AS (SELECT doc_id, s, nfc, strip_accents(nfc) AS stripped FROM n)
+      SELECT doc_id,
+        CAST(length(s) AS INTEGER) AS raw_len,
+        CAST(length(nfc) AS INTEGER) AS nfc_len,
+        nfc, stripped,
+        lower(trim(regexp_replace(regexp_replace(stripped,
+          '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS cleaned
+      FROM st ORDER BY doc_id""",
 
     "t32_length_buckets" -> """
       WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS INT) AS n

@@ -551,6 +551,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("unicode normalization: NFC composes, strip_accents folds Latin " +
+      "accents but keeps non-decomposable letters, nulls pass through") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{nfc_normalize, strip_accents}
+    val decomposed = "Café"          // e + combining acute
+    val composed = "Café"             // precomposed é
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed),
+      (3L, "ﬁn øre"),            // fi ligature + ø: untouched
+      (4L, "Ångström"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = df.select(col("id"), nfc_normalize(col("text")).as("nfc"),
+        strip_accents(col("text")).as("st"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[String]("nfc"), r.getAs[String]("st"))).toMap
+    assert(out(1L)._1 === composed)        // NFC re-composes
+    assert(out(2L)._1 === composed)        // already-NFC is identity
+    assert(out(1L)._2 === "Cafe")
+    assert(out(2L)._2 === "Cafe")
+    assert(out(3L)._2 === "ﬁn øre") // no Mn to strip
+    assert(out(4L)._2 === "Angstrom")
+    assert(out(5L) === (null, null))
+    // two byte-different spellings of the same text collide after NFC —
+    // the property exact-dedup needs
+    assert(out(1L)._1 === out(2L)._1)
+  }
+
+  test("normalizeText cleans control chars, collapses whitespace and " +
+      "lowercases after accent folding") {
+    import spark.implicits._
+    val df = Seq((1L, "AB\t C  D é")).toDF("doc_id", "text")
+    val r = TextAnalysis.normalizeText(df).collect()(0)
+    // the BEL between A and B becomes a space (control chars -> ' ',
+    // then runs collapse), so every token separates
+    assert(r.getAs[String]("cleaned") === "a b c d e")
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
