@@ -232,6 +232,39 @@ object TextAnalysis {
         coalesce(col("__ncand"), lit(0)).as("n_bloom_candidates"))
   }
 
+  /** Semantic benchmark decontamination — the fourth member of the
+    * decontamination family (exact n-gram d13, bloom-gated d14, fuzzy
+    * MinHash-band d23): flag training docs whose EMBEDDING sits within
+    * `minCosine` of any eval doc, catching paraphrased leakage that
+    * shares no n-grams at all. Both sides are (id, vector) frames — pair
+    * with [[graft.operators.Similarity.sifVectors]] for model-free
+    * vectors from raw text.
+    *
+    * Scale design: eval benchmarks are tiny next to a training corpus,
+    * so the eval side broadcasts whole and the scoring is map-only over
+    * the training side (the d13 broadcast-gram-set argument, in vector
+    * space) — no corpus shuffle before the per-doc max aggregation.
+    * Cosines are rounded to 6 places before the max (rounding is
+    * monotone, so max-of-rounded == rounded-max) for cross-engine
+    * bit-equality.
+    */
+  def decontaminateSemantic(train: DataFrame, evalVecs: DataFrame,
+      idCol: String = "doc_id", vecCol: String = "vec",
+      minCosine: Double = 0.9): DataFrame = {
+    def withNorm(df: DataFrame, id: String, v: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .withColumn(s"__n$id", sqrt(Similarity.dot(col(v), col(v))))
+    val tr = withNorm(train, "__t", "__tv")
+    val ev = withNorm(evalVecs, "__e", "__ev")
+    val scored = tr.crossJoin(broadcast(ev))
+      .withColumn("__cos", round(Similarity.dot(col("__tv"), col("__ev")) /
+        (col("__n__t") * col("__n__e")), 6))
+      .groupBy(col("__t").as(idCol))
+      .agg(max(col("__cos")).as("max_cosine"))
+    scored.select(col(idCol), col("max_cosine"),
+      (col("max_cosine") >= minCosine).as("contaminated"))
+  }
+
   /** MOSS-style winnowing fingerprints: hash every k-char gram, then keep
     * the minimum hash of each sliding window of w grams (distinct). The
     * standard local-fingerprint selection for overlap detection — robust

@@ -142,6 +142,19 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Semantic decontamination: training docs whose SIF embedding sits
+    // within cosine 0.9 of ANY eval doc — the paraphrase-leakage gate
+    // the n-gram family (d13/d14/d23) can't see. Eval split mirrors
+    // d23 (doc_id % 10 = 7); eval side broadcasts, map-only scoring.
+    "d25_decontaminate_semantic" -> { (s, dir) =>
+      val v = Similarity.sifVectors(docs(s, dir)).localCheckpoint()
+      TextAnalysis.decontaminateSemantic(
+          v.filter(col("doc_id") % 10 =!= 7),
+          v.filter(col("doc_id") % 10 === 7),
+          "doc_id", "vec", minCosine = 0.9)
+        .orderBy(col("doc_id"))
+    },
+
     // Text -> embedding -> cluster, end-to-end: SIF vectors fed through
     // the map-side IVF assignment — semantic bucketing of raw documents
     // with no model artifacts, composing s18 with the certified s02 path.
@@ -1526,6 +1539,21 @@ object NorthStar {
       WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
             >= 0.95
       ORDER BY a, b""",
+
+    "d25_decontaminate_semantic" -> s"""
+      WITH $SifCtes,
+      vecs AS (SELECT doc_id, list(value ORDER BY dim) AS v
+               FROM sif GROUP BY doc_id),
+      n AS (SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM vecs),
+      ev AS (SELECT * FROM n WHERE doc_id % 10 = 7),
+      tr AS (SELECT * FROM n WHERE doc_id % 10 <> 7),
+      mx AS (SELECT tr.doc_id,
+          max(round(list_dot_product(tr.v, ev.v) / (tr.nrm * ev.nrm), 6))
+            AS max_cosine
+        FROM tr, ev GROUP BY tr.doc_id)
+      SELECT doc_id, max_cosine, max_cosine >= 0.9 AS contaminated
+      FROM mx ORDER BY doc_id""",
 
     "s19_sif_assign" -> s"""
       WITH $SifCtes,

@@ -272,6 +272,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("semantic decontamination broadcasts the eval side; the training " +
+      "corpus is never shuffled for the scoring (d25)") {
+    val p = plan("d25_decontaminate_semantic")
+    // tiny eval set x huge train side: the broadcast nested-loop IS the
+    // right plan here (cross product with a broadcast build side)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("LATERAL top-N decorrelates to WindowGroupLimit + hash join, " +
       "never a per-row nested loop (q52)") {
     val p = plan("q52_lateral_join")

@@ -589,6 +589,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("cleaned") === "a b c d e")
   }
 
+  test("semantic decontamination flags a word-permuted paraphrase the " +
+      "n-gram detectors under-score; unrelated docs stay clean") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark query planning"),
+      (107L, "tonight the lazy dog jumps over the quick brown fox"))
+      .toDF("doc_id", "text")
+    val v = Similarity.sifVectors(docs)
+    val out = TextAnalysis.decontaminateSemantic(
+        v.filter(col("doc_id") % 10 =!= 7),
+        v.filter(col("doc_id") % 10 === 7), "doc_id", "vec", 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    // doc 1 is a word permutation of eval doc 107: SIF is a bag-of-words
+    // mean, so the vectors are identical -> cosine 1.0
+    assert(out(1L)._1 === 1.0 && out(1L)._2)
+    assert(!out(2L)._2)
+    // every training doc is scored, hit or not
+    assert(out.size === 2)
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
