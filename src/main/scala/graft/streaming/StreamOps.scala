@@ -192,6 +192,24 @@ object StreamOps {
   /** Session windows (gap-based) per key — the streaming twin of the batch
     * q17 sessionization.
     */
+  /** Stream-stream interval (event-time-bounded) inner join: right rows
+    * within `[left.time, left.time + within)` for the same key. Both
+    * sides carry watermarks, so each side's join state is GC'd once the
+    * other side's watermark passes the bound — the condition's time range
+    * is what makes unbounded-stream state bounded (an unconstrained
+    * stream-stream equi-join buffers forever).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      within: String = "10 minutes",
+      lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(timeL, lateness)
+    val r = right.withWatermark(timeR, lateness)
+    l.join(r, expr(
+      s"$keyL = $keyR AND $timeR >= $timeL AND " +
+        s"$timeR < $timeL + INTERVAL $within"))
+  }
+
   def sessionCounts(records: DataFrame, keyCol: String,
       timeCol: String = "timestamp", gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =

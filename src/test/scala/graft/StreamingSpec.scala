@@ -122,14 +122,11 @@ class StreamingSpec extends SparkSpec {
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     clicks.addData((1L, ts(0)), (2L, ts(5)), (3L, ts(40)))
     buys.addData((1L, ts(3)), (2L, ts(30)), (4L, ts(6)))
-    val c = clicks.toDF().toDF("user", "click_ts")
-      .withWatermark("click_ts", "10 minutes")
-    val b = buys.toDF().toDF("buser", "buy_ts")
-      .withWatermark("buy_ts", "10 minutes")
     // purchases within 10 minutes after a click by the same user
-    val joined = c.join(b,
-      expr("""user = buser AND buy_ts >= click_ts AND
-              buy_ts < click_ts + INTERVAL 10 MINUTES"""))
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user", "click_ts"),
+      buys.toDF().toDF("buser", "buy_ts"),
+      "user", "buser", "click_ts", "buy_ts", within = "10 minutes")
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName("ssj").start()
     try { q.processAllAvailable() } finally { q.stop() }
