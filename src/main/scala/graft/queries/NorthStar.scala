@@ -106,17 +106,18 @@ object NorthStar {
       val q = TextAnalysis.withQuality(d)
         .select(col("doc_id"), col("quality_score"))
       val joined = clusters.join(q, "doc_id")
+      // rank and member count share ONE cluster_id exchange (two Window
+      // nodes over the same partitioning) — the old shape aggregated
+      // sizes separately and joined back: a second shuffle of the same
+      // rows plus a join, for numbers the window already sees.
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality_score").desc, col("doc_id"))
-      val best = joined.withColumn("rn", row_number().over(w))
+      joined.withColumn("rn", row_number().over(w))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .filter(col("rn") === 1)
         .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
-          col("quality_score").as("best_quality"))
-      val sizes = joined.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("n_members"))
-      best.join(sizes, "cluster_id")
-        .select(col("cluster_id"), col("canonical_doc"),
-          col("n_members"), col("best_quality"))
+          col("n_members"), col("quality_score").as("best_quality"))
         .orderBy(col("cluster_id"))
     },
 

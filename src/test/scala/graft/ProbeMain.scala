@@ -2,14 +2,31 @@ package graft
 
 import org.apache.spark.sql.execution.FormattedMode
 
-/** Scratch plan dumper for iterating on PlanSpec expectations. */
+/** Scratch plan dumper / single-query timer for iterating on PlanSpec
+  * expectations and perf work. `SPARK_GRAFT_PROBE=time` times count() at
+  * SPARK_GRAFT_SF_DIR (min of 2 runs, Bench's convention) instead of
+  * printing plans.
+  */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.create("probe", "8")
+    val timing = sys.env.get("SPARK_GRAFT_PROBE").contains("time")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      if (timing) "/root/testdata/sf0.1" else "/root/testdata/sf0.01")
+    val spark = GraftSession.create("probe",
+      if (timing) "32" else "8")
     args.foreach { name =>
       println(s"==== $name ====")
-      val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
-      println(df.queryExecution.explainString(FormattedMode))
+      if (timing) {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: ${times.min}%.3f s (runs: ${times.map(t => f"$t%.2f").mkString(", ")})")
+      } else {
+        val df = SparkEntry.queries(name)(spark, dir)
+        println(df.queryExecution.explainString(FormattedMode))
+      }
     }
     spark.stop()
   }
