@@ -94,6 +94,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Per-domain frequency capping (the C4/Gopher-style "no domain may
+    * dominate" curation rule): keep at most `maxPerKey` docs per key,
+    * preferring the highest `scoreCol` (ties broken by `idCol` so the cut
+    * is deterministic). Emits kept rows with their within-domain rank —
+    * the inverse view (what was dropped) is the anti-join.
+    *
+    * Scale design: one shuffle on the domain key; row_number (not rank)
+    * keeps the per-group state a single counter, and WindowGroupLimit
+    * prunes each group to maxPerKey rows MAP-SIDE before the exchange, so
+    * a 100 TB corpus with a million-doc hot domain ships only maxPerKey
+    * rows of it per input partition.
+    */
+  def domainCap(docs: DataFrame, keyCol: String, scoreCol: String,
+      idCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    docs.withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= maxPerKey)
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): estimate hashed-n-gram bag-of-words models
     * of a TARGET corpus (the distribution you want more of) and a RAW

@@ -49,6 +49,24 @@ object KafkaParity {
         .orderBy(col("partition"))
     },
 
+    // Log-compaction view: the latest record per (partition, key) with
+    // NULL-value tombstones dropped — what a compacted Kafka topic
+    // retains (the reference consumes compacted topics like any other;
+    // this materializes the compacted STATE relationally). One
+    // partition+key window, offset-descending; keep-latest-per-key is
+    // the DISTINCT ON parity row (the oracle uses DuckDB's native
+    // DISTINCT ON).
+    "k07_compacted_view" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("partition"), col("key"))
+        .orderBy(col("offset").desc)
+      KafkaSource.replay(Tables.load(s, dir, "events"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("value").isNotNull)
+        .select(col("partition"), col("key"), col("offset"), col("value"))
+        .orderBy(col("partition"), col("key"))
+    },
+
     // Batch offset-continuity audit — the batch twin of
     // StreamOps.detectOffsetGaps: per partition, how many adjacent-offset
     // gaps and how much is missing. One window + one aggregation, both
@@ -140,6 +158,15 @@ object KafkaParity {
         CAST(coalesce(sum(gap), 0) AS BIGINT) AS n_missing,
         CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap
       FROM r GROUP BY 1 ORDER BY 1""",
+
+    "k07_compacted_view" -> s"""
+      SELECT "partition", "key", "offset", "value" FROM (
+        SELECT DISTINCT ON ("partition", "key")
+          "partition", "key", "offset", "value"
+        FROM ($replaySql)
+        ORDER BY "partition", "key", "offset" DESC)
+      WHERE "value" IS NOT NULL
+      ORDER BY "partition", "key"""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,

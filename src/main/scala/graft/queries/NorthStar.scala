@@ -194,6 +194,19 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Per-domain frequency cap: no source keeps more than 15 docs, best
+    // quality first — the "no domain dominates the mix" curation rule,
+    // composing t03's certified quality score with a WindowGroupLimit-
+    // pruned per-domain top-N.
+    "t35_domain_cap" -> { (s, dir) =>
+      val scored = TextAnalysis.withQuality(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("quality_score"))
+      Sampling.domainCap(scored, "source", "quality_score", "doc_id", 15)
+        .select(col("source"), col("doc_id"), col("src_rank"),
+          col("quality_score"))
+        .orderBy(col("source"), col("src_rank"))
+    },
+
     // Robust (median/MAD) outlier gate on the event stream — the
     // heavy-tail-safe anomaly filter, per event type.
     "t31_mad_outliers" -> { (s, dir) =>
@@ -1433,6 +1446,25 @@ object NorthStar {
         lower(trim(regexp_replace(regexp_replace(stripped,
           '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS cleaned
       FROM st ORDER BY doc_id""",
+
+    "t35_domain_cap" -> s"""
+      WITH b AS (SELECT doc_id, source, text, $W AS w FROM documents),
+      m AS (SELECT doc_id, source, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        FROM b),
+      q AS (SELECT doc_id, source,
+          0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+        FROM m),
+      r AS (SELECT source, doc_id, quality_score,
+          CAST(row_number() OVER (PARTITION BY source
+            ORDER BY quality_score DESC, doc_id) AS INT) AS src_rank
+        FROM q)
+      SELECT source, doc_id, src_rank, quality_score
+      FROM r WHERE src_rank <= 15
+      ORDER BY source, src_rank""",
 
     "t32_length_buckets" -> """
       WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS INT) AS n

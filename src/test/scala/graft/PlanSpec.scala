@@ -272,6 +272,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("domain cap prunes each group map-side (t35: WindowGroupLimit " +
+      "below the rank window)") {
+    val p = plan("t35_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("semantic decontamination broadcasts the eval side; the training " +
       "corpus is never shuffled for the scoring (d25)") {
     val p = plan("d25_decontaminate_semantic")

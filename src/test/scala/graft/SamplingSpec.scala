@@ -142,4 +142,27 @@ class SamplingSpec extends SparkSpec {
     assert(plainCrossed > 0L)
     pairs.unpersist(); split.unpersist()
   }
+
+  test("domainCap keeps exactly maxPerKey best-scored docs per hot " +
+      "domain, deterministic under score ties") {
+    import spark.implicits._
+    // one hot domain (90 docs, constant score -> pure id tie-break),
+    // one small domain under the cap
+    val docs = ((1L to 90L).map(i => (i, "hot", 0.5)) ++
+      Seq((101L, "cold", 0.9), (102L, "cold", 0.1)))
+      .toDF("doc_id", "source", "quality_score")
+    val kept = graft.operators.Sampling
+      .domainCap(docs, "source", "quality_score", "doc_id", 10)
+    val byKey = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey === Map("hot" -> 10L, "cold" -> 2L))
+    // constant-score ties resolve to the lowest ids, rank follows ids
+    val hot = kept.filter(col("source") === "hot")
+      .orderBy(col("src_rank")).collect()
+    assert(hot.map(_.getLong(0)).toSeq === (1L to 10L))
+    // cold ranks by score first
+    val cold = kept.filter(col("source") === "cold")
+      .orderBy(col("src_rank")).collect().map(_.getLong(0)).toSeq
+    assert(cold === Seq(101L, 102L))
+  }
 }
