@@ -66,6 +66,46 @@ object Graph {
       (col("prl").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts as its own label; each round, a node adopts the most frequent
+    * label among its neighbors, ties broken toward the SMALLEST label, and
+    * isolated-in-this-round nodes keep theirs. A fixed `iterations` count
+    * (not a convergence loop) keeps it deterministic and oracle-unrollable
+    * — communities on a near-dup graph are template families (looser than
+    * d08's connected components, which merge through every borderline
+    * chain edge; LPA needs a PLURALITY, so one weak edge doesn't glue two
+    * dense clusters).
+    *
+    * Scale design: each round is one edge⋈label join (edges partition on
+    * dst once and every round reuses the layout) and two same-key
+    * aggregations on src — never a window over the corpus. The tie rule
+    * folds into ONE max(struct(n, -lbl)) aggregate, so per-group state is
+    * a single struct, map-side combinable. Labels are node-sized; the
+    * iterative lineage is cut every 5 rounds like pageRank.
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // undirected: propagate across both orientations
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("id")).distinct()
+    var lbl: DataFrame = nodes.withColumn("lbl", col("id"))
+    for (it <- 1 to iterations) {
+      val neigh = e.join(lbl.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+      val pick = neigh.groupBy(col("src"))
+        .agg(max(struct(col("n"), (-col("lbl")).as("negl"))).as("m"))
+        .select(col("src").as("id"), (-col("m.negl")).as("lbl"))
+      lbl = nodes.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      if (it % 5 == 0 && it < iterations)
+        lbl = lbl.localCheckpoint(false)
+    }
+    lbl.select(col("id"), col("lbl").as("community"))
+  }
+
   /** Per-node triangle counts of an undirected graph — the local
     * clustering signal (a near-dup graph whose nodes close many triangles
     * is a dense boilerplate cluster, not a chain of borderline matches).

@@ -223,6 +223,16 @@ object NorthStar {
       Graph.triangleCounts(pairs).orderBy(col("id"))
     },
 
+    // Label-propagation communities over the near-dup graph — template
+    // families by PLURALITY vote (3 synchronous rounds), vs d08's
+    // connected components which merge through every borderline chain
+    // edge. Node ids are numeric (the tie rule negates the label).
+    "g03_label_prop" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.labelPropagation(pairs, iterations = 3).orderBy(col("id"))
+    },
+
     // PageRank centrality over the customer<->supplier order graph —
     // the link-graph importance signal of crawl curation, as pure
     // relational iterations (fixed count, decimal-exact folds).
@@ -1505,6 +1515,37 @@ object NorthStar {
       corners AS (SELECT unnest([a, b, c]) AS id FROM tris)
       SELECT id, count(*) AS n_triangles FROM corners
       GROUP BY id ORDER BY id""",
+
+    "g03_label_prop" -> s"""
+      WITH $MinhashCtes,
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT a AS src, b AS dst FROM filt WHERE a <> b
+          UNION ALL SELECT b AS src, a AS dst FROM filt WHERE a <> b)),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS (SELECT id, id AS lbl FROM n),
+      c1 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+      p1 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c1)
+        WHERE rn = 1),
+      l1 AS (SELECT n.id, coalesce(p1.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p1 ON p1.src = n.id),
+      c2 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+      p2 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c2)
+        WHERE rn = 1),
+      l2 AS (SELECT n.id, coalesce(p2.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p2 ON p2.src = n.id),
+      c3 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l2 l ON l.id = e.dst GROUP BY 1, 2),
+      p3 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c3)
+        WHERE rn = 1),
+      l3 AS (SELECT n.id, coalesce(p3.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p3 ON p3.src = n.id)
+      SELECT id, lbl AS community FROM l3 ORDER BY id""",
 
     "g01_pagerank" -> """
       WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp

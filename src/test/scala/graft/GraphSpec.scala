@@ -51,4 +51,30 @@ class GraphSpec extends SparkSpec {
           java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
     assert(run(2) === run(17))
   }
+
+  test("label propagation: two dense clusters bridged by ONE weak edge " +
+      "stay separate communities (the plurality contrast with connected " +
+      "components), direction-invariant") {
+    import spark.implicits._
+    // K4 on {0..3}, K4 on {10..13}, one bridge 3-10
+    def k4(off: Long) = for { a <- 0L to 3L; b <- 0L to 3L if a < b }
+      yield (a + off, b + off)
+    val edges = (k4(0) ++ k4(10) ++ Seq((3L, 10L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label plurality pulls each K4 to its smallest member
+    assert((0L to 3L).map(got).toSet === Set(0L))
+    assert((10L to 13L).map(got).toSet === Set(10L))
+    // connected components WOULD merge them through the bridge
+    val cc = graft.operators.Dedup.connectedComponents(
+        edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.values.toSet.size === 1)
+    // reversed edges give the identical labeling
+    val rev = Graph.labelPropagation(
+        edges.select(col("dst").as("src"), col("src").as("dst")),
+        iterations = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rev === got)
+  }
 }
