@@ -828,6 +828,29 @@ object TextAnalysis {
           / col("padded_tokens"), 6))
   }
 
+  /** CCNet-style perplexity bucketing: split a scored corpus into
+    * head / middle / tail terciles by LM score (higher avg log-prob =
+    * more fluent = head). Downstream mixes then sample head-heavy.
+    * Pairs with [[bigramLmScore]] for the score.
+    *
+    * Scale design: the two cut points are ONE percentile aggregation
+    * (constant-size result, broadcast back); bucketing is map-only. The
+    * interpolated-percentile arithmetic is certified cross-engine by
+    * t31/q23.
+    */
+  def perplexityBuckets(scored: DataFrame, scoreCol: String = "avg_logp",
+      idCol: String = "doc_id"): DataFrame = {
+    val cuts = scored.agg(
+      expr(s"percentile($scoreCol, 0.33)").as("p33"),
+      expr(s"percentile($scoreCol, 0.67)").as("p67"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("ppl_bucket",
+        when(col(scoreCol) >= col("p67"), "head")
+          .when(col(scoreCol) >= col("p33"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(scoreCol), col("ppl_bucket"))
+  }
+
   /** Unicode text normalization battery — the cleanup pass that runs
     * before any hashing/dedup stage (two byte-different encodings of the
     * same visible text must never dodge an exact-dup check): NFC

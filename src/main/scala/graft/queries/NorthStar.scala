@@ -822,6 +822,15 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style perplexity terciles over the t15 LM score: head =
+    // most fluent third — the bucket downstream mixes oversample.
+    "t34_perplexity_buckets" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = TextAnalysis.bigramLmScore(d,
+        d.filter(col("source") === "src0"))
+      TextAnalysis.perplexityBuckets(scored).orderBy(col("doc_id"))
+    },
+
     // DSIR importance weights: src0 as the target distribution, the rest
     // as raw; every document weighted by its hashed-n-gram log-likelihood
     // ratio.
@@ -908,6 +917,40 @@ object NorthStar {
   /** SIF embedding CTE chain (s18's algorithm), ending in
     * `sif(doc_id, dim, value)` — shared by s18 and the s19 composition.
     */
+  /** t15's bigram-LM scoring chain (train on src0, score every doc),
+    * ending in blm(doc_id, n_bigrams, avg_logp) — shared by t15 and the
+    * t34 perplexity terciles.
+    */
+  private lazy val BigramLmCtes = raw"""tr AS (
+        SELECT string_split_regex(text, '\s+') AS w FROM documents
+        WHERE source = 'src0'),
+      trb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM tr,
+              unnest(generate_series(1, len(w) - 1)) AS t(i)
+              WHERE w[i] <> '' AND w[i+1] <> ''),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY 1, 2),
+      tru AS (SELECT w[i] AS w1 FROM tr,
+              unnest(generate_series(1, len(w))) AS t(i) WHERE w[i] <> ''),
+      c1 AS (SELECT w1, count(*) AS c1 FROM tru GROUP BY 1),
+      v AS (SELECT count(DISTINCT w1) AS vsz FROM tru),
+      db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS n
+             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+             unnest(generate_series(1, len(w) - 1)) AS t(i)
+             WHERE w[i] <> '' AND w[i+1] <> '' GROUP BY 1, 2, 3),
+      sc AS (SELECT doc_id, n,
+              CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
+                            (coalesce(c1.c1, 0) + (SELECT vsz FROM v))), 6)
+                   AS DECIMAL(18,6)) AS lp
+             FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
+      agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+              sum(lp * n) AS slp FROM sc GROUP BY doc_id),
+      blm AS (SELECT d.doc_id,
+        CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        round(CAST(coalesce(slp, 0) AS DOUBLE) /
+              CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END,
+              6) AS avg_logp
+        FROM documents d LEFT JOIN agg USING (doc_id))"""
+
   private lazy val SifCtes = s"""tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS t
         FROM documents),
@@ -2483,34 +2526,21 @@ object NorthStar {
     // Add-one-smoothed bigram LM trained on the src0 slice; per-bigram
     // log-probs rounded to 6 decimals then decimal-summed (order-free),
     // single double division last — the t11 discipline.
-    "t15_bigram_lm" -> raw"""
-      WITH tr AS (SELECT string_split_regex(text, '\s+') AS w FROM documents
-                  WHERE source = 'src0'),
-      trb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM tr,
-              unnest(generate_series(1, len(w) - 1)) AS t(i)
-              WHERE w[i] <> '' AND w[i+1] <> ''),
-      c2 AS (SELECT w1, w2, count(*) AS c2 FROM trb GROUP BY 1, 2),
-      tru AS (SELECT w[i] AS w1 FROM tr,
-              unnest(generate_series(1, len(w))) AS t(i) WHERE w[i] <> ''),
-      c1 AS (SELECT w1, count(*) AS c1 FROM tru GROUP BY 1),
-      v AS (SELECT count(DISTINCT w1) AS vsz FROM tru),
-      db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, count(*) AS n
-             FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w
-                   FROM documents),
-             unnest(generate_series(1, len(w) - 1)) AS t(i)
-             WHERE w[i] <> '' AND w[i+1] <> '' GROUP BY 1, 2, 3),
-      sc AS (SELECT doc_id, n,
-              CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
-                            (coalesce(c1.c1, 0) + (SELECT vsz FROM v))), 6)
-                   AS DECIMAL(18,6)) AS lp
-             FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
-      agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
-              sum(lp * n) AS slp FROM sc GROUP BY doc_id)
-      SELECT d.doc_id, CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        round(CAST(coalesce(slp, 0) AS DOUBLE) /
-              CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END,
-              6) AS avg_logp
-      FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
+    "t15_bigram_lm" -> s"""
+      WITH $BigramLmCtes
+      SELECT doc_id, n_bigrams, avg_logp FROM blm ORDER BY doc_id""",
+
+    // Terciles over the certified t15 score; interpolated-percentile
+    // parity (Spark percentile == quantile_cont) is certified by t31/q23.
+    "t34_perplexity_buckets" -> s"""
+      WITH $BigramLmCtes,
+      cuts AS (SELECT quantile_cont(avg_logp, 0.33) AS p33,
+                      quantile_cont(avg_logp, 0.67) AS p67 FROM blm)
+      SELECT doc_id, avg_logp,
+        CASE WHEN avg_logp >= p67 THEN 'head'
+             WHEN avg_logp >= p33 THEN 'middle'
+             ELSE 'tail' END AS ppl_bucket
+      FROM blm, cuts ORDER BY doc_id""",
 
     // DSIR log-likelihood-ratio weights over the t11 hashed features;
     // per-bucket log-ratios rounded then decimal-summed per doc.
