@@ -546,6 +546,44 @@ object Relational2 {
           col("idx"))
     },
 
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM): scalar
+    // three-valued-logic battery plus the join case — NULL keys PAIR UP
+    // under a null-safe join (completing q36's NOT-IN-under-NULLs row).
+    "q54_null_safe_eq" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("maybe_type",
+          when(col("event_type") === "error", lit(null).cast("string"))
+            .otherwise(col("event_type")))
+      val dim = ev.select(col("maybe_type").as("k")).distinct()
+        .withColumn("tag", coalesce(col("k"), lit("NULLKEY")))
+      ev.join(dim, col("maybe_type") <=> col("k"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("maybe_type") <=> lit("click"), 1))
+            .as("n_click_nse"),
+          count(when(!(col("maybe_type") <=> col("k")), 1))
+            .as("n_distinct_from"))
+        .orderBy(col("tag"))
+    },
+
+    // Error-safe function battery: try_cast / try_element_at /
+    // try_divide return NULL where strict evaluation would throw —
+    // certified against DuckDB TRY_CAST / out-of-bounds list access /
+    // an explicit zero-divisor CASE.
+    "q55_try_battery" -> { (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          expr("try_cast(props AS INT)").as("props_int"),
+          expr("try_cast(event_type AS DOUBLE)").as("type_dbl"),
+          expr("try_cast(CAST(event_id AS STRING) AS TINYINT)")
+            .as("id_i8"),
+          expr("try_element_at(split(event_type, 'r'), 3)").as("part3"),
+          expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))")
+            .as("div3"))
+        .orderBy(col("event_id"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -846,6 +884,29 @@ object Relational2 {
         FROM arrs, unnest(generate_series(1, len(fl))) AS t(i))
       SELECT * FROM parts
       ORDER BY l_orderkey, l_linenumber, part, idx""",
+
+    "q54_null_safe_eq" -> """
+      WITH ev AS (SELECT *, CASE WHEN event_type = 'error' THEN NULL
+                    ELSE event_type END AS maybe_type FROM events),
+      dim AS (SELECT DISTINCT maybe_type AS k FROM ev),
+      d2 AS (SELECT k, coalesce(k, 'NULLKEY') AS tag FROM dim)
+      SELECT tag, count(*) AS n,
+        count(*) FILTER (WHERE maybe_type IS NOT DISTINCT FROM 'click')
+          AS n_click_nse,
+        count(*) FILTER (WHERE maybe_type IS DISTINCT FROM k)
+          AS n_distinct_from
+      FROM ev JOIN d2 ON ev.maybe_type IS NOT DISTINCT FROM d2.k
+      GROUP BY tag ORDER BY tag""",
+
+    "q55_try_battery" -> """
+      SELECT event_id,
+        TRY_CAST(props AS INT) AS props_int,
+        TRY_CAST(event_type AS DOUBLE) AS type_dbl,
+        TRY_CAST(CAST(event_id AS VARCHAR) AS TINYINT) AS id_i8,
+        string_split(event_type, 'r')[3] AS part3,
+        CASE WHEN event_id % 3 = 0 THEN NULL
+             ELSE value / CAST(event_id % 3 AS DOUBLE) END AS div3
+      FROM events WHERE event_id < 200 ORDER BY event_id""",
 
     "q50_zorder_key" -> """
       SELECT l_orderkey, l_linenumber,
