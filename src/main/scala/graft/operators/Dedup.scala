@@ -48,7 +48,7 @@ object Dedup {
     * (collect the DataFrame you observe, or attach an Observation), and
     * a plan that short-circuits the subtree (e.g. LIMIT 0) reports zeros.
     */
-  private def capBucket(df: DataFrame, keys: Seq[String], idCol: String,
+  private[operators] def capBucket(df: DataFrame, keys: Seq[String], idCol: String,
       maxBucket: Int, observeAs: String = null): DataFrame =
     if (maxBucket <= 0) df
     else {

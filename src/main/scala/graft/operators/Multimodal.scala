@@ -194,6 +194,62 @@ object Multimodal {
     * production upgrade for arbitrary-offset matches).
     * Output: (a, b, n_shared).
     */
+  /** 60-bit SimHash of a binary payload over its chunk fingerprints —
+    * the perceptual-hash analogue for opaque media: bit j is set iff
+    * strictly more than half the payload's distinct chunk hashes have
+    * bit j set (the [[graft.functions.Simhash60]] vote, with chunks as
+    * the features). Unlike [[payloadNearDupPairs]]' shared-chunk counts,
+    * the signature is FIXED-WIDTH per payload, so index size is O(docs)
+    * regardless of media size.
+    *
+    * Scale design: one groupBy per id with 60 map-side-combinable bit
+    * sums (no explode — the vote matrix lives in the aggregation buffer),
+    * signature assembly is a pure projection.
+    */
+  def payloadSimhash(df: DataFrame, window: Int = 64, stride: Int = 48,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    val hv = conv(substring(col("chunk_md5"), 1, 15), 16, 10).cast("long")
+    val ch = chunkPayload(df, window, stride, payloadCol, idCol)
+      .select(col(idCol), hv.as("__hv")).distinct()
+    val bitSums = (0 until 60).map(j =>
+      sum(shiftright(col("__hv"), j).bitwiseAND(lit(1L))).as(s"__b$j"))
+    val agg = ch.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), bitSums: _*)
+    val sig = (0 until 60).map(j =>
+      when(col(s"__b$j") * 2 > col("n_chunks"), lit(1L << j))
+        .otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol), col("n_chunks"), sig.as("sh"))
+  }
+
+  /** Payload near-dup pairs by SimHash hamming distance ≤ `maxHamming`,
+    * candidates from the same 4-band pigeonhole blocking as the text
+    * simhash detector (exact to hamming 3; capped buckets trade the
+    * guarantee for bounded fan-out, same as every generator here).
+    */
+  def payloadSimhashPairs(df: DataFrame, window: Int = 64, stride: Int = 48,
+      maxHamming: Int = 3, maxBucket: Int = 200,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-band LSH over 60 bits is exact only to 3")
+    val sh = payloadSimhash(df, window, stride, payloadCol, idCol)
+      .select(col(idCol).as("id"), col("sh"))
+    val banded = Dedup.capBucket(
+      sh.select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 15).bitwiseAND(0x7FFFL)): _*))
+          .as(Seq("band_idx", "band_val"))),
+      Seq("band_idx", "band_val"), "id", maxBucket, "payload_simhash_cap")
+    val l = banded.select(col("id").as("a"), col("sh").as("sh_a"),
+      col("band_idx"), col("band_val"))
+    val r = banded.select(col("id").as("b"), col("sh").as("sh_b"),
+      col("band_idx"), col("band_val"))
+    l.join(r, Seq("band_idx", "band_val")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   def payloadNearDupPairs(df: DataFrame, window: Int = 64,
       stride: Int = 48, minShared: Int = 2, maxBucket: Int = 200,
       payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {

@@ -884,6 +884,15 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Payload SimHash near-dups: fixed-width perceptual-style signature
+    // over chunk fingerprints, 4-band blocked, hamming <= 3 — the
+    // index-size-bounded multimodal twin of d03.
+    "m07_payload_simhash" -> { (s, dir) =>
+      Multimodal.payloadSimhashPairs(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Batched stub resize (stride downsample through mapPartitions — the
     // real resampler shape), fingerprint fully oracle-checked.
     "m04_resize_stub" -> { (s, dir) =>
@@ -2663,6 +2672,38 @@ object NorthStar {
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
       FROM capped x JOIN capped y ON x.cm = y.cm AND x.doc_id < y.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY a, b""",
+
+    "m07_payload_simhash" -> """
+      WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS nb FROM documents
+        WHERE octet_length(encode(text)) > 0),
+      hvs AS (SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(substring(hx, CAST(t.sb * 2 + 1 AS INT),
+            CAST(least(64, nb - t.sb) * 2 AS INT))), 1, 15))::BIGINT AS hv
+        FROM c, unnest(generate_series(0, nb - 1, 48)) AS t(sb)),
+      votes AS (SELECT doc_id, j,
+          CAST(sum((hv >> CAST(j AS INT)) & 1) AS BIGINT) AS v
+        FROM hvs, generate_series(0, 59) t(j) GROUP BY 1, 2),
+      nch AS (SELECT doc_id, count(*) AS n FROM hvs GROUP BY 1),
+      sig AS (SELECT votes.doc_id,
+          sum(CASE WHEN 2 * v > n THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+              ELSE 0 END) AS sh
+        FROM votes JOIN nch USING (doc_id) GROUP BY 1),
+      bands AS (SELECT doc_id, b, (sh >> CAST(b * 15 AS INT)) & 32767 AS bv
+        FROM sig, generate_series(0, 3) t(b)),
+      capped AS (SELECT doc_id, b, bv FROM (
+          SELECT doc_id, b, bv, row_number()
+            OVER (PARTITION BY b, bv ORDER BY doc_id) AS bp FROM bands)
+        WHERE bp <= 200),
+      pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM capped x JOIN capped y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT p.a, p.b,
+        CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+      FROM pairs p JOIN sig sa ON sa.doc_id = p.a
+                   JOIN sig sb ON sb.doc_id = p.b
+      WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
       ORDER BY a, b""",
 
     "m04_resize_stub" -> """

@@ -612,6 +612,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("payload simhash: identical payloads hash identically (hamming 0), " +
+      "a one-chunk edit stays near, unrelated payloads don't pair") {
+    import spark.implicits._
+    val base = ("A" * 300) + ("B" * 300) + ("C" * 300)
+    val oneChunkEdit = ("A" * 300) + ("B" * 140) + ("X" * 20) +
+      ("B" * 140) + ("C" * 300)
+    val unrelated = (0 until 900).map(i => ('a' + (i * 7 % 26)).toChar)
+      .mkString
+    val docs = Seq((1L, base), (2L, base), (3L, oneChunkEdit),
+      (4L, unrelated)).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    val sh = Multimodal.payloadSimhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sh(1L) === sh(2L))
+    val pairs = Multimodal.payloadSimhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 === 1L && p._2 === 2L && p._3 === 0))
+    // the unrelated payload pairs with nothing
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
+
   test("stub decoder runs batched per partition and keeps every row") {
     val docs = Tables.load(spark, sf, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
