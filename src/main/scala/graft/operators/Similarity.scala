@@ -453,6 +453,52 @@ object Similarity {
     * floor(x/scale + 0.5) so both engines quantize identically (their
     * native round() ties differ). Output: input id + (v, scale, qv).
     */
+  /** Binary (sign-bit) quantization: each of the 64 dims becomes one bit
+    * (v[d] >= 0), packed into two 32-bit words — 32 bytes of float down
+    * to 8 bytes per vector, the memory-bound ANN shape next to int8
+    * (s08) and PQ (s09). Two words rather than one long keep every
+    * shift inside non-negative territory (bit 63 would be the sign
+    * bit). Map-only per row.
+    */
+  def quantizeBinary(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("w0", expr("aggregate(sequence(0, 31), 0L, (acc, d) -> " +
+        "acc + IF(element_at(v, d + 1) >= 0D, shiftleft(1L, d), 0L))"))
+      .withColumn("w1", expr("aggregate(sequence(32, 63), 0L, (acc, d) -> " +
+        "acc + IF(element_at(v, d + 1) >= 0D, shiftleft(1L, d - 32), 0L))"))
+      .select(col("id"), col("w0"), col("w1"))
+
+  /** Hamming-distance top-k over binary-quantized vectors: the coarse
+    * first stage of a binary-then-rerank retrieval cascade. Same plan
+    * shape as [[bruteForceTopK]] — broadcast query words, map-side
+    * XOR+popcount (integer ops on 16 bytes/pair), WindowGroupLimit
+    * top-k; the corpus is never shuffled beyond the per-query window.
+    * Output: (query_id, neighbor_id, hamming, rank), ties by id.
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val c = quantizeBinary(corpus, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("w0").as("c0"),
+        col("w1").as("c1"))
+    val q = quantizeBinary(queries, idCol, vecCol)
+      .select(col("id").as("query_id"), col("w0").as("q0"),
+        col("w1").as("q1"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("hamming",
+        (bit_count(col("c0").bitwiseXOR(col("q0"))) +
+          bit_count(col("c1").bitwiseXOR(col("q1")))).cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("rank"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     df.select(col(idCol).as("id"),

@@ -563,6 +563,15 @@ object NorthStar {
 
     // Int8 quantization stats per vector: scale, saturated components,
     // reconstruction error — the memory-side half of the ANN story.
+    // Binary quantization + hamming search: 8 bytes/vector, XOR+popcount
+    // scoring — the coarse stage of a binary-then-rerank cascade,
+    // completing the quantization trio next to int8 and PQ.
+    "s20_binary_hamming" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.hammingTopK(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "s08_quantize_int8" -> { (s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))
         .select(col("id").as("vec_id"), col("scale"),
@@ -2237,6 +2246,27 @@ object NorthStar {
           ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
       SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank" FROM r
       WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "s20_binary_hamming" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      w AS (SELECT vec_id,
+          CAST(sum(CASE WHEN d < 32 AND v[d + 1] >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE 0 END)
+            AS BIGINT) AS w0,
+          CAST(sum(CASE WHEN d >= 32 AND v[d + 1] >= 0
+              THEN (CAST(1 AS BIGINT) << CAST(d - 32 AS INT)) ELSE 0 END)
+            AS BIGINT) AS w1
+        FROM e, generate_series(0, 63) t(d) GROUP BY vec_id),
+      q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM w
+            WHERE vec_id % 100 = 0),
+      sc AS (SELECT q.query_id, w.vec_id AS neighbor_id,
+          CAST(bit_count(xor(w.w0, q.q0)) + bit_count(xor(w.w1, q.q1))
+            AS INTEGER) AS hamming
+        FROM w, q WHERE w.vec_id <> q.query_id),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY hamming, neighbor_id) AS INT) AS rank FROM sc)
+      SELECT query_id, neighbor_id, hamming, rank
+      FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "s08_quantize_int8" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

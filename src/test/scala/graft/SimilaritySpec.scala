@@ -421,4 +421,26 @@ class SimilaritySpec extends SparkSpec {
     // [-1000,1000] scaled by 1/1000 — bounded by 1 in magnitude
     e.values.foreach(v => assert(math.abs(v) <= 1.0))
   }
+
+  test("binary quantization packs sign bits exactly; hamming search " +
+      "ranks an identical vector first at distance 0") {
+    import spark.implicits._
+    // alternating signs: dims 0,2,4,... negative -> bits 1,3,5,... set
+    val alt = (0 until 64).map(d => if (d % 2 == 0) -1.0f else 1.0f).toArray
+    val allPos = Array.fill(64)(1.0f)
+    val df = Seq((0L, alt), (1L, allPos), (2L, alt.clone))
+      .toDF("vec_id", "embedding")
+    val qz = Similarity.quantizeBinary(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // odd bits set in each 32-bit word = 0xAAAAAAAA
+    assert(qz(0L) === (0xAAAAAAAAL, 0xAAAAAAAAL))
+    assert(qz(1L) === (0xFFFFFFFFL, 0xFFFFFFFFL))
+    assert(qz(0L) === qz(2L))
+    val top = Similarity.hammingTopK(df, df.filter(col("vec_id") === 0L),
+        k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // the clone is rank 1 at hamming 0; all-positive differs in the 32
+    // negative dims
+    assert(top.toSeq === Seq((2L, 0, 1), (1L, 32, 2)))
+  }
 }
