@@ -976,6 +976,77 @@ object Similarity {
           + lit(0.0)).as("value"))
   }
 
+  /** Recall@k report: per-query overlap between an approximate search
+    * result and the exact ground truth (both in the (query_id,
+    * neighbor_id, ..., rank) shape every search operator here emits).
+    * recall = |approx ∩ truth| / k, with k taken from the TRUTH side's
+    * actual row count per query (guards queries whose corpus has fewer
+    * than k eligible neighbors). Both inputs are top-k result sets —
+    * |Q|·k rows — so the approx side broadcasts; nothing here touches
+    * the corpus. This is the quality gate that belongs NEXT TO every
+    * approximate index at 100 TB: run it on a sampled query panel per
+    * index build, alert on recall drift.
+    * Output: (query_id, n_truth, n_hits, recall), recall an exact
+    * IEEE quotient (identical in any engine).
+    */
+  def annRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    t.join(broadcast(a), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        count(col("__hit")).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth"))
+  }
+
+  /** Matryoshka-style truncated-dimension cascade: stage 1 ranks the
+    * corpus by cosine over only the FIRST `subDim` components (a 4×
+    * cheaper distance at subDim=16 over dim=64 — the scan stage a
+    * dimension-nested ("matryoshka") embedding is trained to support),
+    * keeping `kCand` candidates per query; stage 2 re-scores just those
+    * candidates with the exact full-dimension cosine and keeps `k`.
+    * Same two-stage economics as [[rerankSearch]] but the coarse stage
+    * needs no index build at all — truncation is free at write time.
+    * Both stages broadcast query-sized sides only; the corpus is never
+    * shuffled (stage-1 top-k is WindowGroupLimit-pruned map-side).
+    * Output: (query_id, neighbor_id, cosine, rank) — exact cosines on
+    * the survivors, ties round(cos,6) then neighbor id.
+    */
+  def truncatedRerank(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      subDim: Int = 16, kCand: Int = 20, k: Int = 5): DataFrame = {
+    require(kCand >= k, "kCand must be at least k")
+    def truncated(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id),
+          slice(col(vecCol).cast("array<double>"), 1, subDim).as(v))
+        .withColumn(n, sqrt(dot(col(v), col(v))))
+    val ct = truncated(corpus, "neighbor_id", "vct", "nct")
+    val qt = truncated(queries, "query_id", "vqt", "nqt")
+    val coarseW = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val cand = ct.crossJoin(broadcast(qt))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        round(dot(col("vqt"), col("vct")) / (col("nqt") * col("nct")), 6))
+      .withColumn("crank", row_number().over(coarseW))
+      .filter(col("crank") <= kCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(cand), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** [[sifEmbeddings]] re-packed as one dense vector per doc —
     * (doc_id, vec) — ready for the ANN operators (assignment, search,
     * quantization). The per-doc buffer is exactly `dim` elements, so

@@ -572,6 +572,27 @@ object NorthStar {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Recall@5 of the IVF path against exact brute-force ground truth —
+    // the quality gate every approximate index ships with: run it on a
+    // sampled query panel per index build, alert on drift. Both inputs
+    // are |Q|·k result sets, so the report itself never touches the
+    // corpus beyond the two (already certified) searches.
+    "s21_ann_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.annRecall(
+          Similarity.bruteForceTopK(e, q), Similarity.ivfSearch(e, q))
+        .orderBy(col("query_id"))
+    },
+
+    // Matryoshka-style cascade: rank on the first 16 of 64 dims (4×
+    // cheaper scan), exact full-dim rerank of the 20 survivors.
+    "s22_truncated_rerank" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.truncatedRerank(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "s08_quantize_int8" -> { (s, dir) =>
       Similarity.quantizeInt8(emb(s, dir))
         .select(col("id").as("vec_id"), col("scale"),
@@ -2267,6 +2288,76 @@ object NorthStar {
           ORDER BY hamming, neighbor_id) AS INT) AS rank FROM sc)
       SELECT query_id, neighbor_id, hamming, rank
       FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    // Truth = the s01 brute-force chain; approx = the s03 IVF chain;
+    // recall joins the two |Q|·k result sets.
+    "s21_ann_recall" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM bs)
+        WHERE rk <= 5),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(q.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM q, c),
+      qp AS (SELECT query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
+      ic AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6) AS cosine
+        FROM qp JOIN a ON a.cell = qp.cell
+                JOIN n cn ON cn.vec_id = a.vec_id
+                JOIN n qn ON qn.vec_id = qp.query_id
+        WHERE cn.vec_id != qp.query_id),
+      approx AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM ic)
+        WHERE rk <= 5)
+      SELECT t.query_id, count(*) AS n_truth,
+        count(ap.neighbor_id) AS n_hits,
+        CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS recall
+      FROM truth t LEFT JOIN approx ap
+        ON ap.query_id = t.query_id AND ap.neighbor_id = t.neighbor_id
+      GROUP BY t.query_id ORDER BY t.query_id""",
+
+    "s22_truncated_rerank" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      nt AS (SELECT vec_id, v[1:16] AS vt,
+          sqrt(list_dot_product(v[1:16], v[1:16])) AS nrmt FROM e),
+      qt AS (SELECT * FROM nt WHERE vec_id % 100 = 0),
+      cs AS (SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(qt.vt, c.vt) / (qt.nrmt * c.nrmt), 6)
+            AS coarse
+        FROM qt, nt c WHERE c.vec_id != qt.vec_id),
+      cand AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY coarse DESC, neighbor_id) AS crank FROM cs)
+        WHERE crank <= 20),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      sc AS (SELECT cand.query_id, cand.neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6)
+            AS cosine
+        FROM cand JOIN n cn ON cn.vec_id = cand.neighbor_id
+                  JOIN n qn ON qn.vec_id = cand.query_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
     "s08_quantize_int8" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -443,4 +443,43 @@ class SimilaritySpec extends SparkSpec {
     // negative dims
     assert(top.toSeq === Seq((2L, 0, 1), (1L, 32, 2)))
   }
+
+  test("annRecall is 1.0 against itself and counts IVF misses exactly") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val truth = Similarity.bruteForceTopK(emb, qs).cache()
+    val self = Similarity.annRecall(truth, truth).collect()
+    assert(self.nonEmpty)
+    self.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2)); assert(r.getDouble(3) === 1.0)
+    }
+    // vs IVF: recall = overlap / 5, recomputed independently here
+    val ivf = Similarity.ivfSearch(emb, qs).cache()
+    val tSet = truth.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = ivf.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(tSet).groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    Similarity.annRecall(truth, ivf).collect().foreach { r =>
+      assert(r.getLong(2) === hits.getOrElse(r.getLong(0), 0).toLong)
+      assert(r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1))
+    }
+  }
+
+  test("truncated rerank == brute force when the candidate stage keeps " +
+      "everything, and survivors carry exact full-dim cosines") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count().toInt
+    // kCand = corpus size: stage 1 cannot drop the true top-k
+    val full = Similarity.truncatedRerank(emb, qs, kCand = n, k = 5)
+      .collect().toSet
+    val brute = Similarity.bruteForceTopK(emb, qs, k = 5).collect().toSet
+    assert(full === brute)
+    // the production setting still scores survivors with exact cosines
+    val brMap = Similarity.bruteForceTopK(emb, qs, k = n)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.truncatedRerank(emb, qs).collect().foreach { r =>
+      assert(brMap((r.getLong(0), r.getLong(1))) === r.getDouble(2))
+    }
+  }
 }
