@@ -121,6 +121,65 @@ object Graph {
     * id order correlates with degree). Output: (id, n_triangles), nodes
     * in no triangle omitted.
     */
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * node pair sharing at least one common neighbor, the classic
+    * neighborhood-overlap scores — common-neighbor count, Jaccard of
+    * the two neighbor sets, and the resource-allocation index
+    * (sum over common neighbors z of 1/deg(z)) kept in exact integer
+    * micro-units (`1000000 div deg(z)`) so the per-pair aggregation is
+    * an order-free integer fold — bit-stable under any partitioning
+    * and bit-equal across engines (no floating sums; the one Jaccard
+    * division happens last on exact integers).
+    *
+    * In a near-dup curation graph this ranks probable same-template
+    * pairs the banded generators missed: the signal looks two hops out,
+    * so it's the recall-repair pass after capped LSH.
+    *
+    * Scale: every stage keys on the CENTER node z — one self-join
+    * shuffle of the adjacency on z, with the center-degree join reusing
+    * that key; the leaf-degree attach is one node-keyed join of the
+    * edge-sized adjacency. Wedge volume is sum_z deg(z)^2 — quadratic
+    * in hub degree and inherent to the metric — so `maxCenterDegree`
+    * drops hub CENTERS (standard practice: a hub's RA weight 1/deg(z)
+    * is ~zero signal, and hub wedges are exactly the quadratic blowup).
+    * Output: (a, b, common_neighbors, ra_micros, jaccard), a < b.
+    */
+  def linkPrediction(edges: DataFrame,
+      maxCenterDegree: Int = 0): DataFrame = {
+    val ec = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = ec.select(col("a").as("z"), col("b").as("x"))
+      .union(ec.select(col("b").as("z"), col("a").as("x")))
+    val deg = adj.groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    val centers0 = deg.select(col("z"), col("deg").as("degz"))
+    val centers = if (maxCenterDegree > 0)
+      centers0.filter(col("degz") <= maxCenterDegree) else centers0
+    // leaf degree rides the adjacency row, so the wedge join emits both
+    // endpoint degrees for free
+    val adjx = adj.join(
+      deg.select(col("z").as("x"), col("deg").as("degx")), "x")
+    val wedges = adjx
+      .select(col("z"), col("x").as("xa"), col("degx").as("dega"))
+      .join(adjx.select(col("z"), col("x").as("xb"),
+        col("degx").as("degb")), "z")
+      .filter(col("xa") < col("xb"))
+      .join(centers, "z")
+    val cand = wedges
+      .groupBy(col("xa"), col("xb"), col("dega"), col("degb"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("1000000 div degz")).as("ra_micros"))
+    cand
+      .join(ec, col("xa") === col("a") && col("xb") === col("b"),
+        "left_anti")
+      .select(col("xa").as("a"), col("xb").as("b"),
+        col("common_neighbors"), col("ra_micros"),
+        round(col("common_neighbors").cast("double") /
+          (col("dega") + col("degb") - col("common_neighbors")), 6)
+          .as("jaccard"))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -233,6 +233,18 @@ object NorthStar {
       Graph.labelPropagation(pairs, iterations = 3).orderBy(col("id"))
     },
 
+    // Link prediction over the near-dup graph: non-adjacent pairs
+    // sharing neighbors, scored by common-neighbor / Jaccard / integer
+    // resource-allocation — the recall-repair pass after capped LSH
+    // (the signal looks two hops past what the bands caught). Hub
+    // centers above degree 200 are dropped (the quadratic wedge term).
+    "g04_link_prediction" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.linkPrediction(pairs, maxCenterDegree = 200)
+        .orderBy(col("a"), col("b"))
+    },
+
     // PageRank centrality over the customer<->supplier order graph —
     // the link-graph importance signal of crawl curation, as pure
     // relational iterations (fixed count, decimal-exact folds).
@@ -1628,6 +1640,31 @@ object NorthStar {
       l3 AS (SELECT n.id, coalesce(p3.lbl, n.id) AS lbl
              FROM n LEFT JOIN p3 ON p3.src = n.id)
       SELECT id, lbl AS community FROM l3 ORDER BY id""",
+
+    "g04_link_prediction" -> s"""
+      WITH $MinhashCtes,
+      lp_filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      lp_ec AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+             FROM lp_filt WHERE a <> b),
+      lp_adj AS (SELECT a AS z, b AS x FROM lp_ec
+              UNION ALL SELECT b AS z, a AS x FROM lp_ec),
+      lp_deg AS (SELECT z, count(*) AS deg FROM lp_adj GROUP BY z),
+      lp_w AS (SELECT l.z, l.x AS xa, r.x AS xb
+            FROM lp_adj l JOIN lp_adj r USING (z) WHERE l.x < r.x),
+      lp_wd AS (SELECT lp_w.xa, lp_w.xb, dz.deg AS degz
+             FROM lp_w JOIN lp_deg dz USING (z) WHERE dz.deg <= 200),
+      lp_cand AS (SELECT xa, xb, count(*) AS common_neighbors,
+               CAST(sum(1000000 // degz) AS BIGINT) AS ra_micros
+               FROM lp_wd GROUP BY xa, xb),
+      lp_ne AS (SELECT c.* FROM lp_cand c WHERE NOT EXISTS
+             (SELECT 1 FROM lp_ec WHERE lp_ec.a = c.xa
+                AND lp_ec.b = c.xb))
+      SELECT lp_ne.xa AS a, lp_ne.xb AS b, common_neighbors, ra_micros,
+        round(CAST(common_neighbors AS DOUBLE)
+          / (da.deg + db.deg - common_neighbors), 6) AS jaccard
+      FROM lp_ne JOIN lp_deg da ON da.z = lp_ne.xa
+              JOIN lp_deg db ON db.z = lp_ne.xb
+      ORDER BY a, b""",
 
     "g01_pagerank" -> """
       WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp

@@ -584,6 +584,27 @@ object Relational2 {
         .orderBy(col("event_id"))
     },
 
+    // Ordered string aggregation (listagg WITHIN GROUP): the canonical
+    // "pack group members into one ordered string" op — plain, ordered
+    // by a second column, and DISTINCT — certified against DuckDB
+    // string_agg with ORDER BY. Explicit ordering is what makes the
+    // result deterministic cross-engine (and cross-partitioning).
+    "q56_listagg" -> { (s, dir) =>
+      t(s, dir, "customer").filter(col("c_custkey") < 400)
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          expr("listagg(c_name, '|') within group (order by c_name)")
+            .as("names"),
+          expr("listagg(substring(c_name, -2), '') " +
+            "within group (order by c_acctbal desc, c_name)")
+            .as("tail2_by_bal"),
+          expr("listagg(distinct n_name, ',') " +
+            "within group (order by n_name)").as("nations"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -907,6 +928,16 @@ object Relational2 {
         CASE WHEN event_id % 3 = 0 THEN NULL
              ELSE value / CAST(event_id % 3 AS DOUBLE) END AS div3
       FROM events WHERE event_id < 200 ORDER BY event_id""",
+
+    "q56_listagg" -> """
+      SELECT c_mktsegment, count(*) AS n,
+        string_agg(c_name, '|' ORDER BY c_name) AS names,
+        string_agg(c_name[-2:], '' ORDER BY c_acctbal DESC, c_name)
+          AS tail2_by_bal,
+        string_agg(DISTINCT n_name, ',' ORDER BY n_name) AS nations
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey < 400
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "q50_zorder_key" -> """
       SELECT l_orderkey, l_linenumber,

@@ -52,6 +52,38 @@ class GraphSpec extends SparkSpec {
     assert(run(2) === run(17))
   }
 
+  test("link prediction: exact overlap scores on known shapes; adjacent " +
+      "pairs excluded; hub cap drops star wedges; duplicate/reversed " +
+      "edges don't matter") {
+    import spark.implicits._
+    // square 1-2-3-4-1 (+ reversed dupes): diagonals (1,3) and (2,4)
+    // are the only non-adjacent pairs; each shares BOTH opposite
+    // corners => cn=2, all degrees 2 => jaccard = 2/(2+2-2) = 1.0,
+    // ra = 2 * (1000000 div 2) = 1000000
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = Graph.linkPrediction((sq ++ sq.map(_.swap))
+        .toDF("src", "dst")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map((1L, 3L) -> ((2L, 1000000L, 1.0)),
+      (2L, 4L) -> ((2L, 1000000L, 1.0))))
+    // path 1-2-3: one candidate (1,3) through center 2 (deg 2):
+    // ra = 500000; leaf degrees 1 => jaccard 1/(1+1-1) = 1.0
+    val path = Graph.linkPrediction(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(path === Map((1L, 3L) -> ((1L, 500000L, 1.0))))
+    // triangle: every pair adjacent => empty
+    assert(Graph.linkPrediction(Seq((1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")).count() === 0)
+    // star on 0 with 5 leaves: all C(5,2) leaf pairs via the hub —
+    // and a hub cap below 5 removes every wedge
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.linkPrediction(star).count() === 10)
+    assert(Graph.linkPrediction(star, maxCenterDegree = 4).count() === 0)
+  }
+
   test("label propagation: two dense clusters bridged by ONE weak edge " +
       "stay separate communities (the plurality contrast with connected " +
       "components), direction-invariant") {
