@@ -989,6 +989,67 @@ object Similarity {
     * Output: (query_id, n_truth, n_hits, recall), recall an exact
     * IEEE quotient (identical in any engine).
     */
+  /** Discount weight table for [[rankingMetrics]]: position i carries
+    * `round(1e6 / log2(i+1))` in integer MICRO-UNITS, precomputed once
+    * here so the Spark side, the DuckDB oracle, and any other engine
+    * share byte-identical literals — and every DCG/IDCG sum is an
+    * order-free exact integer fold (no floating log in the data path).
+    */
+  def dcgWeightMicros(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** Ranking-metrics report (MRR / DCG / NDCG@k) for an approximate
+    * search result against exact ground truth — [[annRecall]]'s
+    * position-aware sibling: recall says WHETHER the truth was found,
+    * NDCG says how HIGH it was ranked. Relevance is binary membership
+    * in the truth top-k. All position discounts come from
+    * [[dcgWeightMicros]] (integer micro-units), so mrr/dcg/idcg are
+    * exact integer sums; the one double division (ndcg) happens last.
+    * Both inputs are |Q|·k result sets — the report never touches the
+    * corpus, same as [[annRecall]].
+    * Output: (query_id, n_truth, n_hits, mrr_micros, dcg_micros,
+    * idcg_micros, ndcg).
+    */
+  def rankingMetrics(truth: DataFrame, approx: DataFrame,
+      k: Int = 5): DataFrame = {
+    val w = dcgWeightMicros(k)
+    val weightOf = (r: Column) => element_at(
+      array(w.map(lit): _*), r.cast("int"))
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__rel", lit(1))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    // per-query DCG/MRR over the approx list, relevance looked up in
+    // the (broadcast, |Q|·k) truth set
+    val scored = a.join(broadcast(t), Seq("query_id", "neighbor_id"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__rel")).as("n_hits"),
+        coalesce(min(when(col("__rel").isNotNull, col("rank"))), lit(0L))
+          .as("__first"),
+        sum(when(col("__rel").isNotNull, weightOf(col("rank")))
+          .otherwise(lit(0L))).as("dcg_micros"))
+      .withColumn("mrr_micros",
+        when(col("__first") > 0, expr("1000000 div __first"))
+          .otherwise(lit(0L)))
+    // ideal DCG: every truth row ranked at the top — weights 1..n_truth
+    val ideal = t.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+      .withColumn("idcg_micros",
+        aggregate(slice(array(w.map(lit): _*), lit(1),
+            least(col("n_truth"), lit(k)).cast("int")),
+          lit(0L), (acc, x) => acc + x))
+    ideal.join(scored, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("mrr_micros"), lit(0L)).as("mrr_micros"),
+        coalesce(col("dcg_micros"), lit(0L)).as("dcg_micros"),
+        col("idcg_micros"),
+        round(coalesce(col("dcg_micros"), lit(0L)).cast("double") /
+          col("idcg_micros"), 6).as("ndcg"))
+  }
+
   def annRecall(truth: DataFrame, approx: DataFrame): DataFrame = {
     val t = truth.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))

@@ -597,6 +597,17 @@ object NorthStar {
         .orderBy(col("query_id"))
     },
 
+    // Position-aware twin of s21: MRR / DCG / NDCG@5 of the IVF path
+    // against brute-force truth, discounts as shared integer micro-unit
+    // literals so both engines fold exact integers.
+    "s23_ranking_metrics" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.rankingMetrics(
+          Similarity.bruteForceTopK(e, q), Similarity.ivfSearch(e, q))
+        .orderBy(col("query_id"))
+    },
+
     // Matryoshka-style cascade: rank on the first 16 of 64 dims (4×
     // cheaper scan), exact full-dim rerank of the 20 survivors.
     "s22_truncated_rerank" -> { (s, dir) =>
@@ -1111,6 +1122,53 @@ object NorthStar {
         FROM cand JOIN sig sa ON sa.doc_id = cand.a
                   JOIN sig sb ON sb.doc_id = cand.b)"""
   private val MinhashCtes = minhashCtes()
+
+  /** DCG discount weights as a DuckDB list literal — the SAME integer
+    * micro-units `Similarity.dcgWeightMicros(5)` uses on the Spark side,
+    * interpolated so the two engines can never drift. */
+  private val DcgW =
+    graft.operators.Similarity.dcgWeightMicros(5).mkString("[", ", ", "]")
+
+  /** Shared ANN-evaluation chain (s21 recall, s23 ranking metrics):
+    * brute-force truth top-5 (the s01 chain) and the IVF approx top-5
+    * WITH rank retained (`approxr`) — the s03 chain. */
+  private val AnnEvalCtes = """
+      e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM bs)
+        WHERE rk <= 5),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(q.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM q, c),
+      qp AS (SELECT query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
+      ic AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6) AS cosine
+        FROM qp JOIN a ON a.cell = qp.cell
+                JOIN n cn ON cn.vec_id = a.vec_id
+                JOIN n qn ON qn.vec_id = qp.query_id
+        WHERE cn.vec_id != qp.query_id),
+      approxr AS (SELECT query_id, neighbor_id, rk FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM ic)
+        WHERE rk <= 5)"""
 
   /** Shared by t13 (training) and t14 (encoding): word-frequency table →
     * boundary-marked symbol strings → three unrolled greedy merges
@@ -2328,49 +2386,44 @@ object NorthStar {
 
     // Truth = the s01 brute-force chain; approx = the s03 IVF chain;
     // recall joins the two |Q|·k result sets.
-    "s21_ann_recall" -> """
-      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
-      bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
-        FROM q, n c WHERE c.vec_id != q.vec_id),
-      truth AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rk FROM bs)
-        WHERE rk <= 5),
-      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
-            WHERE vec_id % 50 = 0),
-      s AS (SELECT e.vec_id, c.centroid_id,
-          round(list_reduce(list_transform(list_zip(e.v, c.cv),
-            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
-        FROM e, c),
-      a AS (SELECT vec_id, centroid_id AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY vec_id
-            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
-      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
-          round(list_reduce(list_transform(list_zip(q.v, c.cv),
-            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
-        FROM q, c),
-      qp AS (SELECT query_id, centroid_id AS cell FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
-      ic AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
-          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6) AS cosine
-        FROM qp JOIN a ON a.cell = qp.cell
-                JOIN n cn ON cn.vec_id = a.vec_id
-                JOIN n qn ON qn.vec_id = qp.query_id
-        WHERE cn.vec_id != qp.query_id),
-      approx AS (SELECT query_id, neighbor_id FROM (
-          SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rk FROM ic)
-        WHERE rk <= 5)
+    "s21_ann_recall" -> s"""
+      WITH $AnnEvalCtes
       SELECT t.query_id, count(*) AS n_truth,
         count(ap.neighbor_id) AS n_hits,
         CAST(count(ap.neighbor_id) AS DOUBLE) / count(*) AS recall
-      FROM truth t LEFT JOIN approx ap
+      FROM truth t LEFT JOIN approxr ap
         ON ap.query_id = t.query_id AND ap.neighbor_id = t.neighbor_id
       GROUP BY t.query_id ORDER BY t.query_id""",
+
+    // Position-aware twin of s21: MRR / DCG / NDCG@5 with the discount
+    // weights shared as integer micro-unit literals (Similarity
+    // .dcgWeightMicros) so both engines fold exact integers.
+    "s23_ranking_metrics" -> s"""
+      WITH $AnnEvalCtes,
+      scored AS (SELECT a.query_id,
+          count(t.neighbor_id) AS n_hits,
+          coalesce(min(CASE WHEN t.neighbor_id IS NOT NULL
+            THEN a.rk END), 0) AS first_hit,
+          CAST(coalesce(sum(CASE WHEN t.neighbor_id IS NOT NULL
+            THEN ($DcgW)[a.rk] ELSE 0 END), 0) AS BIGINT) AS dcg_micros
+        FROM approxr a LEFT JOIN truth t
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id),
+      ideal AS (SELECT query_id, count(*) AS n_truth,
+          CAST(list_sum(($DcgW)[1:CAST(least(count(*), 5) AS INT)])
+            AS BIGINT) AS idcg_micros
+        FROM truth GROUP BY query_id)
+      SELECT i.query_id, i.n_truth,
+        coalesce(s.n_hits, 0) AS n_hits,
+        CAST(CASE WHEN coalesce(s.first_hit, 0) > 0
+          THEN 1000000 // s.first_hit ELSE 0 END AS BIGINT)
+          AS mrr_micros,
+        coalesce(s.dcg_micros, 0) AS dcg_micros,
+        i.idcg_micros,
+        round(CAST(coalesce(s.dcg_micros, 0) AS DOUBLE) / i.idcg_micros,
+          6) AS ndcg
+      FROM ideal i LEFT JOIN scored s USING (query_id)
+      ORDER BY i.query_id""",
 
     "s22_truncated_rerank" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -309,4 +309,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), " +
       "LessThan(l_orderkey,50)]"), p)
   }
+
+  test("link prediction never goes cartesian: wedge self-join is " +
+      "key-equi on the center, candidate anti-join is hashed (g04)") {
+    val p = plan("g04_link_prediction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("runtime bloom filter injects into the fact scan from a " +
+      "selective dim under shuffle join (the 100TB row-group pruner)") {
+    // At production scale the application side exceeds the 10GB
+    // injection threshold naturally; here we lower it to prove the
+    // plan shape Spark picks when it matters.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set(keys(0), "0")
+      conf.set(keys(1), "-1")
+      import org.apache.spark.sql.functions._
+      val o = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = Tables.load(spark, sf, "lineitem")
+      val p = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain"), p)
+      assert(p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
 }

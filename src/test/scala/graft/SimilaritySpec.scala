@@ -465,6 +465,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ranking metrics: perfect self-eval scores 1.0; displacing the " +
+      "top hit to rank 2 yields the exact integer-weight decomposition") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val truth = Similarity.bruteForceTopK(emb, qs).cache()
+    val w = Similarity.dcgWeightMicros(5)
+    Similarity.rankingMetrics(truth, truth).collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2))          // n_truth == n_hits
+      assert(r.getLong(3) === 1000000L)              // mrr
+      assert(r.getLong(4) === r.getLong(5))          // dcg == idcg
+      assert(r.getDouble(6) === 1.0)                 // ndcg
+    }
+    // replace each query's rank-1 hit with a planted non-truth id:
+    // hits sit at ranks 2..5 => first=2, dcg = w2+w3+w4+w5 exactly
+    val displaced = truth.withColumn("neighbor_id",
+      when(col("rank") === 1, lit(-1L)).otherwise(col("neighbor_id")))
+    Similarity.rankingMetrics(truth, displaced).collect().foreach { r =>
+      assert(r.getLong(2) === 4L)
+      assert(r.getLong(3) === 500000L)
+      assert(r.getLong(4) === w.drop(1).sum)
+      assert(r.getLong(5) === w.sum)
+      assert(r.getDouble(6) ===
+        BigDecimal(w.drop(1).sum.toDouble / w.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("truncated rerank == brute force when the candidate stage keeps " +
       "everything, and survivors carry exact full-dim cosines") {
     val qs = emb.filter(col("vec_id") % 100 === 0)
