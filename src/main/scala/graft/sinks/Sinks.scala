@@ -14,6 +14,24 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object Sinks {
 
+  /** Bucketed (hash-clustered) parquet TABLE write: rows are hash-split
+    * into `buckets` files per partition on `bucketCol` and sorted within
+    * each bucket, with the layout recorded in the catalog. Two tables
+    * bucketed on the same key with the same bucket count then join with
+    * ZERO exchanges (bucket-aware SortMergeJoin) — at 100 TB the shuffle
+    * this avoids is the dominant cost of every fact-fact join, and
+    * repeated joins amortize one write-time shuffle forever. SinkSpec
+    * proves the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Batch parquet write, hash-distributed into `partitionCols` directories
     * — the layout that lets downstream scans partition-prune. At 100 TB,
     * choose low-cardinality columns (date, topic, cell) and let AQE size
