@@ -485,6 +485,28 @@ object Relational2 {
         .orderBy(col("user_id"))
     },
 
+    // Sequence-pattern matching (CEP without a state machine): each
+    // user's event history becomes one ORDERED character string (the
+    // q56 listagg primitive), then regex does the pattern work —
+    // non-overlapping occurrence counts, a v..c..p funnel predicate
+    // (q51's window-free twin), and first-conversion position. One
+    // shuffle on user_id; the regex stage is map-only.
+    "q57_event_pattern" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("listagg(left(event_type, 1), '') " +
+            "within group (order by ts, event_id)").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          col("seq").substr(1, 30).as("seq30"),
+          expr("regexp_count(seq, 'vp')").cast("long").as("n_vp"),
+          expr("regexp_count(seq, 'e+')").cast("long")
+            .as("n_error_bursts"),
+          col("seq").rlike("v.*c.*p").as("has_funnel"),
+          locate("p", col("seq")).cast("long").as("first_p_pos"))
+        .orderBy(col("user_id"))
+    },
+
     // Morton (z-order) key battery — the arithmetic behind the
     // z-clustered layout (Sinks.writeZOrdered), certified per row; the
     // file-level locality/pruning claims are gated in SinkSpec.
@@ -938,6 +960,18 @@ object Relational2 {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE c_custkey < 400
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q57_event_pattern" -> """
+      WITH s AS (SELECT user_id, count(*) AS n_events,
+          string_agg(event_type[1:1], '' ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+      SELECT user_id, n_events, seq[1:30] AS seq30,
+        CAST(len(regexp_extract_all(seq, 'vp')) AS BIGINT) AS n_vp,
+        CAST(len(regexp_extract_all(seq, 'e+')) AS BIGINT)
+          AS n_error_bursts,
+        regexp_matches(seq, 'v.*c.*p') AS has_funnel,
+        CAST(strpos(seq, 'p') AS BIGINT) AS first_p_pos
+      FROM s ORDER BY user_id""",
 
     "q50_zorder_key" -> """
       SELECT l_orderkey, l_linenumber,

@@ -200,6 +200,34 @@ class StreamingSpec extends SparkSpec {
     assert(got("books")._1 === Map("tome" -> 10L))
   }
 
+  test("streaming IVF cell assignment == batch, bit-exact (stateless " +
+      "map over the stream; centroids broadcast, no stream shuffle)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val e = Tables.load(spark, sf01, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = Similarity.sampleCentroids(e)
+    def key(r: org.apache.spark.sql.Row): (Long, (Long, Long)) =
+      r.getLong(0) -> (r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    val batch = Similarity.ivfAssign(e, cents)
+      .select(col("id"), col("cell"), col("d2")).collect().map(key).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    ms.addData(e.as[(Long, Seq[Double])].collect().toSeq)
+    val out = Similarity.ivfAssign(
+      ms.toDF.toDF("vec_id", "embedding"), cents)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sivf").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("sivf")
+      .select(col("id"), col("cell"), col("d2")).collect().map(key).toMap
+    assert(got.size === batch.size)
+    assert(got === batch)
+  }
+
   test("streaming replay preserves the value/error exclusivity invariant") {
     val q = StreamOps.replayStream(spark, sf)
       .writeStream.outputMode("append")
