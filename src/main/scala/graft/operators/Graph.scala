@@ -121,6 +121,47 @@ object Graph {
     * id order correlates with degree). Output: (id, n_triangles), nodes
     * in no triangle omitted.
     */
+  /** Bounded-round k-core peel: repeatedly drop nodes whose degree in
+    * the SURVIVING subgraph is below `k`, `rounds` times, then report
+    * each survivor with its induced-subgraph degree. The k-core is the
+    * density filter of graph curation — a near-dup cluster that survives
+    * the 3-core is template boilerplate, while chains and pendant
+    * borderline matches peel away (triangleCounts' global twin).
+    *
+    * A fixed round count (the oracle unrolls the same count) bounds the
+    * iteration like [[pageRank]]; it equals the true k-core once no
+    * round removes a node — GraphSpec asserts convergence on its
+    * fixtures, and `core_deg >= k` for every emitted row certifies a
+    * converged run (a non-converged peel leaves smaller degrees to spot).
+    *
+    * Scale: each round is one self-semi-join of the (src-partitioned)
+    * adjacency against the alive set plus one degree aggregation —
+    * node-sized state, edge-sized work, no windows; lineage cut every
+    * 5 rounds.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val adj = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val both = adj.select(col("a").as("z"), col("b").as("x"))
+      .union(adj.select(col("b").as("z"), col("a").as("x")))
+    var alive: DataFrame = both.select(col("z").as("id")).distinct()
+    def aliveDeg(a: DataFrame): DataFrame = both
+      .join(a.withColumnRenamed("id", "z"), Seq("z"), "left_semi")
+      .join(a.withColumnRenamed("id", "x"), Seq("x"), "left_semi")
+      .groupBy(col("z")).agg(count(lit(1)).as("deg"))
+    for (r <- 1 to rounds) {
+      alive = aliveDeg(alive).filter(col("deg") >= k)
+        .select(col("z").as("id"))
+      if (r % 5 == 0 && r < rounds) alive = alive.localCheckpoint(false)
+    }
+    aliveDeg(alive)
+      .select(col("z").as("id"), col("deg").as("core_deg"))
+  }
+
   /** Link prediction over an undirected graph: for every NON-adjacent
     * node pair sharing at least one common neighbor, the classic
     * neighborhood-overlap scores — common-neighbor count, Jaccard of

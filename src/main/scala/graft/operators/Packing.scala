@@ -47,8 +47,21 @@ object Packing {
     // partition-index order, so spark_partition_id IS the block key: the
     // concatenation of blocks 0..n-1 each internally ordered by ordCol
     // is the global order.
+    //
+    // localCheckpoint is CORRECTNESS here, not an optimization: the
+    // block assignment feeds both the block-sum side and the join-back
+    // side, and each consumer would otherwise re-plan the range
+    // exchange with its own column pruning. Two pruned plans are no
+    // longer identical, ReuseExchange doesn't fire, and the two
+    // exchanges SAMPLE THEIR RANGE BOUNDARIES INDEPENDENTLY (seeded by
+    // rdd.id) — rows then sit in different blocks than the block sums
+    // assume and offsets silently misalign (caught by m08, whose
+    // modality column breaks the plan-identity that had protected t17).
+    // Checkpointing pins one materialized partitioning for every
+    // consumer.
     val blk = df.repartitionByRange(numBlocks, col(ordCol))
       .withColumn("__blk", spark_partition_id())
+      .localCheckpoint(false)
     val bsums = blk.groupBy(col("__blk"))
       .agg(sum(col(valCol)).as("__bsum"))
     // The one ordered-global window: runs over exactly numBlocks rows.

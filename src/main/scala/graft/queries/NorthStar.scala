@@ -233,6 +233,16 @@ object NorthStar {
       Graph.labelPropagation(pairs, iterations = 3).orderBy(col("id"))
     },
 
+    // k-core density filter over the near-dup graph: survivors of the
+    // 3-core peel are template boilerplate; chains and pendant
+    // borderline matches peel away. core_deg >= 3 on every row
+    // certifies the bounded-round peel converged.
+    "g05_kcore" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(docs(s, dir))
+        .select(col("a").as("src"), col("b").as("dst"))
+      Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("id"))
+    },
+
     // Link prediction over the near-dup graph: non-adjacent pairs
     // sharing neighbors, scored by common-neighbor / Jaccard / integer
     // resource-allocation — the recall-repair pass after capped LSH
@@ -926,6 +936,30 @@ object NorthStar {
       Multimodal.chunkPayload(
           docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Interleaved multimodal packing: text tokens and fixed-budget
+    // media patch chunks share ONE packed token stream in document
+    // order — the multimodal training-sample assembly step. Item ids
+    // interleave each doc's text (doc*100000) with its media chunks
+    // (doc*100000 + 10000 + chunk_idx); every media chunk costs a
+    // fixed 16-token patch budget. Same two-level prefix-sum pack as
+    // t17 — one range shuffle, the global window runs over 8 block
+    // summaries only.
+    "m08_interleaved_pack" -> { (s, dir) =>
+      val text = docs(s, dir).select(
+        (col("doc_id") * 100000).as("item_id"),
+        lit("text").as("modality"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      val media = Multimodal.chunkPayload(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .select((col("doc_id") * 100000 + 10000 + col("chunk_idx"))
+          .as("item_id"), lit("media").as("modality"),
+          lit(16L).as("n_tokens"))
+      graft.operators.Packing.packSequences(
+          text.unionByName(media), "item_id", "n_tokens",
+          seqLen = 512, numBlocks = 8)
+        .orderBy(col("item_id"))
     },
 
     // Chunk-fingerprint payload dedup: pairs of payloads sharing >= 2
@@ -1698,6 +1732,28 @@ object NorthStar {
       l3 AS (SELECT n.id, coalesce(p3.lbl, n.id) AS lbl
              FROM n LEFT JOIN p3 ON p3.src = n.id)
       SELECT id, lbl AS community FROM l3 ORDER BY id""",
+
+    "g05_kcore" -> s"""
+      WITH $MinhashCtes,
+      kc_filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      kc_ec AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM kc_filt WHERE a <> b),
+      kc_adj AS (SELECT a AS z, b AS x FROM kc_ec
+                 UNION ALL SELECT b AS z, a AS x FROM kc_ec),
+      kd1 AS (SELECT z, count(*) AS deg FROM kc_adj GROUP BY z),
+      ka1 AS (SELECT z AS id FROM kd1 WHERE deg >= 3),
+      kd2 AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka1 p ON p.id = e.z JOIN ka1 q ON q.id = e.x
+              GROUP BY e.z),
+      ka2 AS (SELECT z AS id FROM kd2 WHERE deg >= 3),
+      kd3 AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka2 p ON p.id = e.z JOIN ka2 q ON q.id = e.x
+              GROUP BY e.z),
+      ka3 AS (SELECT z AS id FROM kd3 WHERE deg >= 3),
+      kdf AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka3 p ON p.id = e.z JOIN ka3 q ON q.id = e.x
+              GROUP BY e.z)
+      SELECT z AS id, deg AS core_deg FROM kdf ORDER BY id""",
 
     "g04_link_prediction" -> s"""
       WITH $MinhashCtes,
@@ -2866,6 +2922,27 @@ object NorthStar {
         md5(substring(hx, CAST(start_byte * 2 + 1 AS INT),
             CAST(least(64, nb - start_byte) * 2 AS INT))) AS chunk_md5
       FROM s ORDER BY doc_id, chunk_idx""",
+
+    "m08_interleaved_pack" -> raw"""
+      WITH tx AS (SELECT doc_id * 100000 AS item_id, 'text' AS modality,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      mc AS (SELECT doc_id, octet_length(encode(text)) AS nb
+             FROM documents WHERE octet_length(encode(text)) > 0),
+      md AS (SELECT doc_id * 100000 + 10000 + CAST(t.sb // 48 AS BIGINT)
+          AS item_id, 'media' AS modality, CAST(16 AS BIGINT) AS n_tokens
+        FROM mc, unnest(generate_series(0, nb - 1, 48)) AS t(sb)),
+      items AS (SELECT * FROM tx UNION ALL SELECT * FROM md),
+      p AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (ORDER BY item_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_token FROM items)
+      SELECT item_id, modality, n_tokens, start_token,
+        CASE WHEN n_tokens > 0 THEN start_token // 512 END AS first_seq,
+        CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512
+          END AS last_seq,
+        CASE WHEN n_tokens > 0 THEN (start_token + n_tokens - 1) // 512
+             - start_token // 512 + 1 ELSE 0 END AS n_seqs
+      FROM p ORDER BY item_id""",
 
     // Mirrors the Spark cap (lowest 200 ids per chunk hash) exactly.
     "m06_payload_neardup" -> """

@@ -52,6 +52,36 @@ class GraphSpec extends SparkSpec {
     assert(run(2) === run(17))
   }
 
+  test("k-core: tail peels in cascade (one node per round), the core " +
+      "survives with exact induced degrees, and the default rounds " +
+      "converge on the fixture") {
+    import spark.implicits._
+    // triangle {0,1,2} + tail 2-10, 10-11, 11-12: at k=2 the tail
+    // peels one node per round (12 then 11 then 10) — three rounds to
+    // converge, exactly the default
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (2L, 10L), (10L, 11L), (11L, 12L)).toDF("src", "dst")
+    val got = Graph.kCore(edges, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    // one round fewer leaves the peel unconverged: node 10 still
+    // alive (its sub-k degree exposes the non-convergence)
+    val partial = Graph.kCore(edges, k = 2, rounds = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial.contains(10L) && partial(10L) < 2L)
+    // two K4s bridged by one edge: all survive the 3-core, bridge
+    // endpoints carry the extra degree
+    def k4(off: Long) = for { a <- 0L to 3L; b <- 0L to 3L if a < b }
+      yield (a + off, b + off)
+    val bridged = (k4(0) ++ k4(10) ++ Seq((3L, 10L))).toDF("src", "dst")
+    val core = Graph.kCore(bridged, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.size === 8)
+    assert(core(3L) === 4L && core(10L) === 4L)
+    assert(core.filterNot(p => p._1 == 3L || p._1 == 10L)
+      .values.toSet === Set(3L))
+  }
+
   test("link prediction: exact overlap scores on known shapes; adjacent " +
       "pairs excluded; hub cap drops star wedges; duplicate/reversed " +
       "edges don't matter") {

@@ -26,6 +26,30 @@ class PackingSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("prefix sum stays correct when a rider column prunes the two " +
+      "consumers differently (independent range-exchange regression)") {
+    import spark.implicits._
+    // The m08 failure shape: an extra column the block-sum side prunes
+    // away. Without the pinned partitioning, the two range exchanges
+    // sample different boundaries and offsets misalign.
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 3000)
+      .map(i => (i.toLong * 3, rnd.nextInt(40).toLong,
+        if (i % 2 == 0) "text" else "media"))
+      .toDF("id", "n", "rider")
+    val got = Packing.exclusivePrefixSum(df, "id", "n", numBlocks = 8)
+      .orderBy(col("id"))
+      .select(col("id"), col("n"), col("start"), col("rider")).collect()
+    // exact exclusive running sum, rider intact — and therefore
+    // monotone (the broken path jumps backward at block seams)
+    var run = 0L
+    got.foreach { r =>
+      assert(r.getLong(2) === run, s"id=${r.getLong(0)}")
+      run += r.getLong(1)
+    }
+    assert(got.count(_.getString(3) == "text") === 1500)
+  }
+
   test("packSequences is numBlocks-invariant and handles zero-token docs") {
     import spark.implicits._
     val df = Seq((0L, 100L), (1L, 0L), (2L, 500L), (3L, 512L), (4L, 1L),
