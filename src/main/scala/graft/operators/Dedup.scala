@@ -465,15 +465,26 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 16, bands: Int = 4): DataFrame = {
-    val nw = newDocs.repartition(col(idCol))
     val exactIdx = existing.select(md5(col(textCol)).as("__h")).distinct()
-    val exactHit = nw.select(col(idCol), md5(col(textCol)).as("__h"))
-      .join(exactIdx, Seq("__h"), "left_semi")
-      .select(col(idCol).as("__eid"))
     val bandIdx = minhashBands(
         minhashSignatures(existing.repartition(col(idCol)), idCol, textCol,
           k), k, bands)
       .select(col("band_idx"), col("band_val")).distinct()
+    incrementalAgainst(newDocs, exactIdx, bandIdx, idCol, textCol, k, bands)
+  }
+
+  /** The shared lookup core: dedups `newDocs` against an exact-hash set
+    * (`__h`) and a banded key set — whether those were just computed
+    * ([[incrementalDedup]]) or read back from a persisted index
+    * ([[incrementalDedupIndexed]]).
+    */
+  private def incrementalAgainst(newDocs: DataFrame, exactIdx: DataFrame,
+      bandIdx: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val nw = newDocs.repartition(col(idCol))
+    val exactHit = nw.select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(exactIdx, Seq("__h"), "left_semi")
+      .select(col(idCol).as("__eid"))
     val nearHit = minhashBands(minhashSignatures(nw, idCol, textCol, k),
         k, bands)
       .select(col(idCol), col("band_idx"), col("band_val"))
@@ -488,6 +499,40 @@ object Dedup {
         when(col("__eid").isNotNull, "exact")
           .when(col("__nid").isNotNull, "near").as("reason"))
   }
+
+  /** Persist a corpus's dedup index: the exact md5 set plus the banded
+    * minhash key set, as parquet (bands partitioned by band_idx). Built
+    * ONCE over the full corpus — at 100 TB this is the amortization
+    * that matters: every incremental batch thereafter dedups against
+    * key-sized files ([[incrementalDedupIndexed]]) without re-reading
+    * or re-hashing a byte of corpus text. Index size is one 32-char
+    * hash per distinct doc + one long per (band, doc): ~10^-4 of the
+    * corpus.
+    */
+  def writeDedupIndex(corpus: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4): Unit = {
+    corpus.select(md5(col(textCol)).as("__h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/exact")
+    minhashBands(
+        minhashSignatures(corpus.repartition(col(idCol)), idCol, textCol,
+          k), k, bands)
+      .select(col("band_idx"), col("band_val")).distinct()
+      .write.mode("overwrite").partitionBy("band_idx")
+      .parquet(s"$path/bands")
+  }
+
+  /** [[incrementalDedup]] against a [[writeDedupIndex]] on disk — same
+    * output contract, bit-identical result (DedupSpec), corpus never
+    * touched.
+    */
+  def incrementalDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4): DataFrame =
+    incrementalAgainst(newDocs,
+      spark.read.parquet(s"$path/exact"),
+      spark.read.parquet(s"$path/bands"), idCol, textCol, k, bands)
 
   // ---- embedding near-dup ----------------------------------------------
 
