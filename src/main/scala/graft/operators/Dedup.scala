@@ -759,4 +759,113 @@ object Dedup {
         (col("__ntok") - coalesce(col("__nkept"), lit(0L))).cast("int")
           .as("n_removed_tokens"))
   }
+
+  // ---- content-defined chunking ----------------------------------------
+
+  /** Content-defined chunking (CDC, the LBFS/restic/borg family): split
+    * every document at the byte positions where the content hash of the
+    * trailing `window` bytes lands on a boundary (hash mod `modulus`
+    * == 0) — boundaries move WITH the content, so an edit near the head
+    * shifts every downstream byte OFFSET but leaves the downstream chunk
+    * HASHES unchanged, which is exactly what fixed-width blocking can't
+    * do and what makes chunk-level dedup storage work. One row per
+    * chunk: (idCol, chunk_idx, chunk_start, chunk_len, chunk_md5), byte
+    * semantics (UTF-8), 1-based offsets, chunks tile the document
+    * exactly; empty documents emit no rows.
+    *
+    * The boundary predicate hashes each window with md5 over the hex
+    * encoding (the cross-engine-portable twin of a Rabin/Gear rolling
+    * hash — same boundary CONTRACT, one expression to swap for an
+    * O(1)/byte gear hash in a native build); expected chunk length is
+    * `modulus` bytes. Deliberately NO min-size suppression: suppressing
+    * a boundary based on distance from the previous one makes every
+    * boundary depend on its predecessor — an inherently sequential scan
+    * — while the pure content rule stays embarrassingly parallel.
+    *
+    * Scale: entirely map-side — candidate ends, span assembly and chunk
+    * hashing all happen in per-row array expressions; the only shuffle
+    * is whatever the consumer does with the chunk rows. Cost is one md5
+    * per byte, the same budget [[duplicatedSpans]] already pays per
+    * token position.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 16,
+      modulus: Int = 64): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(modulus > 0, "modulus must be positive")
+    val prepared = docs.select(col(idCol),
+        hex(encode(col(textCol), "UTF-8")).as("__hx"),
+        octet_length(encode(col(textCol), "UTF-8")).as("__ol"))
+      .filter(col("__ol") > 0)
+    // 4 hex digits of the window's md5 → integer → mod test. 16 bits is
+    // plenty for any practical modulus and parses exactly in both
+    // engines (('0x'||right(md5,4))::BIGINT on the DuckDB side).
+    val isBoundary = (w: Column) =>
+      conv(substring(md5(w), 29, 4), 16, 10).cast("long") % modulus === 0
+    val cand = when(col("__ol") >= window,
+        filter(transform(sequence(lit(1), col("__ol") - window + 1),
+            p => when(isBoundary(
+                col("__hx").substr((p - 1) * 2 + 1, lit(2 * window))),
+              p + window - 1)),
+          e => e.isNotNull))
+      .otherwise(array().cast("array<int>"))
+    // Ascending candidate ends + the document end; array_distinct keeps
+    // the first occurrence so a final-byte boundary doesn't double.
+    val ends = prepared.withColumn("__ends",
+      array_distinct(concat(cand, array(col("__ol")))))
+    ends.select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__ends"))), i => {
+          val e = element_at(col("__ends"), i)
+          // CASE short-circuits, so element_at(_, 0) is never evaluated.
+          val s = when(i === 1, lit(0))
+            .otherwise(element_at(col("__ends"), i - 1))
+          struct(i.as("chunk_idx"), (s + 1).as("chunk_start"),
+            (e - s).as("chunk_len"),
+            md5(col("__hx").substr(s * 2 + 1, (e - s) * 2)).as("chunk_md5"))
+        })).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.chunk_start"),
+        col("__c.chunk_len"), col("__c.chunk_md5"))
+  }
+
+  /** Chunk-store dedup ledger over [[cdcChunks]]: what a content-
+    * addressed store would actually keep. Each distinct chunk hash is
+    * stored ONCE, attributed to its canonical owner (lowest
+    * (doc_id, chunk_idx)); the report rolls bytes up per document
+    * `source`: chunks/bytes referenced vs chunks/bytes stored, and the
+    * stored-over-referenced dedup ratio. `dedup_ratio < 1` is the
+    * storage (and recompute) saving chunk-level dedup buys beyond
+    * whole-document exact dedup — shared boilerplate spans dedup even
+    * when no two whole documents match.
+    *
+    * Scale: one shuffle on chunk_md5 for the canonical-owner fold (a
+    * min-struct, bounded per group), one on source for the rollup; the
+    * doc→source sides are broadcast-sized maps of the doc table, never
+    * of the chunks.
+    */
+  def chunkDedupLedger(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source",
+      window: Int = 16, modulus: Int = 64): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, window, modulus)
+    val srcs = docs.select(col(idCol), col(srcCol))
+    val referenced = chunks.join(srcs, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len").cast("long")).as("bytes_referenced"))
+    val stored = chunks
+      .groupBy(col("chunk_md5"))
+      .agg(min(struct(col(idCol), col("chunk_idx"), col("chunk_len")))
+        .as("__c"))
+      .select(col("__c")(idCol).as(idCol),
+        col("__c")("chunk_len").as("chunk_len"))
+      .join(srcs, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_stored"),
+        sum(col("chunk_len").cast("long")).as("bytes_stored"))
+    referenced.join(stored, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_chunks"), col("bytes_referenced"),
+        coalesce(col("n_stored"), lit(0L)).as("n_stored"),
+        coalesce(col("bytes_stored"), lit(0L)).as("bytes_stored"),
+        round(coalesce(col("bytes_stored"), lit(0L)) /
+          col("bytes_referenced").cast("double"), 6).as("dedup_ratio"))
+  }
 }

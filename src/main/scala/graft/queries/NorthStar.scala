@@ -384,6 +384,20 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Content-defined chunking: boundaries follow the CONTENT (windowed
+    // hash mod test), so a shared span chunks identically at different
+    // byte offsets — the storage-dedup primitive fixed blocking lacks.
+    "d26_cdc_chunks" -> { (s, dir) =>
+      Dedup.cdcChunks(docs(s, dir))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // Chunk-store ledger over d26: per source, bytes referenced vs bytes
+    // a content-addressed store keeps (one canonical copy per hash).
+    "d27_chunk_dedup" -> { (s, dir) =>
+      Dedup.chunkDedupLedger(docs(s, dir)).orderBy(col("source"))
+    },
+
     // Per-doc n-gram novelty: share of 8-gram positions whose hash is
     // unique corpus-wide — the memorization-risk score next to quality.
     "t25_ngram_novelty" -> { (s, dir) =>
@@ -1010,6 +1024,32 @@ object NorthStar {
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
 
+  /** Content-defined chunking CTE chain (d26's algorithm, window=16,
+    * modulus=64), ending in `cdc_chunks(doc_id, chunk_idx, chunk_start,
+    * chunk_len, chunk_md5)` — shared by d26 and the d27 ledger. Byte
+    * semantics via hex(encode(text)); the boundary test parses the last
+    * 4 md5 hex digits exactly as Spark's conv(substring(md5, 29, 4),
+    * 16, 10).
+    */
+  private lazy val CdcCtes = """cdc_docs AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS ol
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      cdc_cand AS (SELECT doc_id, p + 15 AS e
+        FROM cdc_docs, unnest(generate_series(1, ol - 15)) AS t(p)
+        WHERE ('0x' || right(md5(substring(hx, (p-1)*2 + 1, 32)), 4))::BIGINT
+              % 64 = 0),
+      cdc_ends AS (SELECT doc_id, e FROM cdc_cand
+        UNION SELECT doc_id, ol FROM cdc_docs),
+      cdc_sp AS (SELECT doc_id, e,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS s,
+          row_number() OVER (PARTITION BY doc_id ORDER BY e) AS ci
+        FROM cdc_ends),
+      cdc_chunks AS (SELECT c.doc_id, CAST(ci AS INT) AS chunk_idx,
+          CAST(s + 1 AS INT) AS chunk_start, CAST(e - s AS INT) AS chunk_len,
+          md5(substring(d.hx, s*2 + 1, (e - s)*2)) AS chunk_md5
+        FROM cdc_sp c JOIN cdc_docs d USING (doc_id))"""
+
   /** SIF embedding CTE chain (s18's algorithm), ending in
     * `sif(doc_id, dim, value)` — shared by s18 and the s19 composition.
     */
@@ -1484,6 +1524,29 @@ object NorthStar {
         CAST(len(string_split_regex(d.text, '\s+')) - coalesce(r.n_kept, 0)
           AS INT) AS n_removed_tokens
       FROM documents d LEFT JOIN reb r USING (doc_id) ORDER BY doc_id""",
+
+    "d26_cdc_chunks" -> s"""
+      WITH $CdcCtes
+      SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5
+      FROM cdc_chunks ORDER BY doc_id, chunk_idx""",
+
+    "d27_chunk_dedup" -> s"""
+      WITH $CdcCtes,
+      cdc_ref AS (SELECT d.source, count(*) AS n_chunks,
+          CAST(sum(c.chunk_len) AS BIGINT) AS bytes_referenced
+        FROM cdc_chunks c JOIN documents d USING (doc_id) GROUP BY 1),
+      cdc_can AS (SELECT chunk_md5,
+          min({'d': doc_id, 'i': chunk_idx, 'l': chunk_len}) AS f
+        FROM cdc_chunks GROUP BY 1),
+      cdc_sto AS (SELECT dd.source, count(*) AS n_stored,
+          CAST(sum(c.f.l) AS BIGINT) AS bytes_stored
+        FROM cdc_can c JOIN documents dd ON dd.doc_id = c.f.d GROUP BY 1)
+      SELECT r.source, r.n_chunks, r.bytes_referenced,
+        coalesce(s.n_stored, 0) AS n_stored,
+        coalesce(s.bytes_stored, 0) AS bytes_stored,
+        round(coalesce(s.bytes_stored, 0) /
+          CAST(r.bytes_referenced AS DOUBLE), 6) AS dedup_ratio
+      FROM cdc_ref r LEFT JOIN cdc_sto s USING (source) ORDER BY source""",
 
     "t25_ngram_novelty" -> raw"""
       WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w

@@ -380,4 +380,55 @@ class DedupSpec extends SparkSpec {
     assert(exactCols === Seq("__h"))
     assert(bandCols.sorted === Seq("band_idx", "band_val"))
   }
+
+  test("cdc chunks tile each doc and shared content chunks identically " +
+      "at shifted offsets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def txt(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString
+    val shared = txt(400)
+    val fixture = Seq(
+      (1L, txt(50) + shared, "s1"),   // shared tail at offset 50
+      (2L, txt(93) + shared, "s1"),   // same tail at offset 93
+      (3L, "short", "s2"),            // shorter than the window
+      (4L, "", "s2"))                 // empty: no rows
+      .toDF("doc_id", "text", "source")
+    val chunks = Dedup.cdcChunks(fixture)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+
+    // empty doc emits nothing; sub-window doc is one whole-doc chunk
+    assert(!chunks.exists(_._1 == 4L))
+    assert(chunks.filter(_._1 == 3L).map(c => (c._3, c._4)).toSeq ===
+      Seq((1, 5)))
+    // chunks tile every document exactly: starts chain, lengths sum
+    for ((id, len) <- Seq(1L -> 450, 2L -> 493, 3L -> 5)) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 === 1)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4)
+        case _ => ()
+      }
+      assert(cs.last._3 + cs.last._4 - 1 === len)
+    }
+    // the CDC property: the 400-byte shared span produces common chunk
+    // hashes even though its byte offset differs (50 vs 93) — fixed-width
+    // blocking would share nothing
+    val h1 = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val h2 = chunks.filter(_._1 == 2L).map(_._5).toSet
+    assert((h1 intersect h2).nonEmpty)
+
+    // ledger: stored never exceeds referenced, and the shared tail makes
+    // the corpus-level ratio strictly < 1
+    val led = Dedup.chunkDedupLedger(fixture).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    led.foreach { case (_, nc, br, ns, bs) =>
+      assert(ns <= nc); assert(bs <= br)
+    }
+    assert(led.map(_._5).sum < led.map(_._3).sum)
+    assert(led.map(_._3).sum === 450 + 493 + 5)
+  }
 }
