@@ -94,6 +94,33 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Weighted systematic sampling on the cumulative-weight line: lay the
+    * corpus end-to-end in `ordCol` order (widths = `wCol`, e.g. token
+    * counts) and select every document whose span (cum, cum+w] covers a
+    * multiple of `stride` — exactly one pick per `stride` weight units,
+    * so a training run gets an EXACT token budget, selection probability
+    * proportional to size, zero RNG (reruns and the oracle reproduce it
+    * bit-for-bit). Documents wider than the stride are picked more than
+    * once (`n_picks` — epoch upsampling for oversized docs). Output:
+    * selected rows only, (input columns, cum_start, n_picks).
+    *
+    * Scale: the cumulative line is [[Packing.exclusivePrefixSum]] — the
+    * two-level range-partitioned scan, never a global window — and the
+    * pick test is map-only integer arithmetic on top. `div`, not
+    * floating division: cumulative sums at 100 TB exceed the double
+    * mantissa long before they exceed a long.
+    */
+  def systematicSample(docs: DataFrame, ordCol: String, wCol: String,
+      stride: Long, numBlocks: Int = 1024): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val ps = Packing.exclusivePrefixSum(docs, ordCol, wCol, "cum_start",
+      numBlocks)
+    ps.withColumn("n_picks",
+        expr(s"(cum_start + `$wCol`) div ${stride}L" +
+          s" - cum_start div ${stride}L"))
+      .filter(col("n_picks") > 0)
+  }
+
   /** Per-domain frequency capping (the C4/Gopher-style "no domain may
     * dominate" curation rule): keep at most `maxPerKey` docs per key,
     * preferring the highest `scoreCol` (ties broken by `idCol` so the cut

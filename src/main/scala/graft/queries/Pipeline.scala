@@ -148,6 +148,20 @@ object Pipeline {
         .orderBy(col("shard"), col("pos"))
     },
 
+    // Exact-token-budget sampler: one pick per 500 tokens of cumulative
+    // corpus, probability proportional to size, no RNG — the prefix-sum
+    // line is the two-level range scan, never a global window.
+    "t36_systematic_sample" -> { (s, dir) =>
+      val w = docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .systematicSample(w, "doc_id", "n_tokens", stride = 500L,
+          numBlocks = 32)
+        .select(col("doc_id"), col("n_tokens"), col("cum_start"),
+          col("n_picks"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-label embedding centroids: posexplode → two-stage chunked ordered
     // fold per (label, idx) (Similarity.chunkedOrderedSum) — fixed addition
     // tree, so bit-reproducible AND bounded-buffer: a label owning 90% of
@@ -287,6 +301,22 @@ object Pipeline {
         CAST(row_number() OVER (PARTITION BY hh % 8
           ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
       FROM a ORDER BY shard, pos""",
+
+    "t36_systematic_sample" -> raw"""
+      WITH sw AS (SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      sc AS (SELECT doc_id, n_tokens,
+          CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_start
+        FROM sw)
+      SELECT doc_id, n_tokens, cum_start,
+        CAST((cum_start + n_tokens) // 500 - cum_start // 500 AS BIGINT)
+          AS n_picks
+      FROM sc
+      WHERE (cum_start + n_tokens) // 500 - cum_start // 500 > 0
+      ORDER BY doc_id""",
 
     // Mirrors the Spark two-stage chunk fold (vec_id // 256 grouping) so
     // the certified addition tree is the bounded-buffer one, not the

@@ -165,4 +165,39 @@ class SamplingSpec extends SparkSpec {
       .orderBy(col("src_rank")).collect().map(_.getLong(0)).toSeq
     assert(cold === Seq(101L, 102L))
   }
+
+  test("systematic sample: exact budget, block-split invariant, " +
+      "oversized docs multi-picked") {
+    import spark.implicits._
+    // skewed widths incl. one doc wider than several strides and a
+    // zero-width doc that can never be picked
+    val docs = ((1L to 50L).map(i => (i, (i * 13 % 97) + 1)) ++
+      Seq((51L, 0L), (52L, 777L))).map { case (i, w) => (i, w.toLong) }
+      .toDF("doc_id", "w")
+    val stride = 100L
+    val totalW = docs.agg(sum("w")).head().getLong(0)
+    val out = Sampling.systematicSample(docs, "doc_id", "w", stride,
+      numBlocks = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // EXACT budget: total picks == floor(totalW / stride), one per
+    // stride of cumulative weight
+    assert(out.map(_._4).sum === totalW / stride)
+    // the zero-width doc is never picked; the 777-wide doc gets >= 7
+    assert(!out.exists(_._1 == 51L))
+    assert(out.find(_._1 == 52L).get._4 >= 7L)
+    // every pick is justified: span (cum, cum+w] really covers the
+    // claimed number of stride multiples
+    out.foreach { case (_, w, cum, n) =>
+      assert((cum + w) / stride - cum / stride === n)
+    }
+    // the block split is plan-only: 1 block == 8 blocks == 64 blocks
+    for (nb <- Seq(1, 64)) {
+      val alt = Sampling.systematicSample(docs, "doc_id", "w", stride, nb)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(alt.toSeq === out.toSeq)
+    }
+  }
 }
