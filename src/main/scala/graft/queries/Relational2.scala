@@ -627,6 +627,42 @@ object Relational2 {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Time-RANGE window frames: per event, its user's trailing-7-day
+    // event count and exact decimal spend. RANGE (not ROWS): peers with
+    // equal timestamps aggregate identically in both engines, where a
+    // ROWS frame would be tie-order-dependent.
+    "q58_range_frame" -> { (s, dir) =>
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tm"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), us.as("tm"), col("value"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d",
+          sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("n_7d"), col("sum_7d"))
+        .orderBy(col("event_id"))
+    },
+
+    // Gaps-and-islands: each user's distinct activity days collapse into
+    // maximal consecutive-day streaks via the day-number-minus-row-number
+    // anchor — two stacked per-user windows, ONE shuffle on user_id.
+    "q59_gaps_islands" -> { (s, dir) =>
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val anchor = datediff(col("d"), lit("1970-01-01").cast("date")) -
+        row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("d")))
+      days.withColumn("anchor", anchor)
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(min(col("d")).as("streak_start"),
+          max(col("d")).as("streak_end"),
+          count(lit(1)).as("streak_days"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+          col("streak_days"))
+        .orderBy(col("user_id"), col("streak_start"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -653,6 +689,29 @@ object Relational2 {
     })
 
   val oracles: Map[String, String] = Map(
+    "q58_range_frame" -> """
+      WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tm, value
+                 FROM events)
+      SELECT event_id, user_id,
+        count(*) OVER w AS n_7d,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+      FROM g
+      WINDOW w AS (PARTITION BY user_id ORDER BY tm
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    "q59_gaps_islands" -> """
+      WITH dd AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+      rr AS (SELECT user_id, d,
+          date_diff('day', DATE '1970-01-01', d)
+            - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+        FROM dd)
+      SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+        count(*) AS streak_days
+      FROM rr GROUP BY user_id, anchor
+      ORDER BY user_id, streak_start""",
+
     "q21_outer_join" -> """
       WITH b AS (SELECT DISTINCT o_custkey FROM orders
                  WHERE o_totalprice > 4000.0)
