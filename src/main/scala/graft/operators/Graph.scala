@@ -221,6 +221,53 @@ object Graph {
           .as("jaccard"))
   }
 
+  /** Bipartite co-occurrence projection: project the doc↔token incidence
+    * onto a weighted token↔token graph (weight = number of docs where
+    * both occur) — the concept-graph builder behind related-terms,
+    * topic seeds, and embedding-training co-occurrence counts.
+    *
+    * The quadratic hazards and their bounds: a hub TOKEN (stopword-like
+    * df) is dropped by the [minDf, floor(maxDfRatio·N)] document-
+    * frequency band — the classic projection pruner, RELATIVE to corpus
+    * size so the same call scales from test SF to production (and minDf
+    * kills the long hapax tail before the join); a hub DOC emits pairs
+    * quadratic in its DISTINCT eligible tokens, which the df band also
+    * shrinks and doc length bounds. Pair generation keys on the doc id
+    * (one shuffle), the pair count on (tok_a, tok_b) (second shuffle);
+    * the final top-k is TakeOrderedAndProject, never a global sort, and
+    * rank is assigned after the cut so the un-partitioned window sees
+    * `topK` rows. The corpus count rides in as a broadcast single-row
+    * cross join — no driver-side action.
+    */
+  def cooccurrenceProjection(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDf: Int = 3, maxDfRatio: Double = 0.78,
+      minCount: Int = 2, topK: Int = 40): DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    require(maxDfRatio > 0 && maxDfRatio <= 1, "maxDfRatio in (0, 1]")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val tok = docs.select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("tok0"))
+      .select(col(idCol), lower(col("tok0")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]{4,}$"))
+      .distinct()
+    val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf &&
+        col("df") <= floor(col("__n") * maxDfRatio).cast("long"))
+    val el = tok.join(dfs.select(col("tok")), "tok")
+    val pairs = el.select(col(idCol), col("tok").as("tok_a"))
+      .join(el.select(col(idCol), col("tok").as("tok_b")), Seq(idCol))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("co_docs"))
+      .filter(col("co_docs") >= minCount)
+    pairs.orderBy(col("co_docs").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("co_docs").desc, col("tok_a"), col("tok_b"))))
+  }
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -248,6 +248,13 @@ object NorthStar {
     // resource-allocation — the recall-repair pass after capped LSH
     // (the signal looks two hops past what the bands caught). Hub
     // centers above degree 200 are dropped (the quadratic wedge term).
+    // Bipartite co-occurrence projection: doc↔token incidence projected
+    // onto token↔token edges (weight = co-document count), df-banded to
+    // prune hub tokens before the quadratic pair stage; top-40.
+    "g06_cooccur" -> { (s, dir) =>
+      Graph.cooccurrenceProjection(docs(s, dir)).orderBy(col("rank"))
+    },
+
     "g04_link_prediction" -> { (s, dir) =>
       val pairs = Dedup.minhashPairs(docs(s, dir))
         .select(col("a").as("src"), col("b").as("dst"))
@@ -1817,6 +1824,24 @@ object NorthStar {
               JOIN ka3 p ON p.id = e.z JOIN ka3 q ON q.id = e.x
               GROUP BY e.z)
       SELECT z AS id, deg AS core_deg FROM kdf ORDER BY id""",
+
+    "g06_cooccur" -> raw"""
+      WITH g6_raw AS (SELECT doc_id,
+          unnest(string_split_regex(text, '\s+')) AS t0 FROM documents),
+      g6_tok AS (SELECT DISTINCT doc_id, lower(t0) AS tok FROM g6_raw
+        WHERE regexp_full_match(lower(t0), '[a-z]{4,}')),
+      g6_df AS (SELECT tok FROM g6_tok GROUP BY tok
+        HAVING count(*) >= 3 AND count(*) <= CAST(floor(
+          0.78 * (SELECT count(*) FROM documents)) AS BIGINT)),
+      g6_el AS (SELECT doc_id, tok FROM g6_tok
+        WHERE tok IN (SELECT tok FROM g6_df)),
+      g6_p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS co_docs
+        FROM g6_el a JOIN g6_el b USING (doc_id) WHERE a.tok < b.tok
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      g6_r AS (SELECT *, row_number() OVER (
+          ORDER BY co_docs DESC, tok_a, tok_b) AS r FROM g6_p)
+      SELECT tok_a, tok_b, co_docs, CAST(r AS INT) AS "rank"
+      FROM g6_r WHERE r <= 40 ORDER BY "rank"""",
 
     "g04_link_prediction" -> s"""
       WITH $MinhashCtes,

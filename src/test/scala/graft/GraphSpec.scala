@@ -139,4 +139,27 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rev === got)
   }
+
+  test("co-occurrence projection: df band prunes hub and hapax tokens, " +
+      "counts are exact") {
+    import spark.implicits._
+    // "hubhub" appears in EVERY doc (df 7 > floor(0.78*7) = 5) and must
+    // vanish before the pair stage; "rare"/"solo" are hapax
+    // (df 1 < minDf 2); "abc" is too short for the token filter.
+    val fixture = Seq(
+      (1L, "alpha beta hubhub gamma abc"),
+      (2L, "alpha beta hubhub"),
+      (3L, "alpha beta hubhub delta"),
+      (4L, "gamma delta hubhub"),
+      (5L, "rare hubhub gamma"),
+      (6L, "hubhub solo"),
+      (7L, "gamma delta hubhub")).toDF("doc_id", "text")
+    val out = Graph.cooccurrenceProjection(fixture, minDf = 2,
+        maxDfRatio = 0.78, minCount = 2, topK = 10)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // alpha∩beta = {1,2,3}; delta∩gamma = {4,7}; everything else < 2
+    assert(out.toSeq === Seq(("alpha", "beta", 3L, 1),
+      ("delta", "gamma", 2L, 2)))
+  }
 }
