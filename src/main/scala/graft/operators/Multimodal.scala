@@ -267,4 +267,69 @@ object Multimodal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Patch-pooled payload signature: split the payload into `patches`
+    * contiguous byte stripes — the balanced split where 0-based byte b
+    * belongs to stripe ⌊b·P/n⌋ (so stripe i covers 1-based bytes
+    * ⌈i·n/P⌉+1 .. ⌈(i+1)·n/P⌉, the inverse the oracle computes per
+    * byte) — and pool each stripe to the exact integer sum of its
+    * unsigned byte values. A deterministic stand-in for a patch
+    * EMBEDDING with the plumbing real: fixed-dim vector per payload,
+    * map-only, exact integer arithmetic (the oracle reproduces it
+    * bit-for-bit; a real vision tower swaps in at exactly this column).
+    * Payloads shorter than `patches` leave some stripes empty
+    * (pooled 0); empty payloads are dropped.
+    * Output: (idCol, pooled array<long> of length `patches`).
+    */
+  def patchPooled(df: DataFrame, patches: Int = 8,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    require(patches > 0, "patches must be positive")
+    val p = col(payloadCol)
+    val prepared = df.filter(length(p) > 0)
+      .select(col(idCol), hex(p).as("__hx"), length(p).as("__n"))
+    val pooled = transform(sequence(lit(0), lit(patches - 1)), i => {
+      // ceil(a/P) = floor((a + P - 1)/P); products stay far below 2^53,
+      // so the double division is exact
+      val lo1 = floor((i.cast("long") * col("__n") + (patches - 1)) /
+        patches).cast("int") + 1
+      val hi1 = floor(((i + 1).cast("long") * col("__n") + (patches - 1)) /
+        patches).cast("int")
+      val stripe = when(hi1 >= lo1, sequence(lo1, hi1))
+        .otherwise(array().cast("array<int>"))
+      aggregate(
+        transform(stripe, j =>
+          conv(col("__hx").substr((j - 1) * 2 + 1, lit(2)), 16, 10)
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    })
+    prepared.select(col(idCol), pooled.as("pooled"))
+  }
+
+  /** Exact k-NN over [[patchPooled]] signatures: for every payload whose
+    * id ≡ 0 (mod `queryMod`) — the sampled query panel — the `k`
+    * nearest OTHER payloads by squared L2 distance on the pooled
+    * integer vectors. All-integer distances (zip_with + ordered fold)
+    * keep the ranking bit-stable cross-engine; ties break by neighbor
+    * id. The query panel is broadcast (|panel| = n/queryMod rows), the
+    * corpus side never shuffles, and the per-query top-k is a
+    * WindowGroupLimit — the s01 brute-force shape applied to media
+    * signatures. Output: (qid, rank, nid, d2).
+    */
+  def patchKnn(df: DataFrame, patches: Int = 8, k: Int = 3,
+      queryMod: Int = 97, payloadCol: String = "payload",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0 && queryMod > 0, "k and queryMod must be positive")
+    val vecs = patchPooled(df, patches, payloadCol, idCol)
+    val q = vecs.filter(col(idCol) % queryMod === 0)
+      .select(col(idCol).as("qid"), col("pooled").as("qv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("pooled"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))
+    vecs.join(broadcast(q), col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol).as("nid"), d2.as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("d2"))
+  }
 }

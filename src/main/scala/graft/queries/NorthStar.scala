@@ -1001,6 +1001,26 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // Patch-pooled payload signatures: fixed-dim integer vector per
+    // payload (balanced byte stripes, exact sums) — the deterministic
+    // stand-in column where a vision tower's patch embedding plugs in.
+    "m09_patch_pool" -> { (s, dir) =>
+      Multimodal.patchPooled(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .select(col("doc_id"),
+          posexplode(col("pooled")).as(Seq("patch_idx", "pooled")))
+        .orderBy(col("doc_id"), col("patch_idx"))
+    },
+
+    // Exact media-signature k-NN: broadcast query panel over the pooled
+    // integer vectors, all-integer L2, WindowGroupLimit top-3 — the s01
+    // brute-force shape on the multimodal column.
+    "m10_patch_knn" -> { (s, dir) =>
+      Multimodal.patchKnn(
+          docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("qid"), col("rank"))
+    },
+
     // Batched stub resize (stride downsample through mapPartitions — the
     // real resampler shape), fingerprint fully oracle-checked.
     "m04_resize_stub" -> { (s, dir) =>
@@ -1030,6 +1050,28 @@ object NorthStar {
 
   private val H = "('0x' || substr(md5(%s), 1, 15))::BIGINT"
   private def h(x: String) = H.format(x)
+
+  /** Patch-pool CTE chain (m09's algorithm, 8 stripes over the UTF-8
+    * payload), ending in `m9_p(doc_id, patch_idx, pooled)` — shared by
+    * m09 and the m10 k-NN. Byte j (1-based) lands in stripe
+    * ((j-1)*8) // n, the inverse of the ceil-based stripe bounds the
+    * Spark side enumerates; the left join against the stripe grid
+    * materializes empty stripes as pooled = 0.
+    */
+  private lazy val PatchPoolCtes = """m9_d AS (
+        SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS n
+        FROM documents WHERE octet_length(encode(text)) > 0),
+      m9_b AS (SELECT doc_id,
+          CAST(((j - 1) * 8) // n AS INT) AS patch_idx,
+          ('0x' || substring(hx, (j-1)*2 + 1, 2))::BIGINT AS bv
+        FROM m9_d, unnest(generate_series(1, n)) AS t(j)),
+      m9_s AS (SELECT doc_id, patch_idx, CAST(sum(bv) AS BIGINT) AS pooled
+        FROM m9_b GROUP BY 1, 2),
+      m9_g AS (SELECT doc_id, CAST(i AS INT) AS patch_idx
+        FROM m9_d, unnest(generate_series(0, 7)) AS t(i)),
+      m9_p AS (SELECT g.doc_id, g.patch_idx, coalesce(s.pooled, 0) AS pooled
+        FROM m9_g g LEFT JOIN m9_s s USING (doc_id, patch_idx))"""
 
   /** Content-defined chunking CTE chain (d26's algorithm, window=16,
     * modulus=64), ending in `cdc_chunks(doc_id, chunk_idx, chunk_start,
@@ -3090,6 +3132,27 @@ object NorthStar {
         md5(array_to_string(list_transform(generate_series(0, (nb - 1) // 4),
           i -> substring(hx, i * 8 + 1, 2)), '')) AS resized_md5
       FROM h ORDER BY doc_id""",
+
+    "m09_patch_pool" -> s"""
+      WITH $PatchPoolCtes
+      SELECT doc_id, patch_idx, pooled FROM m9_p
+      ORDER BY doc_id, patch_idx""",
+
+    "m10_patch_knn" -> s"""
+      WITH $PatchPoolCtes,
+      m9_v AS (SELECT doc_id, list(pooled ORDER BY patch_idx) AS v
+        FROM m9_p GROUP BY doc_id),
+      m9_q AS (SELECT doc_id AS qid, v AS qv FROM m9_v
+        WHERE doc_id % 97 = 0),
+      m9_dist AS (SELECT q.qid, c.doc_id AS nid,
+          list_reduce(list_transform(generate_series(1, 8),
+            i -> (q.qv[i] - c.v[i]) * (q.qv[i] - c.v[i])),
+            (a, b) -> a + b) AS d2
+        FROM m9_q q JOIN m9_v c ON c.doc_id <> q.qid),
+      m9_r AS (SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY d2, nid) AS r FROM m9_dist)
+      SELECT qid, CAST(r AS INT) AS "rank", nid, d2
+      FROM m9_r WHERE r <= 3 ORDER BY qid, "rank"""",
 
     "q20_asof_join" -> """
       WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
