@@ -73,23 +73,23 @@ object Bench {
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line.
-    def r3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def r2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    // Short stdout form also drops the third decimal: at 150+ queries the
-    // 3-decimal line (~1950 chars) plus sbt's ~75-char [success] trailer
-    // overflows the driver's 2000-char capture window, truncating the
-    // JSON's FRONT (the BENCH_r03 failure). Host noise is ±40%, so the
-    // third decimal carries no information; bench_out.json keeps it.
-    def qJson(short: Boolean) = results.map { case (k, v) =>
+    def rN(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    def r3(v: Double): String = rN(v, 3)
+    // Short stdout form drops decimals as the query count grows: at 150+
+    // queries the 3-decimal line (~1950 chars) plus sbt's ~75-char
+    // [success] trailer overflows the driver's 2000-char capture window,
+    // truncating the JSON's FRONT (the BENCH_r03 failure). Host noise is
+    // ±40%, so trailing decimals carry no information; bench_out.json
+    // keeps full precision.
+    def qJson(short: Boolean, decimals: Int) = results.map { case (k, v) =>
       val key = if (short) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (if (short) r2(v) else r3(v))
+      "\"" + key + "\":" + (if (short) rN(v, decimals) else r3(v))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def line(short: Boolean) =
+    def line(short: Boolean, decimals: Int = 3) =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${qJson(short)},""" +
+      s""""queries":${qJson(short, decimals)},""" +
       s""""streaming_rows_per_sec":${r3(streamingRate)},"sf":"$sfDir"}"""
     // The full-name file is written FIRST — results must survive even if
     // anything below throws (a failed run that already spent the whole
@@ -103,8 +103,13 @@ object Bench {
     // the window no matter how values are rounded (BENCH_r02/r03 both came
     // back unparseable). The full-name line still goes to bench_out.json;
     // BASELINE.md documents the key mapping (prefix <-> SparkEntry name).
-    // A line creeping past the window is a WARNING, never a crash.
-    val stdoutLine = line(short = true)
+    // Precision adapts to the query count: 2 decimals while the line
+    // fits, else 1 (at ~165 queries the 2-decimal line outgrows the
+    // window). A line past the window even at 1 decimal is a WARNING,
+    // never a crash.
+    val stdoutLine = Seq(line(short = true, 2), line(short = true, 1))
+      .find(_.length <= 1850)
+      .getOrElse(line(short = true, 1))
     if (stdoutLine.length > 1850)
       System.err.println(s"[bench] WARNING: stdout line " +
         s"${stdoutLine.length} chars may exceed the driver's 2000-char " +

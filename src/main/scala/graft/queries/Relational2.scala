@@ -663,6 +663,44 @@ object Relational2 {
         .orderBy(col("user_id"), col("streak_start"))
     },
 
+    // IGNORE NULLS window battery: running last-non-null (gap fill /
+    // last-observation-carried-forward), partition-wide first and 3rd
+    // non-null — over a value column nulled out for 'view' events.
+    "q60_ignore_nulls" -> { (s, dir) =>
+      val v = when(col("event_type") =!= "view", col("value"))
+      val ord = Seq(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("vn", v)
+        .select(col("event_id"), col("user_id"),
+          last(col("vn"), ignoreNulls = true).over(run).as("locf"),
+          first(col("vn"), ignoreNulls = true).over(full).as("first_nn"),
+          nth_value(col("vn"), 3, ignoreNulls = true).over(full)
+            .as("third_nn"))
+        .orderBy(col("event_id"))
+    },
+
+    // EWMA (alpha = 1/2) as a per-user ordered fold: y_k = (y_{k-1} +
+    // x_k)/2 from y_0 = 0 — the identical left-to-right double fold in
+    // both engines, so the result is bit-exact with no integerization.
+    // The collect_list is bounded by events-per-user (the same per-key
+    // buffer every sessionization carries).
+    "q61_ewma_fold" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(aggregate(
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("value")))),
+              e => e("value")),
+            lit(0.0), (acc, x) => (acc + x) / 2), 6).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -689,6 +727,31 @@ object Relational2 {
     })
 
   val oracles: Map[String, String] = Map(
+    "q60_ignore_nulls" -> """
+      WITH g AS (SELECT event_id, user_id, ts,
+          CASE WHEN event_type <> 'view' THEN value END AS vn
+        FROM events)
+      SELECT event_id, user_id,
+        last_value(vn IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        first_value(vn IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS first_nn,
+        nth_value(vn, 3 IGNORE NULLS) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS third_nn
+      FROM g ORDER BY event_id""",
+
+    "q61_ewma_fold" -> """
+      SELECT user_id, count(*) AS n_events,
+        round(list_reduce(
+          list_prepend(0.0, list(value ORDER BY ts, event_id)),
+          (a, b) -> (a + b) / 2), 6) AS ewma
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
     "q58_range_frame" -> """
       WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tm, value
                  FROM events)
