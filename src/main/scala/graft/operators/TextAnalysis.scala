@@ -950,4 +950,47 @@ object TextAnalysis {
         i => concat_ws(" ", slice(w, i, lit(2)))))).otherwise(w)
     transform(feats, g => (md5Long(g) % dim).cast("int"))
   }
+
+  /** Count-min sketch point estimates, certified against exact counts:
+    * build the depth×width counter grid (each term increments one
+    * bucket per hash row — the seeded CrossHash family, so the oracle
+    * builds the IDENTICAL grid), then estimate the top-`topK` exact
+    * terms as the MIN of their depth bucket counters. The one-sided
+    * guarantee cms_n ≥ exact_n holds by construction; the gap is the
+    * collision mass the width has to absorb.
+    *
+    * Scale: the sketch is depth·width counters REGARDLESS of corpus
+    * size — the aggregation that replaces a full term groupBy when only
+    * point lookups are needed; it is also mergeable across shards/
+    * micro-batches by plain addition (the same partial-agg shape
+    * Spark's 2-phase hash agg already gives the build). The probe side
+    * joins the broadcast grid.
+    * Output: (term, exact_n, cms_n), exact-count descending.
+    */
+  def cmsEstimates(docs: DataFrame, textCol: String = "text",
+      depth: Int = 3, width: Int = 256, topK: Int = 10): DataFrame = {
+    require(depth > 0 && width > 0 && topK > 0,
+      "depth, width and topK must be positive")
+    val terms = docs
+      .select(explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    def buckets = explode(transform(sequence(lit(0), lit(depth - 1)),
+      i => struct(i.as("row"),
+        (md5Long(concat(i.cast("string"), lit(":"), col("term")))
+          % width).as("bucket"))))
+    val sketch = terms.select(col("term"), buckets.as("p"))
+      .groupBy(col("p")("row").as("row"), col("p")("bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("term")).limit(topK)
+    // every probed (row, bucket) exists in the grid (the term itself
+    // contributed), so the inner join loses nothing
+    exact.select(col("term"), col("exact_n"), buckets.as("p"))
+      .select(col("term"), col("exact_n"),
+        col("p")("row").as("row"), col("p")("bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("term"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_n"))
+  }
 }

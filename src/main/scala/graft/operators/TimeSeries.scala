@@ -67,4 +67,41 @@ object TimeSeries {
       org.apache.spark.sql.expressions.Window
         .orderBy(col("d2"), col("key"), col("start_idx"))))
   }
+
+  /** Fixed-bin histogram quantiles — the percentile that scales. An
+    * exact per-group percentile (q23) sorts every group's values; the
+    * histogram reduces the corpus to (groups × bins) rows in ONE
+    * map-side-combined aggregation and reads quantiles off the
+    * cumulative bin counts, so 100 TB of raw values never shuffle —
+    * only the tiny histogram does. Error is bounded by `binWidth`: the
+    * reported quantile is the LOWER EDGE of the smallest bin whose
+    * cumulative count reaches p% of the group. Thresholds compare in
+    * exact integer cross-multiplication (100·cum ≥ pct·n), never a
+    * floating p·n.
+    * Output: (keyCol, n, p<pct> per requested pct) — edges as doubles.
+    */
+  def histogramQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      binWidth: Double = 10.0,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(pcts.nonEmpty && pcts.forall(p => p > 0 && p <= 100),
+      "pcts must be in 1..100")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(keyCol),
+        floor(col(valCol) / binWidth).cast("long").as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val binAggs = pcts.map(p =>
+      min(when(col("__cum") * 100 >= col("__n") * p, col("__bin")))
+        .as(s"__b$p"))
+    cum.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"), binAggs: _*)
+      .select(col(keyCol) +: col("n") +:
+        pcts.map(p => (col(s"__b$p") * binWidth).as(s"p$p")): _*)
+  }
 }

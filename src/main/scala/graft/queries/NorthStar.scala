@@ -784,6 +784,14 @@ object NorthStar {
         .orderBy(col("cnt").desc, col("term"))
     },
 
+    // Count-min sketch vs ground truth: constant-size (3×256) counter
+    // grid, point estimates for the top-10 exact terms — the mergeable
+    // sketch that answers lookups without a corpus-wide term groupBy.
+    "t37_cms_counts" -> { (s, dir) =>
+      TextAnalysis.cmsEstimates(docs(s, dir))
+        .orderBy(col("exact_n").desc, col("term"))
+    },
+
     // BM25 relevance ranking against a fixed query-term bag: the IR-side
     // complement of t05's TF-IDF (df/idf with length normalization).
     // Decimal per-term sums → order-free; top-10 via sort+limit.
@@ -2753,6 +2761,25 @@ object NorthStar {
       SELECT term, count(*) AS cnt FROM tok, n
       GROUP BY term, n.mc HAVING count(*) >= n.mc
       ORDER BY cnt DESC, term""",
+
+    "t37_cms_counts" -> raw"""
+      WITH cm_t AS (SELECT unnest(string_split_regex(text, '\s+')) AS term
+                    FROM documents),
+      cm_tt AS (SELECT term FROM cm_t WHERE term <> ''),
+      cm_h AS (SELECT term, i,
+          ('0x' || substr(md5(i || ':' || term), 1, 15))::BIGINT % 256
+            AS bucket
+        FROM cm_tt, unnest(generate_series(0, 2)) AS t(i)),
+      cm_s AS (SELECT i, bucket, count(*) AS cnt FROM cm_h GROUP BY 1, 2),
+      cm_e AS (SELECT term, count(*) AS exact_n FROM cm_tt GROUP BY 1
+        ORDER BY exact_n DESC, term LIMIT 10),
+      cm_p AS (SELECT e.term, e.exact_n, t.i,
+          ('0x' || substr(md5(t.i || ':' || e.term), 1, 15))::BIGINT % 256
+            AS bucket
+        FROM cm_e e, unnest(generate_series(0, 2)) AS t(i))
+      SELECT p.term, p.exact_n, CAST(min(s.cnt) AS BIGINT) AS cms_n
+      FROM cm_p p JOIN cm_s s ON s.i = p.i AND s.bucket = p.bucket
+      GROUP BY 1, 2 ORDER BY exact_n DESC, term""",
 
     // Mirrors the Spark arithmetic exactly: idf = ln(1 + (N-df+0.5)/
     // (df+0.5)); per-term score rounded to 6 then summed as DECIMAL

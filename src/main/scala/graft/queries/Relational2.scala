@@ -701,6 +701,16 @@ object Relational2 {
         .orderBy(col("user_id"))
     },
 
+    // Fixed-bin histogram quantiles: the scalable percentile — one tiny
+    // (groups × bins) aggregation instead of q23's per-group value
+    // sort; quantile = lower edge of the first bin reaching p% of n,
+    // thresholds in exact integer cross-multiplication.
+    "q62_histogram_quantiles" -> { (s, dir) =>
+      graft.operators.TimeSeries.histogramQuantiles(
+          t(s, dir, "events"), "event_type", "value")
+        .orderBy(col("event_type"))
+    },
+
     // Two-stage salted aggregation (skew mitigation): result is
     // salt-independent, so the oracle is the plain GROUP BY.
     "q27_salted_agg" -> { (s, dir) =>
@@ -751,6 +761,24 @@ object Relational2 {
           list_prepend(0.0, list(value ORDER BY ts, event_id)),
           (a, b) -> (a + b) / 2), 6) AS ewma
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q62_histogram_quantiles" -> """
+      WITH hq_h AS (SELECT event_type,
+          CAST(floor(value / 10.0) AS BIGINT) AS bin, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      hq_c AS (SELECT event_type, bin, c,
+          sum(c) OVER (PARTITION BY event_type ORDER BY bin
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hq_h)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin END) * 10.0
+          AS DOUBLE) AS p50,
+        CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin END) * 10.0
+          AS DOUBLE) AS p90,
+        CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END) * 10.0
+          AS DOUBLE) AS p99
+      FROM hq_c GROUP BY event_type ORDER BY event_type""",
 
     "q58_range_frame" -> """
       WITH g AS (SELECT event_id, user_id, epoch_us(ts) AS tm, value

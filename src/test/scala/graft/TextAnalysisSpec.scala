@@ -643,4 +643,25 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("doc_id") === 0).collect()(0)
     assert(one === again)
   }
+
+  test("count-min sketch: estimates are one-sided even under forced " +
+      "collisions; exact at generous width") {
+    import spark.implicits._
+    val fixture = (Seq.fill(50)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 60).map(i => s"cold$i")).mkString(" ")
+    val docs = Seq((1L, fixture)).toDF("doc_id", "text")
+    // width 4 forces heavy collisions: the one-sided bound must hold
+    val tight = TextAnalysis.cmsEstimates(docs, depth = 3, width = 4,
+      topK = 5).collect()
+    tight.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: cms ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // a wide grid separates this tiny vocabulary: estimates go exact
+    val wide = TextAnalysis.cmsEstimates(docs, depth = 3, width = 65536,
+      topK = 5).collect()
+    wide.foreach(r => assert(r.getLong(2) === r.getLong(1)))
+    assert(wide.map(r => r.getString(0) -> r.getLong(1)).toMap
+      .get("hot").contains(50L))
+  }
 }

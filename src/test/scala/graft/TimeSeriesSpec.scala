@@ -67,4 +67,29 @@ class TimeSeriesSpec extends SparkSpec {
       .map(x => (x._1, x._2) -> x._3).toMap
     assert(got === expect)
   }
+
+  test("histogram quantiles bracket the exact percentile within one bin") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map(i =>
+      (if (i % 2 == 0) "a" else "b", rnd.nextDouble() * 300))
+    val df = rows.toDF("k", "v")
+    val out = TimeSeries.histogramQuantiles(df, "k", "v", binWidth = 10.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    for ((k, (n, p50, p90, p99)) <- out) {
+      val vals = rows.filter(_._1 == k).map(_._2).sorted
+      assert(n === vals.size)
+      // exact percentile (smallest value with rank >= ceil(p*n)) lands
+      // INSIDE the reported bin: edge <= exact < edge + width
+      for ((p, edge) <- Seq(0.50 -> p50, 0.90 -> p90, 0.99 -> p99)) {
+        val exact = vals((math.ceil(p * n).toInt - 1).max(0))
+        assert(edge <= exact && exact < edge + 10.0,
+          s"$k p$p: exact $exact outside [$edge, ${edge + 10.0})")
+      }
+      // monotone by construction
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
 }
