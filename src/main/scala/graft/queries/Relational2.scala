@@ -701,6 +701,20 @@ object Relational2 {
         .orderBy(col("user_id"))
     },
 
+    // Distribution-rank battery: ntile quartiles, percent_rank and
+    // cume_dist per event_type — the (value, event_id) ordering is a
+    // total order, so every rank function is tie-free deterministic.
+    "q63_rank_battery" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("event_id"))
+    },
+
     // Fixed-bin histogram quantiles: the scalable percentile — one tiny
     // (groups × bins) aggregation instead of q23's per-group value
     // sort; quantile = lower edge of the first bin reaching p% of n,
@@ -761,6 +775,15 @@ object Relational2 {
           list_prepend(0.0, list(value ORDER BY ts, event_id)),
           (a, b) -> (a + b) / 2), 6) AS ewma
       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q63_rank_battery" -> """
+      SELECT event_id, event_type,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pr,
+        round(cume_dist() OVER w, 6) AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id""",
 
     "q62_histogram_quantiles" -> """
       WITH hq_h AS (SELECT event_type,
