@@ -82,15 +82,27 @@ object Bench {
     // truncating the JSON's FRONT (the BENCH_r03 failure). Host noise is
     // ±40%, so trailing decimals carry no information; bench_out.json
     // keeps full precision.
-    def qJson(short: Boolean, decimals: Int) = results.map { case (k, v) =>
-      val key = if (short) k.takeWhile(_ != '_') else k
-      "\"" + key + "\":" + (if (short) rN(v, decimals) else r3(v))
-    }.mkString("{", ",", "}")
+    def qJson(short: Boolean, decimals: Int, keep: Int = Int.MaxValue) = {
+      val kept = if (keep >= results.size) results
+        else results.sortBy(-_._2).take(keep).sortBy(_._1)
+      kept.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + (if (short) rN(v, decimals) else r3(v))
+      }.mkString("{", ",", "}")
+    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def line(short: Boolean, decimals: Int = 3) =
+    // Short form also compacts the envelope: sf basename and 1-decimal
+    // streaming rate — every envelope char competes with a query entry
+    // for the capture window.
+    def line(short: Boolean, decimals: Int = 3, keep: Int = Int.MaxValue) = {
+      val sf = if (short) new java.io.File(sfDir).getName else sfDir
+      val omitted = if (keep < results.size)
+        s""""omitted":${results.size - keep},""" else ""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${qJson(short, decimals)},""" +
-      s""""streaming_rows_per_sec":${r3(streamingRate)},"sf":"$sfDir"}"""
+      s""""queries":${qJson(short, decimals, keep)},$omitted""" +
+      s""""streaming_rows_per_sec":${rN(streamingRate, if (short) 1 else 3)},""" +
+      s""""sf":"$sf"}"""
+    }
     // The full-name file is written FIRST — results must survive even if
     // anything below throws (a failed run that already spent the whole
     // timed pass must never come back empty-handed).
@@ -105,12 +117,17 @@ object Bench {
     // BASELINE.md documents the key mapping (prefix <-> SparkEntry name).
     // Precision adapts to the query count: 2 decimals while the line
     // fits, else 1 (at ~165 queries the 2-decimal line outgrows the
-    // window). A line past the window even at 1 decimal is a WARNING,
-    // never a crash.
-    val stdoutLine = Seq(line(short = true, 2), line(short = true, 1))
-      .find(_.length <= 1850)
-      .getOrElse(line(short = true, 1))
-    if (stdoutLine.length > 1850)
+    // window). Past ~185 queries even the 1-decimal full map overflows:
+    // the final tier keeps only the SLOWEST entries that fit (plus an
+    // "omitted":N marker) — the fast tail carries no 2x-comparison
+    // information and bench_out.json still has every query. A parseable
+    // degraded line always beats an unparseable complete one.
+    val budget = 1850
+    val stdoutLine = (
+      Seq(line(short = true, 2), line(short = true, 1)) ++
+      Seq(150, 120, 90, 60).map(k => line(short = true, 1, keep = k))
+    ).find(_.length <= budget).getOrElse(line(short = true, 1, keep = 30))
+    if (stdoutLine.length > budget)
       System.err.println(s"[bench] WARNING: stdout line " +
         s"${stdoutLine.length} chars may exceed the driver's 2000-char " +
         "capture window (minus the sbt trailer); shorten the keys")

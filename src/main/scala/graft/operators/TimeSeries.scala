@@ -104,4 +104,43 @@ object TimeSeries {
       .select(col(keyCol) +: col("n") +:
         pcts.map(p => (col(s"__b$p") * binWidth).as(s"p$p")): _*)
   }
+
+  /** Slowly-changing-dimension (type 2) build from a CDC change stream:
+    * per key, ordered attribute observations collapse into validity
+    * intervals [valid_from_us, valid_to_us) with a version number and an
+    * is_current flag on the open interval. Consecutive observations with
+    * an unchanged attribute tuple are no-ops and never open a new
+    * version (the lag-compare runs BEFORE versioning, so a flapping
+    * upstream that re-emits unchanged rows cannot inflate the dimension).
+    *
+    * Scale (100 TB of change records): everything is windows over ONE
+    * hash partitioning on the key — no self-join, no collect. State per
+    * key is O(1) (lag/lead/running count), so a key with millions of
+    * changes streams through its sort rather than buffering. Timestamps
+    * travel as epoch micros (BIGINT) — cross-engine exact.
+    *
+    * Ordering must be a total order per key (pass a unique tiebreaker in
+    * `ordCols`), or version numbering is nondeterministic under ties.
+    */
+  def scdIntervals(changes: DataFrame, keyCol: String, timeCol: String,
+      ordCols: Seq[Column], attrCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val w = Window.partitionBy(col(keyCol)).orderBy(ordCols: _*)
+    val attrs = struct(attrCols.map(col): _*)
+    val us = unix_micros(col(timeCol).cast("timestamp"))
+    // <=> : the very first row per key (lag = NULL) must open version 1
+    // even when an attribute is NULL, and NULL-valued attributes compare
+    // stably between consecutive rows.
+    val changed = changes
+      .withColumn("__keep", !(attrs <=> lag(attrs, 1).over(w)))
+      .filter(col("__keep"))
+    changed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from_us", us)
+      .withColumn("valid_to_us", lead(us, 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col(keyCol) +: col("version") +: attrCols.map(col) :+
+        col("valid_from_us") :+ col("valid_to_us") :+ col("is_current"): _*)
+  }
 }

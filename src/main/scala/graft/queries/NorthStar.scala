@@ -405,6 +405,17 @@ object NorthStar {
       Dedup.chunkDedupLedger(docs(s, dir)).orderBy(col("source"))
     },
 
+    // SCD type-2 dimension build from the CDC stream: per-user validity
+    // intervals over the event_type attribute — flap-proof (unchanged
+    // re-emits open no version), O(1) window state per key, epoch-micro
+    // interval bounds.
+    "d28_scd2_dimension" -> { (s, dir) =>
+      graft.operators.TimeSeries.scdIntervals(
+          Tables.load(s, dir, "events"), "user_id", "ts",
+          Seq(col("ts"), col("event_id")), Seq("event_type"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // Per-doc n-gram novelty: share of 8-gram positions whose hash is
     // unique corpus-wide — the memorization-risk score next to quality.
     "t25_ngram_novelty" -> { (s, dir) =>
@@ -1604,6 +1615,24 @@ object NorthStar {
         round(coalesce(s.bytes_stored, 0) /
           CAST(r.bytes_referenced AS DOUBLE), 6) AS dedup_ratio
       FROM cdc_ref r LEFT JOIN cdc_sto s USING (source) ORDER BY source""",
+
+    // Mirrors the Spark construction: struct-lag flag (NULL-safe, first
+    // row per key always opens version 1) -> filter -> window again.
+    "d28_scd2_dimension" -> """
+      WITH s2_a AS (SELECT user_id, ts, event_id, event_type,
+          {'et': event_type} AS a FROM events),
+      s2_f AS (SELECT *, lag(a) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS pa FROM s2_a),
+      s2_c AS (SELECT user_id, ts, event_id, event_type FROM s2_f
+        WHERE a IS DISTINCT FROM pa),
+      s2_v AS (SELECT user_id, event_type,
+          CAST(row_number() OVER w AS INT) AS version,
+          epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts)) OVER w AS valid_to_us
+        FROM s2_c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+        valid_to_us IS NULL AS is_current
+      FROM s2_v ORDER BY user_id, version""",
 
     "t25_ngram_novelty" -> raw"""
       WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w

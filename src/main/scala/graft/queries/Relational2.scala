@@ -715,6 +715,26 @@ object Relational2 {
         .orderBy(col("event_id"))
     },
 
+    // Running DISTINCT count — the window aggregate Spark has no native
+    // form for (COUNT(DISTINCT) OVER throws). First-occurrence flag per
+    // (type, user) + running sum of flags: two sorts instead of a
+    // per-frame distinct-set state that grows with the window — the only
+    // shape that survives 100 TB windows. Oracle runs the identical
+    // construction so both engines agree by definition.
+    "q64_running_distinct" -> { (s, dir) =>
+      val first = Window.partitionBy(col("event_type"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("__f",
+          when(row_number().over(first) === 1, 1L).otherwise(0L))
+        .select(col("event_id"), col("event_type"),
+          sum(col("__f")).over(run).as("run_distinct_users"))
+        .orderBy(col("event_id"))
+    },
+
     // Fixed-bin histogram quantiles: the scalable percentile — one tiny
     // (groups × bins) aggregation instead of q23's per-group value
     // sort; quantile = lower edge of the first bin reaching p% of n,
@@ -784,6 +804,17 @@ object Relational2 {
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
       ORDER BY event_id""",
+
+    "q64_running_distinct" -> """
+      WITH rd_f AS (SELECT event_id, event_type, ts,
+          CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+            ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS f
+        FROM events)
+      SELECT event_id, event_type,
+        CAST(sum(f) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS run_distinct_users
+      FROM rd_f ORDER BY event_id""",
 
     "q62_histogram_quantiles" -> """
       WITH hq_h AS (SELECT event_type,
