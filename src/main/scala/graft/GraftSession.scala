@@ -20,8 +20,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is nanosecond parquet, unreadable otherwise (Tables.load
-      // converts the long back to a microsecond TIMESTAMP_NTZ).
+      // Some fixture generations write events.ts as nanosecond parquet,
+      // unreadable without this flag (Tables.load converts the long back
+      // to microsecond TIMESTAMP_NTZ); inert on microsecond fixtures.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

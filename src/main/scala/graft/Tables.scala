@@ -12,11 +12,13 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * Timestamp semantics: the fixtures carry `isAdjustedToUTC=false` parquet
   * timestamps, which Spark 4 reads as TIMESTAMP_NTZ — the same naive-local
   * semantics DuckDB's TIMESTAMP has, so oracle comparison is direct. The
-  * `events.ts` column is nanosecond precision, which Spark's parquet reader
-  * rejects outright; sessions must set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[GraftSession]]), and
-  * [[load]] converts the resulting long back to a microsecond TIMESTAMP_NTZ
-  * (floor division — matching DuckDB's nanos→micros truncation on read).
+  * `events.ts` precision has varied across fixture generations: nanosecond
+  * parquet (which Spark rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` — kept set in
+  * [[GraftSession]]) vs native microsecond. [[load]] keys off the READ
+  * schema: a long `ts` is a nanos fixture and gets floor-divided back to
+  * microsecond TIMESTAMP_NTZ (matching DuckDB's nanos→micros truncation);
+  * a timestamp `ts` passes through.
   */
 object Tables {
   val names: Seq[String] = Seq(

@@ -55,32 +55,33 @@ class OffsetGapProcessor
   */
 object StreamOps {
 
-  /** The events fixture's on-disk schema (ts is nanosecond parquet, read as
-    * long under the nanosAsLong flag — streaming reads need it explicit).
-    */
-  val eventsFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming file-replay of the events table in the 7-column
     * kafka_consumer shape — the zero-infrastructure stand-in for
     * [[KafkaSource.stream]] used by tests and local runs.
+    *
+    * FileStreamSource needs an explicit schema, and the fixture's `ts`
+    * precision has drifted across generator versions (nanosecond parquet —
+    * a long under the nanosAsLong flag — vs native microsecond
+    * TIMESTAMP_NTZ). Hard-coding either form silently corrupts the other
+    * (micros read as nanos land every event in 1970, so the watermark
+    * drops nearly the whole stream), so the schema comes from a one-time
+    * batch read of the footer and `ts` is normalized to TIMESTAMP_NTZ
+    * micros the same way [[Tables.load]] does.
     */
   def replayStream(spark: SparkSession, dir: String,
       topic: String = "events"): DataFrame = {
     // The fixture is a single file, not a directory; FileStreamSource
     // insists on a directory basePath, but a glob makes it derive the
     // parent dir as the base itself.
-    val raw = spark.readStream.schema(eventsFileSchema)
-      .parquet(s"$dir/events*.parquet")
-    KafkaSource.replay(
-      raw.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)),
-      topic)
+    val glob = s"$dir/events*.parquet"
+    val onDisk = spark.read.parquet(glob).schema
+    val raw = spark.readStream.schema(onDisk).parquet(glob)
+    val normalized =
+      if (onDisk("ts").dataType == LongType)
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+    KafkaSource.replay(normalized, topic)
   }
 
   /** Tumbling (or, with `slide`, hopping) window counts with a watermark:
