@@ -18,7 +18,8 @@ object SparkEntry {
     (Relational2.defs, Relational2.oracles),
     (KafkaParity.defs, KafkaParity.oracles),
     (NorthStar.defs, NorthStar.oracles),
-    (Pipeline.defs, Pipeline.oracles))
+    (Pipeline.defs, Pipeline.oracles),
+    (Extras.defs, Extras.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -868,4 +868,41 @@ object Dedup {
         round(coalesce(col("bytes_stored"), lit(0L)) /
           col("bytes_referenced").cast("double"), 6).as("dedup_ratio"))
   }
+
+  /** Cross-corpus priority dedup: when the same (normalized) text appears
+    * in several sources, keep exactly ONE copy — the one from the
+    * highest-priority source (lowest `priority` value; id-tiebroken) —
+    * and report how contended the text was. This is the standard
+    * pretraining-mix rule ("prefer curated over crawled"): plain exact
+    * dedup keeps an arbitrary min-id copy, which silently biases the
+    * surviving mix toward whichever source enumerates first.
+    *
+    * One shuffle on the normalized-text hash; the keep decision is a
+    * per-group row_number (bounded by copies-per-text, the exact-dedup
+    * group-size envelope), and the contention stats ride the same
+    * aggregation — no second pass, no join back to the corpus.
+    *
+    * Output: one row per distinct normalized text —
+    * (idCol, srcCol, norm_md5, n_copies, n_sources, best_priority).
+    */
+  def crossSourcePriorityDedup(docs: DataFrame, priority: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__nm")).orderBy(col("__pr"), col(idCol))
+    val agg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__nm"))
+    docs
+      .withColumn("__nm",
+        md5(graft.operators.TextAnalysis.normalizeForDedup(col(textCol))))
+      .withColumn("__pr", priority)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(agg).cast("long"))
+      .withColumn("n_sources",
+        size(collect_set(col(srcCol)).over(agg)).cast("long"))
+      .withColumn("best_priority", min(col("__pr")).over(agg))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(srcCol), col("__nm").as("norm_md5"),
+        col("n_copies"), col("n_sources"), col("best_priority"))
+  }
 }

@@ -281,4 +281,43 @@ object Graph {
     tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** k-hop reachability counts: for each seed node, how many DISTINCT
+    * nodes sit at BFS distance exactly 1, 2, …, `k` — the neighborhood
+    * growth profile (contamination blast radius on a near-dup graph,
+    * influence reach on an interaction graph). Input: (src, dst) edges
+    * (treated as directed; pre-union the reverse for undirected),
+    * `seeds` with a `seed` column.
+    *
+    * Distributed BFS, frontier form: each hop joins the CURRENT frontier
+    * (not the visited set) against the edge list, then anti-joins the
+    * visited set — per-hop cost |frontier⋈edges|, the textbook
+    * level-synchronous formulation. The visited/frontier tables are
+    * localCheckpoint'ed each hop so the k-deep lineage never re-executes
+    * and the planner sees node-sized leaf tables. At cluster scale,
+    * pre-partition `edges` by src once (`repartition($"src")` + persist)
+    * and every hop's join reuses the exchange.
+    *
+    * Output: (seed, dist, n_nodes), dist in 1..k, rows only where
+    * n_nodes > 0. The seed itself (dist 0) is not emitted.
+    */
+  def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    var visited = seeds.select(col("seed"), col("seed").as("node"))
+      .distinct().localCheckpoint(false)
+    var frontier = visited
+    val levels = (1 to k).map { d =>
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      frontier = next
+      next.groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_nodes")).withColumn("dist", lit(d))
+    }
+    levels.reduce(_ unionByName _)
+      .select(col("seed"), col("dist"), col("n_nodes"))
+  }
 }

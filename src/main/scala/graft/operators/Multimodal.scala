@@ -332,4 +332,37 @@ object Multimodal {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("d2"))
   }
+
+  /** Shot-boundary detection over the sampled frame sequence: a boundary
+    * is a frame whose 60-bit signature sits far (bit-hamming > threshold)
+    * from the PREVIOUS frame's — the classic adjacent-frame-difference
+    * cut detector, run on [[withFrameSamples]] fingerprints instead of
+    * pixel histograms (the decode stays stubbed per the multimodal
+    * contract; a real build swaps the signature for a perceptual hash
+    * and this operator is unchanged).
+    *
+    * Plan shape: frame sampling is map-only; the only state is a lag(1)
+    * window per media id ordered by frame_idx — per-key state O(1),
+    * partition count = media rows, the same envelope as sessionization.
+    * Frame 0 has no predecessor and is emitted with hamming NULL /
+    * boundary false (a shot starts there by definition, not by
+    * detection).
+    *
+    * Output: (idCol, frame_idx, hamming, is_boundary).
+    */
+  def shotBoundaries(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id", n: Int = 4, width: Int = 16,
+      threshold: Int = 24): DataFrame = {
+    val sig = conv(substring(col("frame_md5"), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    withFrameSamples(df, payloadCol, idCol, n, width)
+      .withColumn("__sig", sig)
+      .withColumn("hamming",
+        bit_count(col("__sig").bitwiseXOR(lag(col("__sig"), 1).over(w)))
+          .cast("int"))
+      .withColumn("is_boundary",
+        coalesce(col("hamming") > threshold, lit(false)))
+      .select(col(idCol), col("frame_idx"), col("hamming"),
+        col("is_boundary"))
+  }
 }

@@ -1121,4 +1121,63 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("dim"), col("value")))),
         e => e.getField("value")).as("vec"))
+
+  /** Maximum-inner-product top-k (MIPS) — the retrieval metric of
+    * dot-product-trained two-tower/DSSM models, where cosine is WRONG
+    * (it divides out the corpus-side norm the model learned to use as a
+    * popularity prior). Same plan shape as [[bruteForceTopK]]: broadcast
+    * query set, map-side scores over the never-shuffled corpus,
+    * WindowGroupLimit top-k. Ranking is on round(ip, 6) with id
+    * tie-breaks so the order is engine-portable.
+    *
+    * Output: (query_id, neighbor_id, ip, rank).
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("vc"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("vq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip", round(dot(col("vq"), col("vc")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("ip"), col("rank"))
+  }
+
+  /** The asymmetric MIPS→cosine reduction (Bachrach et al., RecSys 2014 /
+    * XBOX transform): append sqrt(M² − ‖x‖²) to every corpus vector and a
+    * 0 to every query, where M ≥ max corpus norm. Augmented-space cosine
+    * then orders EXACTLY like raw inner product for any fixed query —
+    * ip(q, x) / (‖q‖·M) — so the whole cosine ANN stack ([[lshSearch]],
+    * [[ivfSearch]], [[hammingTopK]]) serves MIPS unchanged: transform
+    * once at index-build, search as usual, report exact `ip` from the
+    * original vectors at the confirm stage. SimilaritySpec certifies the
+    * order-equivalence against [[mipsTopK]].
+    *
+    * `m` must be ≥ every corpus norm — compute max(norm) in the index
+    * build (one cheap agg) and pass it in; a too-small m raises rather
+    * than silently mis-ranking.
+    *
+    * Output: (idCol, aug) with aug = vec ++ [sqrt(m² − ‖vec‖²)] for
+    * corpus rows, vec ++ [0] for query rows.
+    */
+  def augmentForMips(df: DataFrame, m: Double, isQuery: Boolean,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0, "m must be positive")
+    val v = col(vecCol).cast("array<double>")
+    val extra =
+      if (isQuery) lit(0.0)
+      else {
+        val n2 = dot(v, v)
+        when(n2 <= m * m, sqrt(lit(m * m) - n2))
+          .otherwise(raise_error(concat(lit("augmentForMips: corpus norm² "),
+            n2.cast("string"), lit(s" exceeds m²=${m * m}"))))
+      }
+    df.select(col(idCol), concat(v, array(extra)).as("aug"))
+  }
 }

@@ -993,4 +993,59 @@ object TextAnalysis {
       .groupBy(col("term"), col("exact_n"))
       .agg(min(col("cnt")).as("cms_n"))
   }
+
+  /** Lexical-diversity profile per document — type-token ratio, hapax
+    * rate, character-level Shannon entropy — the vocabulary-richness
+    * signals (next to [[qualitySignals]]'s surface ratios) that separate
+    * template/boilerplate text (low TTR, low entropy) from natural prose.
+    *
+    * MAP-ONLY: no explode, no (doc, term) shuffle. Each row sorts its own
+    * token/char arrays and reads type counts and run lengths off the
+    * sorted arrays with index HOFs (a run starts where sorted[i] ≠
+    * sorted[i−1]); entropy is a left fold over run lengths in sorted-char
+    * order, so the double sum is order-pinned and cross-engine exact
+    * under round(·, 6). Per-row cost is O(len·log len); per-row state is
+    * the row itself — the operator scales like any narrow projection.
+    *
+    * Output: (idCol, n_words, n_types, ttr, hapax_rate, char_entropy).
+    * Rows with no word tokens are dropped (every ratio is undefined).
+    */
+  def lexicalDiversity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // run starts: 1-based positions where the sorted array changes value;
+    // greatest(i-1, 1) keeps element_at in-range — at i=1 the comparison
+    // is self≠self = false and the `i = 1` arm decides.
+    def starts(arr: Column, n: Column): Column =
+      filter(sequence(lit(1), n), i =>
+        (i === 1) || element_at(arr, i) =!=
+          element_at(arr, greatest(i - 1, lit(1))))
+    // run lengths, in sorted order: next start (sentinel n+1) minus start
+    def runLens(st: Column, n: Column): Column =
+      transform(sequence(lit(1), size(st)), j =>
+        when(j === size(st), n + 1)
+          .otherwise(element_at(st, j + 1)) - element_at(st, j))
+    docs
+      .select(col(idCol),
+        array_sort(filter(split(lower(col(textCol)), "\\s+"),
+          x => x =!= lit(""))).as("ws"),
+        array_sort(split(col(textCol), "")).as("cs"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("nw", size(col("ws")))
+      .withColumn("nc", size(col("cs")))
+      .withColumn("wst", starts(col("ws"), col("nw")))
+      .withColumn("cst", starts(col("cs"), col("nc")))
+      .withColumn("wrl", runLens(col("wst"), col("nw")))
+      .withColumn("crl", runLens(col("cst"), col("nc")))
+      .select(col(idCol),
+        col("nw").cast("long").as("n_words"),
+        size(col("wst")).cast("long").as("n_types"),
+        round(size(col("wst")).cast("double") / col("nw"), 6).as("ttr"),
+        round(size(filter(col("wrl"), l => l === 1)).cast("double") /
+          size(col("wst")), 6).as("hapax_rate"),
+        round(-aggregate(
+          transform(col("crl"), l =>
+            (l.cast("double") / col("nc")) *
+              log(l.cast("double") / col("nc"))),
+          lit(0.0), (a, x) => a + x), 6).as("char_entropy"))
+  }
 }

@@ -143,4 +143,50 @@ object TimeSeries {
       .select(col(keyCol) +: col("version") +: attrCols.map(col) :+
         col("valid_from_us") :+ col("valid_to_us") :+ col("is_current"): _*)
   }
+
+  /** Peak interval concurrency per key (max simultaneously-open
+    * intervals), sweep-line form: each interval contributes a +1 point at
+    * its start and a −1 at its end, a running sum over (time, delta) per
+    * key walks the timeline, and the peak is the running maximum. At
+    * equal timestamps the −1 sorts first (delta asc), so closed-open
+    * intervals that merely touch do NOT overlap — the standard sweep
+    * convention, mirrored in the oracle.
+    *
+    * This is THE scale formulation: the naive interval self-join is
+    * O(n²) per key and quadratic-explodes on any busy key, while the
+    * sweep is one shuffle (2n points) + one per-key sort — the same cost
+    * envelope as sessionization. Per-key ordering state is O(1).
+    * One pathologically hot key serializes its timeline into one task
+    * (the per-key-window exposure every sweep shares — see
+    * [[AsOfJoin.leftAsOf]]'s bucketWidth escape hatch for the fix shape).
+    *
+    * Output: (key, n_intervals, peak_concurrency, first_peak_at) with
+    * first_peak_at the earliest sweep time the peak is reached —
+    * deterministic because (time, delta) is totally ordered within a key
+    * except for same-type same-time points, which are interchangeable for
+    * both the running sum and its argmax.
+    */
+  def maxConcurrency(intervals: DataFrame, keyCol: String,
+      startCol: Column, endCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = intervals
+      .select(col(keyCol).as("__k"), startCol.as("__s"), endCol.as("__e"))
+      .select(col("__k"), explode(array(
+        struct(col("__s").as("__t"), lit(1).as("__d")),
+        struct(col("__e").as("__t"), lit(-1).as("__d")))).as("__p"))
+      .select(col("__k"), col("__p")("__t").as("__t"),
+        col("__p")("__d").as("__d"))
+    val scan = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val peakW = Window.partitionBy(col("__k"))
+    pts
+      .withColumn("__run", sum(col("__d")).over(scan))
+      .withColumn("__peak", max(col("__run")).over(peakW))
+      .groupBy(col("__k").as(keyCol))
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("__peak")).cast("long").as("peak_concurrency"),
+        min(when(col("__run") === col("__peak"), col("__t")))
+          .as("first_peak_at"))
+  }
 }

@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators._
+
+/** Round-5 additions across the operator families: sweep-line interval
+  * analytics, exact-moment correlation, priority cross-corpus dedup,
+  * MIPS retrieval, lexical-diversity profiling, k-hop graph reach, and
+  * shot-boundary detection. Same oracle discipline as [[NorthStar]]:
+  * every double is either an order-pinned fold or a closed formula over
+  * exact decimal/integer aggregates, rounded at 6.
+  */
+object Extras {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Peak concurrent "sessions" per event type: each event opens an
+    // interval of floor(value) (>=1) seconds; the sweep line finds the
+    // maximum overlap and when it is first reached. The naive self-join
+    // is quadratic per key — the sweep is the 100 TB formulation (one
+    // shuffle of 2n points; see TimeSeries.maxConcurrency).
+    "q65_interval_overlap" -> { (s, dir) =>
+      val iv = t(s, dir, "events").select(col("event_type"), col("ts"),
+        expr("ts + make_dt_interval(0, 0, 0, greatest(1.0D, floor(value)))")
+          .as("te"))
+      TimeSeries.maxConcurrency(iv, "event_type", col("ts"), col("te"))
+        .orderBy(col("event_type"))
+    },
+
+    // Pairwise Pearson correlation between event types' hourly value
+    // sums. Cross-engine exact: the five moments are DECIMAL sums (order
+    // free), and the correlation is ONE closed-form double expression
+    // over them, identical token-for-token in the oracle — no engine's
+    // corr() accumulation order is trusted.
+    "q66_corr_matrix" -> { (s, dir) =>
+      val dec6 = DecimalType(18, 6)
+      val b = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket"),
+          col("event_type"))
+        .agg(sum(col("value").cast(dec6)).cast(dec6).as("x"))
+      val l = b.select(col("bucket"), col("event_type").as("type_a"),
+        col("x").as("xa"))
+      val r = b.select(col("bucket"), col("event_type").as("type_b"),
+        col("x").as("xb"))
+      val g = l.join(r, Seq("bucket")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("xa")).as("sxd"), sum(col("xb")).as("syd"),
+          sum(col("xa") * col("xb")).as("sxyd"),
+          sum(col("xa") * col("xa")).as("sx2d"),
+          sum(col("xb") * col("xb")).as("sy2d"))
+      val n = col("nb").cast("double")
+      val sx = col("sxd").cast("double")
+      val sy = col("syd").cast("double")
+      val sxy = col("sxyd").cast("double")
+      val sx2 = col("sx2d").cast("double")
+      val sy2 = col("sy2d").cast("double")
+      val dd = (n * sx2 - sx * sx) * (n * sy2 - sy * sy)
+      g.select(col("type_a"), col("type_b"),
+          col("nb").cast("long").as("n_buckets"),
+          when(dd > 0, round((n * sxy - sx * sy) / sqrt(dd), 6)).as("corr"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // Priority-aware cross-corpus dedup: among identical (normalized)
+    // texts from different sources, keep the copy from the
+    // highest-priority tier (source number mod 3 — the fixture's
+    // stand-in for curated/reference/crawled), not an arbitrary min-id.
+    "d29_cross_dedup" -> { (s, dir) =>
+      val tier = (col("source").substr(lit(4), lit(10)).cast("int") % 3)
+        .cast("int")
+      Dedup.crossSourcePriorityDedup(t(s, dir, "documents"), tier)
+        .withColumn("best_priority", col("best_priority").cast("int"))
+        .orderBy(col("norm_md5"))
+    },
+
+    // Maximum-inner-product retrieval (dot-product-trained retrievers;
+    // cosine would divide out the learned norm prior). Broadcast query
+    // panel, map-side scores, WindowGroupLimit — the corpus never
+    // shuffles. The augmented-vector reduction that feeds MIPS through
+    // the cosine ANN indexes is certified order-equivalent in
+    // SimilaritySpec.
+    "s24_mips" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.mipsTopK(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Lexical-diversity profile: TTR, hapax rate, character entropy —
+    // map-only per-row array work (no (doc, term) shuffle; see
+    // TextAnalysis.lexicalDiversity).
+    "t38_lexical_diversity" -> { (s, dir) =>
+      TextAnalysis.lexicalDiversity(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    // k-hop reachability counts over the customer–supplier interaction
+    // graph (same edge universe as g01/g02): frontier BFS, 3 levels.
+    "g07_khop" -> { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000).as("supp"))
+      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+        .distinct()
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      Graph.kHopCounts(e, seeds, k = 3)
+        .orderBy(col("seed"), col("dist"))
+    },
+
+    // Shot-boundary detection on sampled frame fingerprints: adjacent
+    // frame signature hamming distance, per-media lag window.
+    "m11_shot_boundaries" -> { (s, dir) =>
+      Multimodal.shotBoundaries(
+          t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q65_interval_overlap" -> """
+      WITH iv AS (SELECT event_type, ts AS s,
+          ts + to_seconds(CAST(greatest(1.0, floor(value)) AS BIGINT)) AS e
+        FROM events),
+      pts AS (SELECT event_type, s AS t, 1 AS d FROM iv
+        UNION ALL SELECT event_type, e, -1 FROM iv),
+      run AS (SELECT event_type, t, d,
+          sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM pts),
+      pk AS (SELECT *, max(run) OVER (PARTITION BY event_type) AS peak
+        FROM run)
+      SELECT event_type, CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+        CAST(max(peak) AS BIGINT) AS peak_concurrency,
+        min(CASE WHEN run = peak THEN t END) AS first_peak_at
+      FROM pk GROUP BY event_type ORDER BY event_type""",
+
+    "q66_corr_matrix" -> """
+      WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+        FROM events GROUP BY 1, 2),
+      g AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
+          count(*) AS nb,
+          CAST(sum(l.x) AS DOUBLE) AS sx, CAST(sum(r.x) AS DOUBLE) AS sy,
+          CAST(sum(l.x * r.x) AS DOUBLE) AS sxy,
+          CAST(sum(l.x * l.x) AS DOUBLE) AS sx2,
+          CAST(sum(r.x * r.x) AS DOUBLE) AS sy2
+        FROM b l JOIN b r ON l.bucket = r.bucket
+          AND l.event_type < r.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, CAST(nb AS BIGINT) AS n_buckets,
+        CASE WHEN (nb * sx2 - sx * sx) * (nb * sy2 - sy * sy) > 0
+          THEN round((nb * sxy - sx * sy) /
+            sqrt((nb * sx2 - sx * sx) * (nb * sy2 - sy * sy)), 6)
+        END AS corr
+      FROM g ORDER BY type_a, type_b""",
+
+    "d29_cross_dedup" -> raw"""
+      WITH d AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) % 3 AS tier,
+          md5(trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\p{N}+', '0', 'g'),
+            '\s+', ' ', 'g'))) AS nm
+        FROM documents),
+      g AS (SELECT nm, count(*) AS n_copies,
+          count(DISTINCT source) AS n_sources,
+          CAST(min(tier) AS INT) AS best_priority
+        FROM d GROUP BY nm),
+      k AS (SELECT *, row_number() OVER (PARTITION BY nm
+          ORDER BY tier, doc_id) AS rn FROM d)
+      SELECT k.doc_id, k.source, k.nm AS norm_md5, g.n_copies,
+        g.n_sources, g.best_priority
+      FROM k JOIN g USING (nm) WHERE rn = 1 ORDER BY norm_md5""",
+
+    "s24_mips" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v), 6) AS ip
+        FROM q, e c WHERE c.vec_id != q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY ip DESC, neighbor_id) AS "rank" FROM s)
+      SELECT query_id, neighbor_id, ip, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
+
+    "t38_lexical_diversity" -> raw"""
+      WITH w AS (SELECT doc_id,
+          list_sort(list_filter(regexp_split_to_array(lower(text), '\s+'),
+            x -> x <> '')) AS ws,
+          list_sort(regexp_split_to_array(text, '')) AS cs
+        FROM documents),
+      m AS (SELECT doc_id, ws, cs, len(ws) AS nw, len(cs) AS nc,
+          list_filter(generate_series(1, len(ws)),
+            i -> i = 1 OR ws[i] <> ws[i-1]) AS wst,
+          list_filter(generate_series(1, len(cs)),
+            i -> i = 1 OR cs[i] <> cs[i-1]) AS cst
+        FROM w WHERE len(ws) > 0),
+      r AS (SELECT doc_id, nw, nc, len(wst) AS nt,
+          list_transform(generate_series(1, len(wst)),
+            j -> CASE WHEN j = len(wst) THEN nw + 1 ELSE wst[j+1] END
+              - wst[j]) AS wrl,
+          list_transform(generate_series(1, len(cst)),
+            j -> CASE WHEN j = len(cst) THEN nc + 1 ELSE cst[j+1] END
+              - cst[j]) AS crl
+        FROM m)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+        CAST(nt AS BIGINT) AS n_types,
+        round(CAST(nt AS DOUBLE) / nw, 6) AS ttr,
+        round(CAST(len(list_filter(wrl, l -> l = 1)) AS DOUBLE) / nt, 6)
+          AS hapax_rate,
+        round(-list_reduce(list_prepend(0.0, list_transform(crl,
+            l -> (CAST(l AS DOUBLE) / nc) * ln(CAST(l AS DOUBLE) / nc))),
+          (a, b) -> a + b), 6) AS char_entropy
+      FROM r ORDER BY doc_id""",
+
+    "g07_khop" -> """
+      WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM cs
+          UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
+      seeds AS (SELECT DISTINCT src AS seed FROM e
+        WHERE src < 1000000 AND src % 100 = 0),
+      v0 AS (SELECT seed, seed AS node FROM seeds),
+      f1 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM v0 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v0),
+      v1 AS (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f1 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v1),
+      v2 AS (SELECT * FROM v1 UNION SELECT * FROM f2),
+      f3 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f2 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v2),
+      lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1
+          GROUP BY seed
+        UNION ALL SELECT seed, 2, count(*) FROM f2 GROUP BY seed
+        UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY seed)
+      SELECT seed, CAST(dist AS INT) AS dist, n_nodes
+      FROM lv ORDER BY seed, dist""",
+
+    "m11_shot_boundaries" -> """
+      WITH f AS (SELECT doc_id, j AS frame_idx,
+          j * greatest(1, octet_length(encode(text)) // 4) + 1 AS off,
+          hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        FROM documents, generate_series(0, 3) t(j)),
+      sg AS (SELECT doc_id, frame_idx,
+          ('0x' || substr(md5(substring(hx,
+            CAST((off - 1) * 2 + 1 AS INT), 32)), 1, 15))::BIGINT AS sig
+        FROM f WHERE off <= nb),
+      h AS (SELECT doc_id, frame_idx,
+          bit_count(xor(sig, lag(sig, 1) OVER (PARTITION BY doc_id
+            ORDER BY frame_idx))) AS hm
+        FROM sg)
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        CAST(hm AS INT) AS hamming,
+        coalesce(hm > 24, false) AS is_boundary
+      FROM h ORDER BY doc_id, frame_idx""")
+}

@@ -89,6 +89,26 @@ object KafkaParity {
         .orderBy(col("partition"))
     },
 
+    // Consumer-lag report — the monitoring query every Kafka deployment
+    // runs: per partition, the log-end offset vs the "committed" position
+    // (here: the highest offset at least one watermark-interval old —
+    // the replay fixture's stand-in for a committed-offsets table) and
+    // the resulting lag. Partition-keyed aggregation after one broadcast
+    // of the single-row cutoff — no global sort, no window.
+    "k08_consumer_lag" -> { (s, dir) =>
+      val r = KafkaSource.replay(Tables.load(s, dir, "events"))
+      val cut = r.agg(
+        (max(col("timestamp")) - expr("INTERVAL 1 HOUR")).as("cut"))
+      r.crossJoin(broadcast(cut))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          max(col("offset")).as("end_offset"),
+          max(when(col("timestamp") <= col("cut"), col("offset")))
+            .as("committed_offset"))
+        .withColumn("lag", col("end_offset") - col("committed_offset"))
+        .orderBy(col("partition"))
+    },
+
     // Partition-pruned scan through the SQL front door: the
     // `partitions => '0,3'` named arg (the connector's `assign` — the one
     // pushdown a Kafka scan CAN do, which the reference declines,
@@ -167,6 +187,17 @@ object KafkaParity {
         ORDER BY "partition", "key", "offset" DESC)
       WHERE "value" IS NOT NULL
       ORDER BY "partition", "key"""",
+
+    "k08_consumer_lag" -> s"""
+      WITH r AS ($replaySql),
+      c AS (SELECT max("timestamp") - INTERVAL 1 HOUR AS cut FROM r)
+      SELECT "topic", "partition", count(*) AS n,
+        max("offset") AS end_offset,
+        max(CASE WHEN "timestamp" <= cut THEN "offset" END)
+          AS committed_offset,
+        max("offset") - max(CASE WHEN "timestamp" <= cut THEN "offset" END)
+          AS lag
+      FROM r, c GROUP BY 1, 2 ORDER BY "partition"""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,

@@ -162,4 +162,26 @@ class GraphSpec extends SparkSpec {
     assert(out.toSeq === Seq(("alpha", "beta", 3L, 1),
       ("delta", "gamma", 2L, 2)))
   }
+
+  test("k-hop counts: path expands one node per level, cycle revisits " +
+      "nothing, multiple seeds stay independent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus triangle 10-11-12, undirected
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("seed")
+    val got = Graph.kHopCounts(edges, seeds, k = 3).collect()
+      .map(r => (r.getAs[Long]("seed"), r.getAs[Int]("dist")) ->
+        r.getAs[Long]("n_nodes")).toMap
+    // seed 1 walks the path: {2}, {3}, {4}
+    assert(got((1L, 1)) === 1L)
+    assert(got((1L, 2)) === 1L)
+    assert(got((1L, 3)) === 1L)
+    // seed 10's triangle: both neighbors at hop 1, then NOTHING — hop 2
+    // would only revisit
+    assert(got((10L, 1)) === 2L)
+    assert(!got.contains((10L, 2)) && !got.contains((10L, 3)))
+    assert(got.size === 4)
+  }
 }

@@ -345,4 +345,31 @@ class PlanSpec extends SparkSpec {
       v.fold(conf.unset(k))(conf.set(k, _))
     }
   }
+
+  test("lexical diversity is map-only: one exchange (the output sort), " +
+      "no join, no aggregate (t38)") {
+    val p = plan("t38_lexical_diversity")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("interval-overlap sweep is linear: no self-join, the sweep window " +
+      "and the peak aggregation share one key shuffle (q65)") {
+    val p = plan("q65_interval_overlap")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exchanges: the __k hash partition + the output range sort, nothing
+    // per-interval
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("MIPS keeps the brute-force shape: broadcast query panel, corpus " +
+      "never shuffled before the per-query top-k (s24)") {
+    val p = plan("s24_mips")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

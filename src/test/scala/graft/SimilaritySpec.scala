@@ -508,4 +508,33 @@ class SimilaritySpec extends SparkSpec {
       assert(brMap((r.getLong(0), r.getLong(1))) === r.getDouble(2))
     }
   }
+
+  test("MIPS: augmented-vector cosine retrieval selects the same " +
+      "neighbors as direct inner-product ranking") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    // m strictly above every corpus norm, computed the way an index
+    // build would
+    val maxN2 = emb
+      .select(Similarity.dot(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("n2"))
+      .agg(max(col("n2"))).head().getDouble(0)
+    val m = math.sqrt(maxN2) * 1.001
+    val augC = Similarity.augmentForMips(emb, m, isQuery = false)
+    val augQ = Similarity.augmentForMips(emb.filter(col("vec_id") % 100 === 0),
+      m, isQuery = true)
+    val viaCos = Similarity.bruteForceTopK(augC, augQ, vecCol = "aug", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Similarity.mipsTopK(emb, qs, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCos === direct)
+    // a too-small m must fail loudly, not silently mis-rank (forcing the
+    // aug column — a pruned count() would never evaluate the guard)
+    val err = intercept[Exception] {
+      Similarity.augmentForMips(emb, m / 10, isQuery = false)
+        .agg(max(size(col("aug")))).head()
+    }
+    assert(err.getMessage.contains("augmentForMips"))
+  }
 }

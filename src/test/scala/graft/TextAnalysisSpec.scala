@@ -664,4 +664,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wide.map(r => r.getString(0) -> r.getLong(1)).toMap
       .get("hot").contains(50L))
   }
+
+  test("lexical diversity: hand-computed TTR/hapax/entropy on a known " +
+      "string; all-whitespace rows dropped") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalDiversity(docs).collect()
+    assert(out.length === 1) // the whitespace-only row has no tokens
+    val r = out.head
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_types") === 3L)
+    assert(r.getAs[Double]("ttr") === 0.75)
+    // hapax: bb, cc of 3 types
+    assert(r.getAs[Double]("hapax_rate") ===
+      BigDecimal(2.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // chars of "aa bb aa cc": space×3, a×4, b×2, c×2 of 11 — summed in
+    // sorted-char order (space < letters), mirroring the operator's fold
+    def term(k: Int) = (k / 11.0) * math.log(k / 11.0)
+    val exp = BigDecimal(-(((0.0 + term(3)) + term(4)) + term(2) + term(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("char_entropy") === exp)
+  }
 }

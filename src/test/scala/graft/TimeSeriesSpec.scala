@@ -92,4 +92,41 @@ class TimeSeriesSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99)
     }
   }
+
+  test("maxConcurrency sweep == driver-side active-interval recompute, " +
+      "touching intervals do not overlap") {
+    import spark.implicits._
+    // known shape first: [0,10) [5,15) [10,20) — 1&2 overlap, 2&3
+    // overlap, 1&3 only TOUCH at 10 → peak 2
+    val known = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 10L, 20L))
+      .toDF("key", "s", "e")
+    val kr = TimeSeries.maxConcurrency(known, "key", col("s"), col("e"))
+      .collect()
+    assert(kr.length === 1)
+    assert(kr.head.getAs[Long]("peak_concurrency") === 2L)
+    assert(kr.head.getAs[Long]("n_intervals") === 3L)
+    assert(kr.head.getAs[Long]("first_peak_at") === 5L)
+
+    // real events: interval = floor(value)+1 units from ts-micros
+    val iv = Tables.load(spark, sf, "events")
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("s"),
+        (unix_micros(col("ts").cast("timestamp")) +
+          (floor(col("value")).cast("long") + 1L) * 1000000L).as("e"))
+    val got = TimeSeries.maxConcurrency(iv, "key", col("s"), col("e"))
+      .collect()
+      .map(r => r.getAs[String]("key") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("peak_concurrency")))
+      .toMap
+    val rows = iv.collect().map(r =>
+      (r.getAs[String]("key"), r.getAs[Long]("s"), r.getAs[Long]("e")))
+    val expect = rows.groupBy(_._1).map { case (k, ivs) =>
+      // closed-open active count evaluated at every start instant
+      val peak = ivs.map(_._2).distinct.map { t =>
+        ivs.count(i => i._2 <= t && t < i._3)
+      }.max
+      k -> (ivs.length.toLong, peak.toLong)
+    }
+    assert(got === expect)
+  }
 }
