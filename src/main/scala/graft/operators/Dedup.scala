@@ -869,6 +869,37 @@ object Dedup {
           col("bytes_referenced").cast("double"), 6).as("dedup_ratio"))
   }
 
+  /** Estimator-quality report for the MinHash pipeline: for every
+    * certified candidate pair, the signature-estimated Jaccard
+    * (matching components / k) next to the EXACT shingle-set Jaccard and
+    * the absolute error — the calibration audit a production dedup run
+    * ships with (the minhash S-curve is only as good as its estimator;
+    * drift here means the band/row config no longer hits the intended
+    * threshold). Same cost envelope as [[minhashPairs]] plus two
+    * id-keyed joins against the (per-doc, bounded) shingle arrays; the
+    * exact-Jaccard intersection runs only over CANDIDATE pairs, never
+    * all pairs.
+    *
+    * Output: (a, b, est_jaccard, exact_jaccard, abs_err).
+    */
+  def minhashAccuracy(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, bands: Int = 4,
+      minJaccardPct: Int = 50, maxBucket: Int = 200): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, k, bands, minJaccardPct,
+      maxBucket).select(col("a"), col("b"), col("n_eq"))
+    val sh = df.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val pa = sh.select(col(idCol).as("a"), col("sh").as("sha"))
+    val pb = sh.select(col(idCol).as("b"), col("sh").as("shb"))
+    val inter = size(array_intersect(col("sha"), col("shb")))
+    val est = round(col("n_eq").cast("double") / k, 6)
+    val exact = round(inter.cast("double") /
+      (size(col("sha")) + size(col("shb")) - inter), 6)
+    pairs.join(pa, "a").join(pb, "b")
+      .select(col("a"), col("b"), est.as("est_jaccard"),
+        exact.as("exact_jaccard"),
+        round(abs(est - exact), 6).as("abs_err"))
+  }
+
   /** Cross-corpus priority dedup: when the same (normalized) text appears
     * in several sources, keep exactly ONE copy — the one from the
     * highest-priority source (lowest `priority` value; id-tiebroken) —

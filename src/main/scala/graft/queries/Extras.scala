@@ -125,6 +125,74 @@ object Extras {
           t(s, dir, "documents")
             .withColumn("payload", encode(col("text"), "UTF-8")))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // Point-in-time (AS OF) lookup against the d28 SCD2 dimension: every
+    // fact row (each event, probed 30 minutes later) picks up the
+    // dimension version valid AT ITS TIME. Re-uses AsOfJoin — one
+    // sort-shuffle of facts+versions, NO interval range join (the naive
+    // BETWEEN join explodes on hot keys); contiguous SCD2 intervals make
+    // last-version-at-or-before ≡ the containing interval.
+    "q67_pit_lookup" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dim = TimeSeries.scdIntervals(ev, "user_id", "ts",
+          Seq(col("ts"), col("event_id")), Seq("event_type"))
+        .select(col("user_id").as("d_user"), col("version"),
+          col("event_type").as("dim_event_type"), col("valid_from_us"))
+      val facts = ev.select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts").cast("timestamp")) + 1800000000L).as("f_us"))
+      AsOfJoin.leftAsOf(facts, dim, "user_id", "f_us",
+          "d_user", "valid_from_us",
+          payload = Seq("version", "dim_event_type"))
+        .orderBy(col("event_id"))
+    },
+
+    // Term burstiness (variance-to-mean ratio of per-doc counts, zeros
+    // included) for the top-50 corpus terms: >mean ⇒ topical/bursty,
+    // ≈mean ⇒ function word. Closed form over exact integer moments
+    // (Σc, Σc², N) — no engine's variance accumulation is trusted.
+    "t39_burstiness" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val terms = d.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"),
+            x => x =!= lit(""))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val nDocs = d.agg(count(lit(1)).as("nd"))
+      terms.groupBy(col("term"))
+        .agg(sum(col("c")).as("n_total"), count(lit(1)).as("n_docs"),
+          sum(col("c") * col("c")).as("sc2"))
+        .crossJoin(broadcast(nDocs))
+        .orderBy(col("n_total").desc, col("term")).limit(50)
+        .select(col("term"), col("n_total"), col("n_docs"),
+          round(col("sc2").cast("double") / col("n_total") -
+            col("n_total").cast("double") / col("nd"), 6).as("burstiness"))
+    },
+
+    // Cohort retention matrix: users grouped by first-activity week,
+    // distinct-active fraction at each later week offset — the product
+    // analytics staple. Two shuffles (per-user min, then cohort-cell
+    // distinct), both key-partitioned; the cohort-size divisor arrives
+    // by broadcast.
+    "q68_retention" -> { (s, dir) =>
+      // DATE-typed week buckets (DuckDB's date_trunc('week') yields DATE)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      val sizes = first.groupBy(col("cohort_wk"))
+        .agg(countDistinct(col("user_id")).as("cohort_n"))
+      ev.join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          (datediff(col("wk"), col("cohort_wk")) / 7).cast("int")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_n"))
+        .join(broadcast(sizes), "cohort_wk")
+        .select(col("cohort_wk"), col("week_offset"), col("active_n"),
+          col("cohort_n"),
+          round(col("active_n").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -250,6 +318,58 @@ object Extras {
         UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY seed)
       SELECT seed, CAST(dist AS INT) AS dist, n_nodes
       FROM lv ORDER BY seed, dist""",
+
+    "q67_pit_lookup" -> """
+      WITH s2_a AS (SELECT user_id, ts, event_id, event_type,
+          {'et': event_type} AS a FROM events),
+      s2_f AS (SELECT *, lag(a) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS pa FROM s2_a),
+      s2_c AS (SELECT user_id, ts, event_id, event_type FROM s2_f
+        WHERE a IS DISTINCT FROM pa),
+      s2_v AS (SELECT user_id, event_type,
+          CAST(row_number() OVER w AS INT) AS version,
+          epoch_us(ts) AS valid_from_us,
+          lead(epoch_us(ts)) OVER w AS valid_to_us
+        FROM s2_c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      f AS (SELECT event_id, user_id, epoch_us(ts) + 1800000000 AS f_us
+        FROM events)
+      SELECT f.event_id, f.user_id, f.f_us, v.version,
+        v.event_type AS dim_event_type
+      FROM f LEFT JOIN s2_v v ON v.user_id = f.user_id
+        AND v.valid_from_us <= f.f_us
+        AND (v.valid_to_us IS NULL OR f.f_us < v.valid_to_us)
+      ORDER BY event_id""",
+
+    "t39_burstiness" -> raw"""
+      WITH tm AS (SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        FROM documents),
+      pc AS (SELECT doc_id, term, count(*) AS c FROM tm GROUP BY 1, 2),
+      n AS (SELECT count(*) AS nd FROM documents),
+      ag AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_total,
+          count(*) AS n_docs, CAST(sum(c * c) AS BIGINT) AS sc2
+        FROM pc GROUP BY term)
+      SELECT term, n_total, n_docs,
+        round(CAST(sc2 AS DOUBLE) / n_total
+          - CAST(n_total AS DOUBLE) / nd, 6) AS burstiness
+      FROM ag, n ORDER BY n_total DESC, term LIMIT 50""",
+
+    "q68_retention" -> """
+      WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk
+        FROM events),
+      fw AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+        GROUP BY user_id),
+      sz AS (SELECT cohort_wk, count(DISTINCT user_id) AS cohort_n
+        FROM fw GROUP BY cohort_wk),
+      act AS (SELECT f.cohort_wk,
+          CAST(date_diff('day', f.cohort_wk::DATE, ev.wk::DATE) // 7
+            AS INT) AS week_offset,
+          count(DISTINCT ev.user_id) AS active_n
+        FROM ev JOIN fw f USING (user_id) GROUP BY 1, 2)
+      SELECT act.cohort_wk, week_offset, active_n, cohort_n,
+        round(CAST(active_n AS DOUBLE) / cohort_n, 6) AS retention
+      FROM act JOIN sz USING (cohort_wk)
+      ORDER BY cohort_wk, week_offset""",
 
     "m11_shot_boundaries" -> """
       WITH f AS (SELECT doc_id, j AS frame_idx,

@@ -416,6 +416,14 @@ object NorthStar {
         .orderBy(col("user_id"), col("version"))
     },
 
+    // MinHash estimator calibration: per certified candidate pair, the
+    // signature-estimated Jaccard vs the exact shingle-set Jaccard —
+    // the audit that catches band/row configs drifting off their
+    // intended threshold.
+    "d30_minhash_accuracy" -> { (s, dir) =>
+      Dedup.minhashAccuracy(docs(s, dir)).orderBy(col("a"), col("b"))
+    },
+
     // Per-doc n-gram novelty: share of 8-gram positions whose hash is
     // unique corpus-wide — the memorization-risk score next to quality.
     "t25_ngram_novelty" -> { (s, dir) =>
@@ -1359,6 +1367,20 @@ object NorthStar {
       WITH $MinhashCtes
       SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
       FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    "d30_minhash_accuracy" -> s"""
+      WITH $MinhashCtes,
+      d30 AS (SELECT p.a, p.b,
+          round(CAST(p.n_eq AS DOUBLE) / 16, 6) AS est_jaccard,
+          round(CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE) /
+            (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))),
+            6) AS exact_jaccard
+        FROM pairs p JOIN sgl xa ON xa.doc_id = p.a
+                     JOIN sgl xb ON xb.doc_id = p.b
+        WHERE p.n_eq * 100 >= 800)
+      SELECT a, b, est_jaccard, exact_jaccard,
+        round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+      FROM d30 ORDER BY a, b""",
 
     // bands0 (uncapped bands) comes from MinhashCtes; the trailing
     // bands/cand/pairs CTEs are simply unused here. EXISTS mirrors the
