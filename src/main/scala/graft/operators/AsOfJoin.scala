@@ -162,4 +162,80 @@ object AsOfJoin {
         (d, p) => d.withColumn(p, col("__m").getField(p)))
       .drop("__k", "__t", "__side", "__m")
   }
+
+  /** Nearest-direction as-of join (pandas merge_asof
+    * direction='nearest'): for every left row, the right row with the
+    * SMALLEST |leftTime − rightTime| within the key, ties preferring the
+    * earlier (backward) match. ONE pass: both sides union once, sort
+    * once per key, and the backward candidate (running last over the
+    * preceding frame) and forward candidate (running first over the
+    * following frame) come off two frames of the SAME window sort — not
+    * two joins.
+    *
+    * Right rows sort before left rows at equal time, so the backward
+    * candidate is inclusive (distance 0) and wins the tie by rule —
+    * which is why the forward frame starting AT the left row (thereby
+    * missing equal-time right rows) loses nothing.
+    *
+    * Same conventions as [[leftAsOf]]: right unique per (key, time),
+    * NULL-time right rows dropped, NULL-time left rows match nothing,
+    * `tolerance` (numeric time) nulls out matches beyond the bound.
+    * Output adds `payload` columns plus `matched_delta` (|Δt|, NULL when
+    * unmatched). Hot-key exposure identical to the plain [[leftAsOf]]
+    * path (one key = one task); no bucketed variant yet — nearest needs
+    * carries in BOTH directions, so the escape hatch is two bucketed
+    * one-direction passes joined on a left row id.
+    */
+  def leftAsOfNearest(left: DataFrame, right: DataFrame,
+      keyL: String, timeL: String, keyR: String, timeR: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with " +
+        "left-side columns; rename before joining")
+    require(!leftCols.contains("matched_delta"),
+      "left side already has a matched_delta column; rename it")
+    val matchStruct = struct(
+      payload.map(col) :+ col(timeR).as("__bt"): _*)
+    val mType = right.select(matchStruct.as("__m")).schema("__m").dataType
+    val l = left.withColumn("__k", col(keyL)).withColumn("__t", col(timeL))
+      .withColumn("__side", lit(1))
+      .withColumn("__m", lit(null).cast(mType))
+    val r = leftCols.foldLeft(
+      right.filter(col(timeR).isNotNull)
+        .withColumn("__k", col(keyR)).withColumn("__t", col(timeR))
+        .withColumn("__side", lit(0)).withColumn("__m", matchStruct))(
+      (d, c) => d.withColumn(c, lit(null)))
+    val cols = (leftCols ++ Seq("__k", "__t", "__side", "__m")).map(col)
+    val u = l.select(cols: _*).unionByName(r.select(cols: _*))
+
+    val base = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+    val prevF = base.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val nextF = base.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val withCand = u
+      .withColumn("__p", last(col("__m"), ignoreNulls = true).over(prevF))
+      .withColumn("__n", first(col("__m"), ignoreNulls = true).over(nextF))
+      .filter(col("__side") === 1)
+    val dp = col("__t") - col("__p").getField("__bt")
+    val dn = col("__n").getField("__bt") - col("__t")
+    val inTolP = tolerance.fold(lit(true))(tol => dp <= tol)
+    val inTolN = tolerance.fold(lit(true))(tol => dn <= tol)
+    val pOk = col("__p").isNotNull && inTolP
+    val nOk = col("__n").isNotNull && inTolN
+    val picked = withCand
+      .withColumn("__m",
+        when(col("__t").isNull, lit(null).cast(mType))
+          .when(pOk && (!nOk || dp <= dn), col("__p"))
+          .when(nOk, col("__n")))
+      .withColumn("matched_delta",
+        when(col("__m").isNotNull,
+          abs(col("__t") - col("__m").getField("__bt"))))
+    payload.foldLeft(picked)(
+        (d, p) => d.withColumn(p, col("__m").getField(p)))
+      .drop("__k", "__t", "__side", "__m", "__p", "__n")
+  }
 }

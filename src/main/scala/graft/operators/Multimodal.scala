@@ -365,4 +365,34 @@ object Multimodal {
       .select(col(idCol), col("frame_idx"), col("hamming"),
         col("is_boundary"))
   }
+
+  /** Voice-activity-style segmentation: non-overlapping `window`-byte
+    * chunks are classified "voiced" by a pseudo-energy gate (a
+    * deterministic hash bit of the chunk fingerprint — the stubbed stand-
+    * in for an RMS-energy threshold, per the multimodal decode contract),
+    * and maximal runs of consecutive voiced chunks become segments — the
+    * VAD → utterance-segmentation shape of every speech pipeline.
+    *
+    * The run grouping is gaps-and-islands (chunk_idx − voiced-rank is
+    * constant within a run): chunking is map-only, then ONE per-media
+    * window + one aggregation — no self-join against the chunk sequence.
+    *
+    * Output: (idCol, seg_idx, start_chunk, n_chunks).
+    */
+  def voicedSegments(df: DataFrame, window: Int = 64,
+      payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
+    val energy = conv(substring(col("chunk_md5"), 1, 8), 16, 10).cast("long")
+    val rk = Window.partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    chunkPayload(df, window, window, payloadCol, idCol)
+      .filter(energy % 4 =!= 0)
+      .withColumn("__grp", col("chunk_idx") - row_number().over(rk))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("chunk_idx")).as("start_chunk"),
+        count(lit(1)).cast("int").as("n_chunks"))
+      .withColumn("seg_idx",
+        row_number().over(Window.partitionBy(col(idCol))
+          .orderBy(col("start_chunk"))).cast("int"))
+      .select(col(idCol), col("seg_idx"), col("start_chunk"),
+        col("n_chunks"))
+  }
 }

@@ -168,6 +168,40 @@ object Extras {
             col("n_total").cast("double") / col("nd"), 6).as("burstiness"))
     },
 
+    // Nearest-direction as-of join (merge_asof direction='nearest'): for
+    // every view event, the closest purchase by the same user in EITHER
+    // direction, ties to the earlier one — one union + one window sort,
+    // both direction candidates off two frames of the same sort (no
+    // second pass, no abs-distance range join). The oracle certifies via
+    // a completely different formulation (per-row LATERAL argmin).
+    "q69_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("v_us"))
+      // unique per (key, time): collapse same-instant purchases to the
+      // min-id row, the leftAsOf* precondition
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"),
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        .agg(min(col("event_id")).as("purchase_id"),
+          min_by(col("value"), col("event_id")).as("purchase_value"))
+      AsOfJoin.leftAsOfNearest(views, purch, "user_id", "v_us",
+          "p_user", "p_us", payload = Seq("purchase_id", "purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // VAD-style segmentation: non-overlapping 64-byte chunks gated by a
+    // deterministic pseudo-energy bit, maximal voiced runs merged into
+    // segments via gaps-and-islands (map-only chunking + one per-media
+    // window — no chunk self-join).
+    "m12_voiced_segments" -> { (s, dir) =>
+      Multimodal.voicedSegments(
+          t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    },
+
     // Cohort retention matrix: users grouped by first-activity week,
     // distinct-active fraction at each later week offset — the product
     // analytics staple. Two shuffles (per-user min, then cohort-cell
@@ -353,6 +387,45 @@ object Extras {
         round(CAST(sc2 AS DOUBLE) / n_total
           - CAST(n_total AS DOUBLE) / nd, 6) AS burstiness
       FROM ag, n ORDER BY n_total DESC, term LIMIT 50""",
+
+    "q69_asof_nearest" -> """
+      WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us,
+          min(event_id) AS purchase_id,
+          min_by(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT v.event_id, v.user_id, v.v_us,
+        CASE WHEN l.purchase_id IS NOT NULL
+          THEN abs(v.v_us - l.p_us) END AS matched_delta,
+        l.purchase_id, l.purchase_value
+      FROM v LEFT JOIN LATERAL (
+        SELECT purchase_id, purchase_value, p_us FROM p
+        WHERE p.p_user = v.user_id
+        ORDER BY abs(p.p_us - v.v_us), p.p_us LIMIT 1) l ON true
+      ORDER BY v.event_id""",
+
+    "m12_voiced_segments" -> """
+      WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+          octet_length(encode(text)) AS nb FROM documents
+        WHERE octet_length(encode(text)) > 0),
+      ch AS (SELECT doc_id, CAST(t.sb // 64 AS INT) AS chunk_idx,
+          md5(substring(hx, CAST(t.sb * 2 + 1 AS INT),
+            CAST(least(64, nb - t.sb) * 2 AS INT))) AS chunk_md5
+        FROM c, unnest(generate_series(0, nb - 1, 64)) AS t(sb)),
+      vo AS (SELECT doc_id, chunk_idx FROM ch
+        WHERE ('0x' || substr(chunk_md5, 1, 8))::BIGINT % 4 != 0),
+      gr AS (SELECT doc_id, chunk_idx,
+          chunk_idx - row_number() OVER (PARTITION BY doc_id
+            ORDER BY chunk_idx) AS grp
+        FROM vo),
+      sg AS (SELECT doc_id, CAST(min(chunk_idx) AS INT) AS start_chunk,
+          CAST(count(*) AS INT) AS n_chunks
+        FROM gr GROUP BY doc_id, grp)
+      SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY start_chunk) AS INT) AS seg_idx,
+        start_chunk, n_chunks
+      FROM sg ORDER BY doc_id, seg_idx""",
 
     "q68_retention" -> """
       WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk

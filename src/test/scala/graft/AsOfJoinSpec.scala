@@ -198,4 +198,38 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.keySet === expected.keySet)
     got.foreach { case (id, d) => assert(d === expected(id), s"event $id") }
   }
+
+  test("randomized nearest-direction as-of matches an in-memory argmin " +
+      "model, ties to the earlier match, tolerance bounds both sides") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong, i.toLong)
+    }
+    val right = (0 until 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(100).toLong)
+    }.distinct
+    val l = left.toDF("k", "t", "id")
+    val r = right.toDF("rk", "rt").withColumn("payload",
+      org.apache.spark.sql.functions.col("rt"))
+    val byKey = right.groupBy(_._1)
+    for (tol <- Seq(None, Some(3L))) {
+      val got = AsOfJoin.leftAsOfNearest(l, r, "k", "t", "rk", "rt",
+          Seq("payload"), tolerance = tol).collect()
+        .map(x => x.getAs[Long]("id") ->
+          (Option(x.get(x.fieldIndex("payload"))),
+           Option(x.get(x.fieldIndex("matched_delta")))))
+        .toMap
+      left.foreach { case (k, t, id) =>
+        val cands = byKey.getOrElse(k, Seq.empty).map(_._2)
+          .filter(rt => tol.forall(b => math.abs(rt - t) <= b))
+        // argmin |Δ|, ties to the earlier (smaller rt)
+        val expected = if (cands.isEmpty) None
+          else Some(cands.minBy(rt => (math.abs(rt - t), rt)))
+        assert(got(id)._1 === expected, s"tol=$tol key=$k t=$t")
+        assert(got(id)._2 === expected.map(rt => math.abs(rt - t)),
+          s"delta tol=$tol key=$k t=$t")
+      }
+    }
+  }
 }
