@@ -1122,6 +1122,36 @@ object Similarity {
         array_sort(collect_list(struct(col("dim"), col("value")))),
         e => e.getField("value")).as("vec"))
 
+  /** IVF index-health report: per-cell population with share-of-corpus
+    * and skew-vs-ideal (n_vectors × n_cells / n_total; 1.0 = perfectly
+    * balanced) — INCLUDING empty cells, which a report built only from
+    * the assignment would silently omit (an empty cell means wasted
+    * nprobe budget; a hot cell means one probe scans half the corpus).
+    * Run it per index build, alert on skew drift — the dedup-side twin
+    * of the ANN-recall gate (s21).
+    *
+    * Cost: the (already map-side) assignment + one cell-keyed count; the
+    * two scalar totals arrive by broadcast. No window, no sort.
+    *
+    * Output: (cell, n_vectors, share, skew).
+    */
+  def ivfBalance(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sizes = ivfAssign(corpus, centroids, idCol, vecCol)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    val totals = corpus.agg(count(lit(1)).as("n_total"))
+      .crossJoin(centroids.agg(count(lit(1)).as("n_cells")))
+    centroids.select(col("centroid_id").as("cell"))
+      .join(sizes, Seq("cell"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vectors"),
+        round(col("n_vectors") / col("n_total").cast("double"), 6)
+          .as("share"),
+        round(col("n_vectors") * col("n_cells") /
+          col("n_total").cast("double"), 6).as("skew"))
+  }
+
   /** Maximum-inner-product top-k (MIPS) — the retrieval metric of
     * dot-product-trained two-tower/DSSM models, where cosine is WRONG
     * (it divides out the corpus-side norm the model learned to use as a

@@ -202,6 +202,22 @@ object Extras {
         .orderBy(col("doc_id"), col("seg_idx"))
     },
 
+    // Day-of-month activity bitmap per user — the compressed-presence
+    // trick for "active days" analytics at scale: one BIGINT per
+    // (user, month) instead of a distinct-days set; membership, counts,
+    // and overlaps become bit ops. n_active_days cross-checks the bit
+    // path against the plain distinct count.
+    "q70_activity_bitmap" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(expr("bit_or(shiftleft(1L, day(ts) - 1))").as("bitmap"),
+          countDistinct(dayofmonth(col("ts"))).as("n_distinct_days"))
+        .select(col("user_id"), col("bitmap"),
+          bit_count(col("bitmap")).cast("int").as("n_active_days"),
+          col("n_distinct_days"))
+        .orderBy(col("user_id"))
+    },
+
     // Cohort retention matrix: users grouped by first-activity week,
     // distinct-active fraction at each later week offset — the product
     // analytics staple. Two shuffles (per-user min, then cohort-cell
@@ -426,6 +442,14 @@ object Extras {
           ORDER BY start_chunk) AS INT) AS seg_idx,
         start_chunk, n_chunks
       FROM sg ORDER BY doc_id, seg_idx""",
+
+    "q70_activity_bitmap" -> """
+      SELECT user_id,
+        bit_or(1::BIGINT << (day(ts) - 1)) AS bitmap,
+        CAST(bit_count(bit_or(1::BIGINT << (day(ts) - 1))) AS INT)
+          AS n_active_days,
+        count(DISTINCT day(ts)) AS n_distinct_days
+      FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q68_retention" -> """
       WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk

@@ -433,6 +433,27 @@ object NorthStar {
         .orderBy(col("user_id"), col("version"))
     },
 
+    // Bucket-overflow forensics for the capped candidate generators: the
+    // band buckets whose population exceeds the cap, with the dropped
+    // count — the recall-loss audit every capped run ships (cap 2 here
+    // so the fixture actually overflows; production uses the generator's
+    // own cap). One aggregation over the banded frame, no join.
+    "d32_bucket_overflow" -> { (s, dir) =>
+      Dedup.bucketOverflow(
+          Dedup.minhashBands(Dedup.minhashSignatures(docs(s, dir))),
+          Seq("band_idx", "band_val"), maxBucket = 2)
+        .orderBy(col("band_idx"), col("band_val"))
+    },
+
+    // IVF index-health report: per-cell population incl. EMPTY cells,
+    // share and skew-vs-ideal — the index-build gate next to s21's
+    // recall audit.
+    "s25_ivf_balance" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfBalance(e, Similarity.sampleCentroids(e))
+        .orderBy(col("cell"))
+    },
+
     // MinHash estimator calibration: per certified candidate pair, the
     // signature-estimated Jaccard vs the exact shingle-set Jaccard —
     // the audit that catches band/row configs drifting off their
@@ -1384,6 +1405,36 @@ object NorthStar {
       WITH $MinhashCtes
       SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
       FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
+
+    "d32_bucket_overflow" -> s"""
+      WITH $MinhashCtes
+      SELECT CAST(b AS INT) AS band_idx, bv AS band_val,
+        count(*) AS population, count(*) - 2 AS n_dropped
+      FROM bands0 GROUP BY 1, 2 HAVING count(*) > 2
+      ORDER BY band_idx, band_val""",
+
+    "s25_ivf_balance" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+        WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      sz AS (SELECT cell, count(*) AS n_vectors FROM a GROUP BY cell),
+      tot AS (SELECT (SELECT count(*) FROM e) AS n_total,
+                     (SELECT count(*) FROM c) AS n_cells)
+      SELECT c.centroid_id AS cell,
+        coalesce(sz.n_vectors, 0) AS n_vectors,
+        round(coalesce(sz.n_vectors, 0) / CAST(n_total AS DOUBLE), 6)
+          AS share,
+        round(coalesce(sz.n_vectors, 0) * n_cells /
+          CAST(n_total AS DOUBLE), 6) AS skew
+      FROM c LEFT JOIN sz ON sz.cell = c.centroid_id, tot
+      ORDER BY cell""",
 
     "d30_minhash_accuracy" -> s"""
       WITH $MinhashCtes,
