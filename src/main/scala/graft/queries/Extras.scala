@@ -202,6 +202,35 @@ object Extras {
         .orderBy(col("doc_id"), col("seg_idx"))
     },
 
+    // CUSUM changepoint detection per event type: running sum of
+    // (value − 50) minus its running minimum — the one-sided CUSUM
+    // drift statistic in its window-expressible form (no per-row fold
+    // state; two frames of one key-partitioned sort). All sums are
+    // DECIMAL-exact; the only double is the final rounded peak. Output:
+    // where each type's upward drift peaks.
+    "q71_cusum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(18, 6)
+      val scan = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pk = Window.partitionBy(col("event_type"))
+      val rn = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("dev", col("value").cast(dec) - lit(50))
+        .withColumn("s", sum(col("dev")).over(scan))
+        .withColumn("detect", col("s") - min(col("s")).over(scan))
+        .withColumn("peak", max(col("detect")).over(pk))
+        .filter(col("detect") === col("peak"))
+        .withColumn("rn", row_number().over(rn))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          round(col("peak").cast("double"), 6).as("peak_detect"),
+          col("ts").as("peak_at"), col("event_id").as("peak_event"))
+        .orderBy(col("event_type"))
+    },
+
     // Day-of-month activity bitmap per user — the compressed-presence
     // trick for "active days" analytics at scale: one BIGINT per
     // (user, month) instead of a distinct-days set; membership, counts,
@@ -442,6 +471,26 @@ object Extras {
           ORDER BY start_chunk) AS INT) AS seg_idx,
         start_chunk, n_chunks
       FROM sg ORDER BY doc_id, seg_idx""",
+
+    "q71_cusum" -> """
+      WITH cu AS (SELECT event_type, ts, event_id,
+          CAST(value AS DECIMAL(18,6)) - 50 AS dev FROM events),
+      r1 AS (SELECT event_type, ts, event_id,
+          sum(dev) OVER (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        FROM cu),
+      r2 AS (SELECT *, s - min(s) OVER (PARTITION BY event_type
+          ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS detect
+        FROM r1),
+      r3 AS (SELECT *, max(detect) OVER (PARTITION BY event_type) AS peak
+        FROM r2),
+      r4 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY ts, event_id) AS rn
+        FROM r3 WHERE detect = peak)
+      SELECT event_type, round(CAST(peak AS DOUBLE), 6) AS peak_detect,
+        ts AS peak_at, event_id AS peak_event
+      FROM r4 WHERE rn = 1 ORDER BY event_type""",
 
     "q70_activity_bitmap" -> """
       SELECT user_id,

@@ -962,6 +962,27 @@ object NorthStar {
       TextAnalysis.bpeEncode(d, merges).orderBy(col("doc_id"))
     },
 
+    // Tokenizer fertility (tokens per word) by language, from the t13/t14
+    // BPE tokenizer: the standard multilingual-tokenizer-fit report —
+    // a language with outsized fertility is under-served by the merges
+    // and over-pays its token budget. Map-only encode + one lang-keyed
+    // aggregation of exact integer counts.
+    "t40_fertility" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val merges = TextAnalysis.bpeTrain(d).orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeEncode(d, merges)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words").cast("long")).as("n_words"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          when(col("n_words") > 0,
+            round(col("n_tokens").cast("double") / col("n_words"), 6))
+            .as("fertility"))
+        .orderBy(col("lang"))
+    },
+
     // Bigram-LM perplexity signal (KenLM/CCNet shape): train the add-one-
     // smoothed LM on the src0 slice, score every document by average
     // bigram log-probability.
@@ -3109,6 +3130,30 @@ object NorthStar {
         CAST(coalesce(n_tokens, 0) AS INT) AS n_tokens,
         md5(coalesce(stream, '')) AS token_md5
       FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"""),
+
+    "t40_fertility" -> (BpeMergeCtes + raw""",
+      s3 AS (SELECT word, replace(sym,
+          (SELECT chr(1) || a || chr(1) || chr(1) || b || chr(1) FROM m3),
+          (SELECT chr(1) || a || b || chr(1) FROM m3)) AS sym FROM s2),
+      enc AS (SELECT word,
+          replace(replace(sym, chr(1) || chr(1), ' '), chr(1), '') AS tokstr
+        FROM s3),
+      dw AS (SELECT doc_id, w[i] AS word, i AS pos FROM
+          (SELECT doc_id, string_split_regex(text, '\s+') AS w
+           FROM documents),
+          unnest(generate_series(1, len(w))) AS t(i)
+        WHERE w[i] <> '' AND w[i] NOT LIKE '%' || chr(1) || '%'),
+      agg AS (SELECT doc_id, count(*) AS n_words,
+          sum(len(string_split(tokstr, ' '))) AS n_tokens
+        FROM dw JOIN enc USING (word) GROUP BY doc_id),
+      lg AS (SELECT d.lang, CAST(sum(coalesce(n_words, 0)) AS BIGINT)
+            AS n_words,
+          CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN agg USING (doc_id) GROUP BY d.lang)
+      SELECT lang, n_words, n_tokens,
+        CASE WHEN n_words > 0
+          THEN round(CAST(n_tokens AS DOUBLE) / n_words, 6) END AS fertility
+      FROM lg ORDER BY lang"""),
 
     // Add-one-smoothed bigram LM trained on the src0 slice; per-bigram
     // log-probs rounded to 6 decimals then decimal-summed (order-free),
