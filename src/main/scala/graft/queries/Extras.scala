@@ -118,6 +118,35 @@ object Extras {
         .orderBy(col("seed"), col("dist"))
     },
 
+    // Harmonic centrality (3-hop horizon) from the g07 reach profile:
+    // Σ n_d / d — the distance-discounted influence score, computed on
+    // the same frontier BFS (no extra graph passes).
+    "g08_harmonic" -> { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000).as("supp"))
+      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+        .distinct()
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      Graph.kHopCounts(e, seeds, k = 3)
+        .groupBy(col("seed"))
+        .agg(
+          sum(when(col("dist") === 1, col("n_nodes")).otherwise(0L))
+            .as("n1"),
+          sum(when(col("dist") === 2, col("n_nodes")).otherwise(0L))
+            .as("n2"),
+          sum(when(col("dist") === 3, col("n_nodes")).otherwise(0L))
+            .as("n3"))
+        .select(col("seed"), col("n1"), col("n2"), col("n3"),
+          round(col("n1") + col("n2") / 2.0 + col("n3") / 3.0, 6)
+            .as("harmonic3"))
+        .orderBy(col("seed"))
+    },
+
     // Shot-boundary detection on sampled frame fingerprints: adjacent
     // frame signature hamming distance, per-media lag window.
     "m11_shot_boundaries" -> { (s, dir) =>
@@ -166,6 +195,40 @@ object Extras {
         .select(col("term"), col("n_total"), col("n_docs"),
           round(col("sc2").cast("double") / col("n_total") -
             col("n_total").cast("double") / col("nd"), 6).as("burstiness"))
+    },
+
+    // CDC MERGE (upsert + delete) applied as one full-outer join — the
+    // engine-level form of MERGE INTO against a plain parquet snapshot:
+    // deletes drop, updates overwrite, inserts append, untouched rows
+    // carry through. One key-partitioned join, no per-row driver logic;
+    // at scale both sides bucket on the key and the join is
+    // exchange-free.
+    "q72_cdc_apply" -> { (s, dir) =>
+      val snap = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // deterministic change batch derived from orders: the max-priced
+      // order per customer drives an update, %10==0 customers are
+      // deletes, and shifted ids append as inserts
+      val chg0 = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      val chg = chg0
+        .select(col("o_custkey").as("k"),
+          when(col("o_custkey") % 10 === 0, lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("new_bal"))
+        .unionByName(chg0.filter(col("o_custkey") % 97 === 0)
+          .select((col("o_custkey") + 1000000).as("k"), lit("I").as("op"),
+            col("new_bal")))
+      snap.join(chg, col("c_custkey") === col("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("")) =!= "D")
+        .select(coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+          coalesce(col("c_name"),
+            concat(lit("new-"), col("k").cast("string"))).as("c_name"),
+          when(col("op").isin("U", "I"), col("new_bal"))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          coalesce(col("op"), lit("=")).as("applied_op"))
+        .orderBy(col("c_custkey"))
     },
 
     // Nearest-direction as-of join (merge_asof direction='nearest'): for
@@ -516,6 +579,60 @@ object Extras {
         round(CAST(active_n AS DOUBLE) / cohort_n, 6) AS retention
       FROM act JOIN sz USING (cohort_wk)
       ORDER BY cohort_wk, week_offset""",
+
+    "q72_cdc_apply" -> """
+      WITH ch0 AS (SELECT o_custkey, max(o_totalprice) AS new_bal
+        FROM orders GROUP BY 1),
+      ch AS (SELECT o_custkey AS k,
+          CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op, new_bal
+        FROM ch0
+        UNION ALL SELECT o_custkey + 1000000, 'I', new_bal FROM ch0
+        WHERE o_custkey % 97 = 0),
+      sn AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+      SELECT coalesce(c_custkey, k) AS c_custkey,
+        coalesce(c_name, 'new-' || k) AS c_name,
+        CASE WHEN op IN ('U', 'I') THEN new_bal ELSE c_acctbal END
+          AS c_acctbal,
+        coalesce(op, '=') AS applied_op
+      FROM sn FULL OUTER JOIN ch ON c_custkey = k
+      WHERE coalesce(op, '') != 'D'
+      ORDER BY c_custkey""",
+
+    "g08_harmonic" -> """
+      WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM cs
+          UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
+      seeds AS (SELECT DISTINCT src AS seed FROM e
+        WHERE src < 1000000 AND src % 100 = 0),
+      v0 AS (SELECT seed, seed AS node FROM seeds),
+      f1 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM v0 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v0),
+      v1 AS (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f1 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v1),
+      v2 AS (SELECT * FROM v1 UNION SELECT * FROM f2),
+      f3 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f2 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v2),
+      lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1
+          GROUP BY seed
+        UNION ALL SELECT seed, 2, count(*) FROM f2 GROUP BY seed
+        UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY seed),
+      ag AS (SELECT seed,
+          CAST(sum(CASE WHEN dist = 1 THEN n_nodes ELSE 0 END) AS BIGINT)
+            AS n1,
+          CAST(sum(CASE WHEN dist = 2 THEN n_nodes ELSE 0 END) AS BIGINT)
+            AS n2,
+          CAST(sum(CASE WHEN dist = 3 THEN n_nodes ELSE 0 END) AS BIGINT)
+            AS n3
+        FROM lv GROUP BY seed)
+      SELECT seed, n1, n2, n3,
+        round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic3
+      FROM ag ORDER BY seed""",
 
     "m11_shot_boundaries" -> """
       WITH f AS (SELECT doc_id, j AS frame_idx,
