@@ -816,6 +816,24 @@ object NorthStar {
         .orderBy(col("doc_id"))
     },
 
+    // Language-ID confusion matrix against the fixture's ground-truth
+    // labels: per (true, predicted) cell, count and share of the true
+    // language — the classifier-QA report that decides whether the
+    // n-gram heuristic is good enough to GATE on (filtering by a wrong
+    // lang-ID silently drops a language from the corpus). One aggregation
+    // over the map-only scorer.
+    "t41_langid_confusion" -> { (s, dir) =>
+      val cells = TextAnalysis.withLangId(docs(s, dir))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+      cells
+        .withColumn("share",
+          round(col("n") / sum(col("n")).over(w).cast("double"), 6))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
     "t03_quality" -> { (s, dir) =>
       TextAnalysis.withQuality(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
@@ -2906,6 +2924,28 @@ object NorthStar {
              WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
              ELSE 'zh' END AS lang_pred
       FROM s ORDER BY doc_id""",
+
+    "t41_langid_confusion" -> s"""
+      WITH s AS (SELECT doc_id, lang,
+        CAST(len(list_filter($W, t -> t IN ('der','die','das','und','ist','nicht'))) AS INT) AS score_de,
+        CAST(len(list_filter($W, t -> t IN ('the','a','of','and','to','in','is'))) AS INT) AS score_en,
+        CAST(len(list_filter($W, t -> t IN ('el','los','las','y','es','no'))) AS INT) AS score_es,
+        CAST(len(list_filter($W, t -> t IN ('le','la','les','et','est','pas'))) AS INT) AS score_fr,
+        CAST(len(list_filter($W, t -> t IN ('的','是','不','了','在'))) AS INT) AS score_zh
+        FROM documents),
+      pr AS (SELECT doc_id, lang,
+        CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+             WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+             WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+             WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+             WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+             ELSE 'zh' END AS lang_pred
+        FROM s),
+      cl AS (SELECT lang, lang_pred, count(*) AS n FROM pr GROUP BY 1, 2)
+      SELECT lang, lang_pred, n,
+        round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+          AS share
+      FROM cl ORDER BY lang, lang_pred""",
 
     "t03_quality" -> s"""
       WITH b AS (SELECT doc_id, text, $W AS w FROM documents),

@@ -686,4 +686,37 @@ class TextAnalysisSpec extends SparkSpec {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getAs[Double]("char_entropy") === exp)
   }
+
+  test("lexical diversity matches a driver-side reference on the fixture") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sf, "documents")
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.lexicalDiversity(docs).collect()
+    assert(got.length === texts.count(_._2.split("\\s+").exists(_.nonEmpty)))
+    got.foreach { row =>
+      val text = texts(row.getAs[Long]("doc_id"))
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty).sorted
+      val wordRuns = words.groupBy(identity)
+      assert(row.getAs[Long]("n_words") === words.length.toLong)
+      assert(row.getAs[Long]("n_types") === wordRuns.size.toLong)
+      assert(row.getAs[Double]("ttr") ===
+        r6(wordRuns.size.toDouble / words.length))
+      assert(row.getAs[Double]("hapax_rate") ===
+        r6(wordRuns.count(_._2.length == 1).toDouble / wordRuns.size))
+      // entropy: fold run terms in sorted-char order, like the operator
+      val chars = text.split("").filter(_.nonEmpty).sorted
+      val runs = chars.foldLeft(List.empty[(String, Int)]) {
+        case ((c, n) :: tl, ch) if c == ch => (c, n + 1) :: tl
+        case (acc, ch) => (ch, 1) :: acc
+      }.reverse
+      val n = chars.length.toDouble
+      val ent = runs.foldLeft(0.0) { case (acc, (_, k)) =>
+        acc + (k / n) * math.log(k / n)
+      }
+      assert(row.getAs[Double]("char_entropy") === r6(-ent),
+        s"doc ${row.getAs[Long]("doc_id")}")
+    }
+  }
 }
