@@ -146,8 +146,15 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // Checkpoint the adjacency ONCE: each peel round references it from
+    // TWO semi joins, so without the cut the logical plan doubles per
+    // round and re-derives the (possibly expensive) edge input 2^rounds
+    // times — measured 198 s for 3 rounds over the minhash-pair graph at
+    // sf0.1 vs ~1 s with the cuts. Same for `alive` after every round:
+    // it's node-sized, and an uncut round-r plan nests rounds 1..r-1.
     val both = adj.select(col("a").as("z"), col("b").as("x"))
       .union(adj.select(col("b").as("z"), col("a").as("x")))
+      .localCheckpoint(false)
     var alive: DataFrame = both.select(col("z").as("id")).distinct()
     def aliveDeg(a: DataFrame): DataFrame = both
       .join(a.withColumnRenamed("id", "z"), Seq("z"), "left_semi")
@@ -156,7 +163,7 @@ object Graph {
     for (r <- 1 to rounds) {
       alive = aliveDeg(alive).filter(col("deg") >= k)
         .select(col("z").as("id"))
-      if (r % 5 == 0 && r < rounds) alive = alive.localCheckpoint(false)
+      if (r < rounds) alive = alive.localCheckpoint(false)
     }
     aliveDeg(alive)
       .select(col("z").as("id"), col("deg").as("core_deg"))
@@ -303,7 +310,10 @@ object Graph {
     */
   def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // one cut for the (possibly join-derived) edge set — every hop joins
+    // it, and the final union references every hop
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     var visited = seeds.select(col("seed"), col("seed").as("node"))
       .distinct().localCheckpoint(false)
     var frontier = visited
