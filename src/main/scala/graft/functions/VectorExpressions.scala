@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -209,6 +209,56 @@ case class NearestEntryInGroup(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Stripe-pooled byte signature of a binary payload: `patches` equal
+  * stripes (ceil boundaries — identical to the HOF formulation it
+  * replaces: stripe i covers 1-based bytes
+  * floor((i·n + P−1)/P)+1 .. floor(((i+1)·n + P−1)/P)), each stripe the
+  * sum of its UNSIGNED byte values. The HOF path hexed the payload and
+  * parsed every byte back through substr+conv — two string allocations
+  * per byte; this reads the bytes directly (measured ~10x on the m09/m10
+  * media signatures). The DuckDB oracle keeps the hex formulation —
+  * values are identical by construction.
+  */
+case class PatchPool(child: Expression, patches: Int)
+    extends UnaryExpression {
+  require(patches > 0, "patches must be positive")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "patch_pool"
+
+  override def nullSafeEval(input: Any): Any =
+    PatchKernels.pool(input.asInstanceOf[Array[Byte]], patches)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PatchKernels.pool($c, $patches)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PatchPool = copy(child = newChild)
+}
+
+/** Static forwarder shared by [[PatchPool]]'s eval and generated code. */
+object PatchKernels {
+  def pool(bytes: Array[Byte], patches: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = bytes.length
+    val out = new Array[Long](patches)
+    var i = 0
+    while (i < patches) {
+      // same ceil boundaries as the hex HOF: 0-based [lo, hi)
+      val lo = ((i.toLong * n + patches - 1) / patches).toInt
+      val hi = (((i + 1).toLong * n + patches - 1) / patches).toInt
+      var s = 0L
+      var j = lo
+      while (j < hi) { s += (bytes(j) & 0xFF).toLong; j += 1 }
+      out(i) = s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-API wrappers (classic/non-Connect sessions). */
 object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
@@ -223,4 +273,6 @@ object VectorFunctions {
   def nearest_entry_in_group(v: Column, entries: Column, g: Column): Column =
     Bridge.toColumn(NearestEntryInGroup(Bridge.toExpression(v),
       Bridge.toExpression(entries), Bridge.toExpression(g)))
+  def patch_pool(payload: Column, patches: Int): Column =
+    Bridge.toColumn(PatchPool(Bridge.toExpression(payload), patches))
 }

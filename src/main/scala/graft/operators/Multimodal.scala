@@ -285,24 +285,13 @@ object Multimodal {
       payloadCol: String = "payload", idCol: String = "doc_id"): DataFrame = {
     require(patches > 0, "patches must be positive")
     val p = col(payloadCol)
-    val prepared = df.filter(length(p) > 0)
-      .select(col(idCol), hex(p).as("__hx"), length(p).as("__n"))
-    val pooled = transform(sequence(lit(0), lit(patches - 1)), i => {
-      // ceil(a/P) = floor((a + P - 1)/P); products stay far below 2^53,
-      // so the double division is exact
-      val lo1 = floor((i.cast("long") * col("__n") + (patches - 1)) /
-        patches).cast("int") + 1
-      val hi1 = floor(((i + 1).cast("long") * col("__n") + (patches - 1)) /
-        patches).cast("int")
-      val stripe = when(hi1 >= lo1, sequence(lo1, hi1))
-        .otherwise(array().cast("array<int>"))
-      aggregate(
-        transform(stripe, j =>
-          conv(col("__hx").substr((j - 1) * 2 + 1, lit(2)), 16, 10)
-            .cast("long")),
-        lit(0L), (acc, x) => acc + x)
-    })
-    prepared.select(col(idCol), pooled.as("pooled"))
+    // native byte-stripe expression (graft.functions.PatchPool): the HOF
+    // formulation hexed the payload then substr+conv'd every byte — two
+    // string allocations per byte dominated m09/m10; the kernel reads the
+    // binary directly with identical ceil-stripe boundaries.
+    df.filter(length(p) > 0)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.patch_pool(p, patches).as("pooled"))
   }
 
   /** Exact k-NN over [[patchPooled]] signatures: for every payload whose

@@ -185,4 +185,25 @@ object GraftProperties extends Properties("graft") {
       a == b && a.width >= 0 && a.width < 1280 &&
         a.height >= 0 && a.height < 720 && a.n_patches > 0
     }
+
+  // ---- patch pooling -----------------------------------------------------
+
+  /** The native byte kernel against an independent ceil-stripe reference
+    * (the hex+conv HOF semantics it replaced): every stripe sums its
+    * unsigned bytes, stripes tile [0, n) exactly.
+    */
+  property("patch pool == unsigned ceil-stripe reference, stripes tile") =
+    forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)),
+        Gen.choose(1, 16)) { (bs, patches) =>
+      val bytes = bs.toArray
+      val got = graft.functions.PatchKernels.pool(bytes, patches)
+        .toLongArray().toSeq
+      val ref = (0 until patches).map { i =>
+        val lo = ((i.toLong * bytes.length + patches - 1) / patches).toInt
+        val hi =
+          (((i + 1).toLong * bytes.length + patches - 1) / patches).toInt
+        bytes.slice(lo, hi).map(b => (b & 0xFF).toLong).sum
+      }
+      got == ref && got.sum == bytes.map(b => (b & 0xFF).toLong).sum
+    }
 }
