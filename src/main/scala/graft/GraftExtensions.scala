@@ -57,7 +57,10 @@ object GraftExtensions {
       es => GramHashes(es.head, 8)),
     ("nearest_entry",
       "_FUNC_(v, entries) - argmin entry by squared distance",
-      es => NearestEntry(es(0), es(1))))
+      es => NearestEntry(es(0), es(1))),
+    ("patch_pool",
+      "_FUNC_(payload) - 8-stripe unsigned-byte-sum payload signature",
+      es => PatchPool(es.head, 8)))
 
   /** Table-valued functions: the reference's SQL front door, under both
     * the registered name (kafka_consumer, cpp:223) and the README's alias

@@ -197,6 +197,27 @@ object Extras {
             col("n_total").cast("double") / col("nd"), 6).as("burstiness"))
     },
 
+    // Multimodal pairing audit: text↔embedding integrity for a paired
+    // training corpus — every id classified paired / text_only /
+    // embedding_only (orphans on either side are dropped samples or a
+    // broken upstream join; the %7/%11 gates simulate them on the
+    // fixture). One full-outer id join + a 3-row rollup.
+    "m13_pair_audit" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("tid"))
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 11 =!= 0)
+        .select(col("vec_id").as("vid"))
+      d.join(e, col("tid") === col("vid"), "full_outer")
+        .select(coalesce(col("tid"), col("vid")).as("id"),
+          when(col("tid").isNotNull && col("vid").isNotNull, lit("paired"))
+            .when(col("tid").isNotNull, lit("text_only"))
+            .otherwise(lit("embedding_only")).as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+
     // CDC MERGE (upsert + delete) applied as one full-outer join — the
     // engine-level form of MERGE INTO against a plain parquet snapshot:
     // deletes drop, updates overwrite, inserts append, untouched rows
@@ -579,6 +600,17 @@ object Extras {
         round(CAST(active_n AS DOUBLE) / cohort_n, 6) AS retention
       FROM act JOIN sz USING (cohort_wk)
       ORDER BY cohort_wk, week_offset""",
+
+    "m13_pair_audit" -> """
+      WITH d AS (SELECT doc_id AS tid FROM documents WHERE doc_id % 7 != 0),
+      e AS (SELECT vec_id AS vid FROM embeddings WHERE vec_id % 11 != 0),
+      j AS (SELECT coalesce(tid, vid) AS id,
+          CASE WHEN tid IS NOT NULL AND vid IS NOT NULL THEN 'paired'
+               WHEN tid IS NOT NULL THEN 'text_only'
+               ELSE 'embedding_only' END AS status
+        FROM d FULL OUTER JOIN e ON tid = vid)
+      SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+      FROM j GROUP BY status ORDER BY status""",
 
     "q72_cdc_apply" -> """
       WITH ch0 AS (SELECT o_custkey, max(o_totalprice) AS new_bal
