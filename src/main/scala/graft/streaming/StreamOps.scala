@@ -44,6 +44,53 @@ class OffsetGapProcessor
   }
 }
 
+/** One observation entering the streaming CUSUM: `tsUs`/`eventId` give
+  * the per-key total order, `value` the measured series.
+  */
+case class CusumPoint(key: String, tsUs: Long, eventId: Long, value: Double)
+
+/** Per-row CUSUM emission: detect = runningSum − runningMin, ≥ 0. */
+case class CusumUpdate(key: String, eventId: Long, detect: BigDecimal)
+
+/** (runningSum, runningMin-including-current) — the whole CUSUM state. */
+case class CusumState(s: BigDecimal, minS: BigDecimal)
+
+/** Streaming CUSUM drift detector — the transformWithState twin of the
+  * batch q71 formulation (running sum of (value − target) minus its
+  * running minimum): two DECIMAL-exact numbers of state per key, emitted
+  * per row. The same left-to-right decimal arithmetic as the batch
+  * windows, so after replaying a key's (tsUs, eventId) order the per-key
+  * peak detect is BIT-IDENTICAL to the batch query — StreamingSpec gates
+  * it. Rows are sorted within each micro-batch; cross-batch order is the
+  * source's responsibility (Kafka per-partition order in production).
+  */
+class CusumProcessor(target: BigDecimal)
+    extends StatefulProcessor[String, CusumPoint, CusumUpdate] {
+  @transient private var st: ValueState[CusumState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CusumState]("cusum",
+      Encoders.product[CusumState], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[CusumPoint],
+      tv: TimerValues): Iterator[CusumUpdate] = {
+    var (s, minS, seen) =
+      if (st.exists()) { val c = st.get(); (c.s, c.minS, true) }
+      else (BigDecimal(0), BigDecimal(0), false)
+    val out = rows.toArray.sortBy(p => (p.tsUs, p.eventId)).map { p =>
+      // the same double→DECIMAL(·,6) conversion Spark's cast performs
+      val dev = BigDecimal(java.math.BigDecimal.valueOf(p.value))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) - target
+      s += dev
+      minS = if (seen) minS.min(s) else s
+      seen = true
+      CusumUpdate(p.key, p.eventId, s - minS)
+    }
+    st.update(CusumState(s, minS))
+    out.iterator
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows): the
   * streaming twin of the batch replay source plus watermarked windows,
   * streaming dedup, and session windows.
@@ -146,6 +193,17 @@ object StreamOps {
     import records.sparkSession.implicits._
     records.groupByKey(r => (r.topic, r.partition))
       .transformWithState(new OffsetGapProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming CUSUM over typed points (see [[CusumProcessor]]); requires
+    * the RocksDB state store provider, like every transformWithState op.
+    */
+  def cusumStream(points: Dataset[CusumPoint],
+      target: BigDecimal = BigDecimal(50)): Dataset[CusumUpdate] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .transformWithState(new CusumProcessor(target), TimeMode.None(),
         OutputMode.Append())
   }
 

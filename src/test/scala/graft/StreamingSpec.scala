@@ -294,4 +294,60 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L) === ((true, Some("near"))))
     assert(got(3L) === ((false, None)))
   }
+
+  test("streaming CUSUM peak == batch q71 after in-order replay " +
+      "(transformWithState, RocksDB, multi-batch state carry)") {
+    import spark.implicits._
+    implicit val sqlCtx = classic.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val batch = SparkEntry.queries("q71_cusum")(spark, sf).collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getLong(3))).toMap
+
+      val pts = Tables.load(spark, sf, "events")
+        .select(col("event_type").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+          col("event_id").as("eventId"), col("value"))
+        .as[graft.streaming.CusumPoint]
+        .collect().sortBy(p => (p.tsUs, p.eventId))
+      val mem = MemoryStream[graft.streaming.CusumPoint]
+      val q = graft.streaming.StreamOps.cusumStream(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cusum").start()
+      try {
+        // three in-order micro-batches — the state must carry across
+        pts.grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+
+      val ups = spark.table("cusum").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).doubleValue()))
+      val byKey = ups.groupBy(_._1)
+      assert(byKey.keySet === batch.keySet)
+      byKey.foreach { case (k, rows) =>
+        val peak = rows.map(_._3).max
+        def r6(x: Double) = BigDecimal(x)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r6(peak) === batch(k)._1, s"key $k")
+        // the batch argmax event is among the streaming peak rows
+        assert(rows.filter(_._3 == peak).map(_._2).contains(batch(k)._2),
+          s"key $k peak event")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
