@@ -40,11 +40,14 @@ object Extras {
     // over them, identical token-for-token in the oracle — no engine's
     // corr() accumulation order is trusted.
     "q66_corr_matrix" -> { (s, dir) =>
-      val dec6 = DecimalType(18, 6)
+      // scale 2 matches the fixture's exact granularity and keeps every
+      // decimal product comfortably inside DuckDB's int64 fast path
+      // (scale-6 moments overflowed its rescale-then-multiply at sf0.1)
+      val dec2 = DecimalType(18, 2)
       val b = t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("bucket"),
           col("event_type"))
-        .agg(sum(col("value").cast(dec6)).cast(dec6).as("x"))
+        .agg(sum(col("value").cast(dec2)).cast(dec2).as("x"))
       val l = b.select(col("bucket"), col("event_type").as("type_a"),
         col("x").as("xa"))
       val r = b.select(col("bucket"), col("event_type").as("type_b"),
@@ -379,7 +382,7 @@ object Extras {
 
     "q66_corr_matrix" -> """
       WITH b AS (SELECT date_trunc('hour', ts) AS bucket, event_type,
-          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS x
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
         FROM events GROUP BY 1, 2),
       g AS (SELECT l.event_type AS type_a, r.event_type AS type_b,
           count(*) AS nb,
