@@ -84,6 +84,34 @@ object Extras {
         .orderBy(col("norm_md5"))
     },
 
+    // Round-5 capstone: priority cross-corpus dedup → lexical-diversity
+    // gate → per-source survivor report (exact-decimal mean TTR). One
+    // oracle certifies the composition of this round's certified
+    // fragments — the d12/d17/d21 capstone discipline.
+    "d33_diversity_pipeline" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val tier = (col("source").substr(lit(4), lit(10)).cast("int") % 3)
+        .cast("int")
+      val kept = Dedup.crossSourcePriorityDedup(d, tier)
+        .select(col("doc_id"))
+      val lex = TextAnalysis.lexicalDiversity(d)
+        .filter(col("ttr") >= 0.40).select(col("doc_id"), col("ttr"))
+      val surv = kept.join(lex, "doc_id")
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      t(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .join(surv.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_survivors"),
+            sum(col("ttr").cast(DecimalType(12, 6))).as("ttr_sum")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"),
+          when(col("n_survivors") > 0,
+            round(col("ttr_sum").cast("double") / col("n_survivors"), 6))
+            .as("mean_ttr"))
+        .orderBy(col("source"))
+    },
+
     // Maximum-inner-product retrieval (dot-product-trained retrievers;
     // cosine would divide out the learned norm prior). Broadcast query
     // panel, map-side scores, WindowGroupLimit — the corpus never
@@ -416,6 +444,35 @@ object Extras {
       SELECT k.doc_id, k.source, k.nm AS norm_md5, g.n_copies,
         g.n_sources, g.best_priority
       FROM k JOIN g USING (nm) WHERE rn = 1 ORDER BY norm_md5""",
+
+    "d33_diversity_pipeline" -> raw"""
+      WITH d0 AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) % 3 AS tier,
+          md5(trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\p{N}+', '0', 'g'),
+            '\s+', ' ', 'g'))) AS nm
+        FROM documents),
+      k AS (SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY nm
+            ORDER BY tier, doc_id) AS rn FROM d0) WHERE rn = 1),
+      w AS (SELECT doc_id, list_sort(list_filter(
+          regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS ws
+        FROM documents),
+      lx AS (SELECT doc_id,
+          round(CAST(len(list_filter(generate_series(1, len(ws)),
+            i -> i = 1 OR ws[i] <> ws[i-1])) AS DOUBLE) / len(ws), 6)
+            AS ttr
+        FROM w WHERE len(ws) > 0),
+      sv AS (SELECT k.doc_id, k.source, lx.ttr
+        FROM k JOIN lx USING (doc_id) WHERE ttr >= 0.40),
+      inp AS (SELECT source, count(*) AS n_docs FROM documents
+        GROUP BY source),
+      ag AS (SELECT source, count(*) AS n_survivors,
+          sum(CAST(ttr AS DECIMAL(12,6))) AS ts FROM sv GROUP BY source)
+      SELECT inp.source, n_docs, coalesce(n_survivors, 0) AS n_survivors,
+        CASE WHEN n_survivors > 0
+          THEN round(CAST(ts AS DOUBLE) / n_survivors, 6) END AS mean_ttr
+      FROM inp LEFT JOIN ag USING (source) ORDER BY source""",
 
     "s24_mips" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

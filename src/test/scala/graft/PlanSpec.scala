@@ -372,4 +372,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("PIT lookup is the as-of union+window, not an interval join: no " +
+      "range/cartesian join anywhere (q67)") {
+    val p = plan("q67_pit_lookup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
+  test("CUSUM shares one key shuffle across its running-sum, running-min " +
+      "and peak windows (q71)") {
+    val p = plan("q71_cusum")
+    assert(!p.contains("Join"), p)
+    // the event_type hash partition + the output sort — nothing more
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
+  }
 }
