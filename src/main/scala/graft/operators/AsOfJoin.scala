@@ -182,9 +182,9 @@ object AsOfJoin {
     * `tolerance` (numeric time) nulls out matches beyond the bound.
     * Output adds `payload` columns plus `matched_delta` (|Δt|, NULL when
     * unmatched). Hot-key exposure identical to the plain [[leftAsOf]]
-    * path (one key = one task); no bucketed variant yet — nearest needs
-    * carries in BOTH directions, so the escape hatch is two bucketed
-    * one-direction passes joined on a left row id.
+    * path (one key = one task); [[leftAsOfNearestBucketed]] is the
+    * hot-key escape hatch (two bucketed one-direction passes joined on a
+    * left row id — spec-equated to this path).
     */
   def leftAsOfNearest(left: DataFrame, right: DataFrame,
       keyL: String, timeL: String, keyR: String, timeR: String,
@@ -237,5 +237,50 @@ object AsOfJoin {
     payload.foldLeft(picked)(
         (d, p) => d.withColumn(p, col("__m").getField(p)))
       .drop("__k", "__t", "__side", "__m", "__p", "__n")
+  }
+
+  /** Hot-key-safe nearest as-of: TWO bucketed one-direction
+    * [[leftAsOf]] passes (each parallelizing a hot key across its time
+    * buckets) joined on a unique left row id, then the q69 pick rule
+    * (nearer wins, ties to backward) applied per row. Output and
+    * semantics identical to [[leftAsOfNearest]] — AsOfJoinSpec equates
+    * them on a 90%-hot-key fixture — at the cost of one extra sort pass
+    * and an id-keyed join; use it when one key dominates the timeline.
+    *
+    * `leftId` must be unique per left row; `timeR`'s name must not
+    * collide with a left column (it rides along as the matched time).
+    */
+  def leftAsOfNearestBucketed(left: DataFrame, right: DataFrame,
+      keyL: String, timeL: String, keyR: String, timeR: String,
+      payload: Seq[String], leftId: String,
+      tolerance: Option[Long] = None,
+      bucketWidth: Option[Long] = None): DataFrame = {
+    require(!left.columns.contains(timeR),
+      s"right time column $timeR collides with a left column; rename it")
+    val pb = payload :+ timeR
+    def pass(direction: String) =
+      leftAsOf(left, right.filter(col(timeR).isNotNull), keyL, timeL,
+        keyR, timeR, pb, direction, tolerance = None,
+        bucketWidth = bucketWidth)
+    val back = pb.foldLeft(pass("backward"))(
+      (d, p) => d.withColumnRenamed(p, s"__b_$p"))
+    val fwd = pass("forward")
+      .select(col(leftId).as("__fid") +:
+        pb.map(p => col(p).as(s"__f_$p")): _*)
+    val joined = back.join(fwd, col(leftId) === col("__fid"))
+    val dp = col(timeL) - col(s"__b_$timeR")
+    val dn = col(s"__f_$timeR") - col(timeL)
+    val inTolP = tolerance.fold(lit(true))(tol => dp <= tol)
+    val inTolN = tolerance.fold(lit(true))(tol => dn <= tol)
+    val pOk = col(s"__b_$timeR").isNotNull && inTolP
+    val nOk = col(s"__f_$timeR").isNotNull && inTolN
+    val useBack = pOk && (!nOk || dp <= dn)
+    val withPick = payload.foldLeft(
+        joined.withColumn("matched_delta",
+          when(useBack, dp).when(nOk, dn)))(
+      (d, p) => d.withColumn(p,
+        when(useBack, col(s"__b_$p")).when(nOk, col(s"__f_$p"))))
+    withPick.select((left.columns.toSeq.map(col) :+
+      col("matched_delta")) ++ payload.map(col): _*)
   }
 }

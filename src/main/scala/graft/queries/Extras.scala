@@ -306,6 +306,28 @@ object Extras {
         .orderBy(col("event_id"))
     },
 
+    // The hot-key-safe twin of q69: two bucketed one-direction as-of
+    // passes (a dominant key parallelizes across its 1-day time buckets)
+    // joined on the left row id — certified by the SAME LATERAL-argmin
+    // oracle, so the escape hatch provably preserves semantics.
+    "q73_asof_nearest_bucketed" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("v_us"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"),
+          unix_micros(col("ts").cast("timestamp")).as("p_us"))
+        .agg(min(col("event_id")).as("purchase_id"),
+          min_by(col("value"), col("event_id")).as("purchase_value"))
+      AsOfJoin.leftAsOfNearestBucketed(views, purch, "user_id", "v_us",
+          "p_user", "p_us", payload = Seq("purchase_id", "purchase_value"),
+          leftId = "event_id", bucketWidth = Some(86400000000L))
+        .select(col("event_id"), col("user_id"), col("v_us"),
+          col("matched_delta"), col("purchase_id"), col("purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
     // VAD-style segmentation: non-overlapping 64-byte chunks gated by a
     // deterministic pseudo-energy bit, maximal voiced runs merged into
     // segments via gaps-and-islands (map-only chunking + one per-media
@@ -576,6 +598,23 @@ object Extras {
         round(CAST(sc2 AS DOUBLE) / n_total
           - CAST(n_total AS DOUBLE) / nd, 6) AS burstiness
       FROM ag, n ORDER BY n_total DESC, term LIMIT 50""",
+
+    "q73_asof_nearest_bucketed" -> """
+      WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS v_us
+        FROM events WHERE event_type = 'view'),
+      p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us,
+          min(event_id) AS purchase_id,
+          min_by(value, event_id) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT v.event_id, v.user_id, v.v_us,
+        CASE WHEN l.purchase_id IS NOT NULL
+          THEN abs(v.v_us - l.p_us) END AS matched_delta,
+        l.purchase_id, l.purchase_value
+      FROM v LEFT JOIN LATERAL (
+        SELECT purchase_id, purchase_value, p_us FROM p
+        WHERE p.p_user = v.user_id
+        ORDER BY abs(p.p_us - v.v_us), p.p_us LIMIT 1) l ON true
+      ORDER BY v.event_id""",
 
     "q69_asof_nearest" -> """
       WITH v AS (SELECT event_id, user_id, epoch_us(ts) AS v_us

@@ -232,4 +232,34 @@ class AsOfJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("bucketed nearest as-of == single-pass nearest on a 90%-hot-key " +
+      "fixture, with and without tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 90% of rows on key 1 — the hot-key shape the bucketed variant is for
+    val left = (0 until 400).map { i =>
+      val k = if (rnd.nextInt(10) == 0) 2L + rnd.nextInt(3) else 1L
+      (k, rnd.nextInt(1000).toLong, i.toLong)
+    }
+    val right = (0 until 500).map { _ =>
+      val k = if (rnd.nextInt(10) == 0) 2L + rnd.nextInt(3) else 1L
+      (k, rnd.nextInt(1000).toLong)
+    }.distinct
+    val l = left.toDF("k", "t", "id")
+    val r = right.toDF("rk", "rt").withColumn("payload",
+      org.apache.spark.sql.functions.col("rt"))
+    for (tol <- Seq(None, Some(7L))) {
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "payload", "matched_delta").collect()
+        .map(x => x.getLong(0) ->
+          (Option(x.get(1)), Option(x.get(2)))).toMap
+      val plain = norm(AsOfJoin.leftAsOfNearest(l, r, "k", "t", "rk", "rt",
+        Seq("payload"), tolerance = tol))
+      val bucketed = norm(AsOfJoin.leftAsOfNearestBucketed(l, r, "k", "t",
+        "rk", "rt", Seq("payload"), leftId = "id", tolerance = tol,
+        bucketWidth = Some(50L)))
+      assert(bucketed === plain, s"tol=$tol")
+    }
+  }
 }
