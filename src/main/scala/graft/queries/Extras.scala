@@ -249,6 +249,43 @@ object Extras {
         .orderBy(col("status"))
     },
 
+    // Zipf slope per source: OLS fit of ln(freq) on ln(rank) over each
+    // source's top-100 terms — natural text tracks slope ≈ −1;
+    // template/boilerplate flattens it. The q66 discipline: logs rounded
+    // to 6 then DECIMAL-summed (order-free), ONE closed double formula
+    // shared with the oracle; regr_slope() is never trusted.
+    "t42_zipf_slope" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = DecimalType(12, 6)
+      val terms = t(s, dir, "documents")
+        .select(col("source"), explode(filter(
+          split(lower(col("text")), "\\s+"), x => x =!= lit("")))
+          .as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("f").desc, col("term"))
+      val xy = terms.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("source"),
+          round(log(col("rk").cast("double")), 6).cast(dec).as("x"),
+          round(log(col("f").cast("double")), 6).cast(dec).as("y"))
+      val g = xy.groupBy(col("source"))
+        .agg(count(lit(1)).as("nb"), sum(col("x")).as("sxd"),
+          sum(col("y")).as("syd"), sum(col("x") * col("y")).as("sxyd"),
+          sum(col("x") * col("x")).as("sx2d"))
+      val n = col("nb").cast("double")
+      val sx = col("sxd").cast("double")
+      val sy = col("syd").cast("double")
+      val sxy = col("sxyd").cast("double")
+      val sx2 = col("sx2d").cast("double")
+      val dd = n * sx2 - sx * sx
+      g.select(col("source"), col("nb").cast("long").as("n_terms"),
+          when(dd > 0, round((n * sxy - sx * sy) / dd, 6))
+            .as("zipf_slope"))
+        .orderBy(col("source"))
+    },
+
     // CDC MERGE (upsert + delete) applied as one full-outer join — the
     // engine-level form of MERGE INTO against a plain parquet snapshot:
     // deletes drop, updates overwrite, inserts append, untouched rows
@@ -710,6 +747,28 @@ object Extras {
         FROM d FULL OUTER JOIN e ON tid = vid)
       SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
       FROM j GROUP BY status ORDER BY status""",
+
+    "t42_zipf_slope" -> raw"""
+      WITH tm AS (SELECT source, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT source, term, count(*) AS f FROM tm GROUP BY 1, 2),
+      rk AS (SELECT source, f, row_number() OVER (PARTITION BY source
+          ORDER BY f DESC, term) AS rk FROM tf),
+      xy AS (SELECT source,
+          CAST(round(ln(CAST(rk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+          CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+        FROM rk WHERE rk <= 100),
+      g AS (SELECT source, count(*) AS nb,
+          CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+          CAST(sum(x * y) AS DOUBLE) AS sxy,
+          CAST(sum(x * x) AS DOUBLE) AS sx2
+        FROM xy GROUP BY source)
+      SELECT source, CAST(nb AS BIGINT) AS n_terms,
+        CASE WHEN (nb * sx2 - sx * sx) > 0
+          THEN round((nb * sxy - sx * sy) / (nb * sx2 - sx * sx), 6)
+        END AS zipf_slope
+      FROM g ORDER BY source""",
 
     "q72_cdc_apply" -> """
       WITH ch0 AS (SELECT o_custkey, max(o_totalprice) AS new_bal
