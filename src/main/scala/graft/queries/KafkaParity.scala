@@ -109,6 +109,29 @@ object KafkaParity {
         .orderBy(col("partition"))
     },
 
+    // Error-burst detection — the alerting query on the decode-error
+    // channel: 6-hour windows whose error rate runs at least 1.5x the
+    // topic-wide rate, compared in exact integer cross-products (no
+    // per-window double division). One windowed aggregation + a
+    // broadcast of the single-row overall rate.
+    "k09_error_bursts" -> { (s, dir) =>
+      val r = KafkaSource.replay(Tables.load(s, dir, "events"))
+      val wins = r.groupBy(window(col("timestamp"), "6 hours")("start")
+          .as("win_start"))
+        .agg(count(lit(1)).as("n"),
+          count(col("error")).as("n_errors"))
+      val overall = r.agg(count(lit(1)).as("n_total"),
+        count(col("error")).as("e_total"))
+      wins.crossJoin(broadcast(overall))
+        // n_errors/n >= 1.5 * e_total/n_total, cross-multiplied exact
+        .filter(col("n_errors") * col("n_total") * 2 >=
+          col("e_total") * col("n") * 3)
+        .select(col("win_start"), col("n"), col("n_errors"),
+          round(col("n_errors") / col("n").cast("double"), 6)
+            .as("err_rate"))
+        .orderBy(col("win_start"))
+    },
+
     // Partition-pruned scan through the SQL front door: the
     // `partitions => '0,3'` named arg (the connector's `assign` — the one
     // pushdown a Kafka scan CAN do, which the reference declines,
@@ -198,6 +221,19 @@ object KafkaParity {
         max("offset") - max(CASE WHEN "timestamp" <= cut THEN "offset" END)
           AS lag
       FROM r, c GROUP BY 1, 2 ORDER BY "partition"""",
+
+    "k09_error_bursts" -> s"""
+      WITH r AS ($replaySql),
+      wins AS (SELECT time_bucket(INTERVAL 6 HOUR, "timestamp")
+            AS win_start,
+          count(*) AS n, count("error") AS n_errors
+        FROM r GROUP BY 1),
+      ov AS (SELECT count(*) AS n_total, count("error") AS e_total FROM r)
+      SELECT win_start, n, n_errors,
+        round(n_errors / CAST(n AS DOUBLE), 6) AS err_rate
+      FROM wins, ov
+      WHERE n_errors * n_total * 2 >= e_total * n * 3
+      ORDER BY win_start""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,
