@@ -228,6 +228,29 @@ object Extras {
             col("n_total").cast("double") / col("nd"), 6).as("burstiness"))
     },
 
+    // Corrupt-payload scan — errors-as-data on the media side (the k02
+    // decode-error discipline applied to binary payloads): a payload is
+    // flagged when it is truncated (< 32 bytes) or fails the stub
+    // magic-byte check (first byte ≡ 0 mod 16 — a real build swaps in a
+    // container-header probe). Map-only classify + one source-keyed
+    // rollup; corrupt rows are REPORTED, never dropped silently.
+    "m14_corrupt_scan" -> { (s, dir) =>
+      val p = encode(col("text"), "UTF-8")
+      val firstByte = conv(substring(hex(p), 1, 2), 16, 10).cast("int")
+      t(s, dir, "documents")
+        .select(col("source"),
+          (length(p) < 32).as("truncated"),
+          (firstByte % 16 === 0).as("bad_magic"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_payloads"),
+          count(when(col("truncated"), 1)).as("n_truncated"),
+          count(when(col("bad_magic") && !col("truncated"), 1))
+            .as("n_bad_magic"),
+          round(count(when(col("truncated") || col("bad_magic"), 1)) /
+            count(lit(1)).cast("double"), 6).as("corrupt_rate"))
+        .orderBy(col("source"))
+    },
+
     // Multimodal pairing audit: text↔embedding integrity for a paired
     // training corpus — every id classified paired / text_only /
     // embedding_only (orphans on either side are dropped samples or a
@@ -736,6 +759,19 @@ object Extras {
         round(CAST(active_n AS DOUBLE) / cohort_n, 6) AS retention
       FROM act JOIN sz USING (cohort_wk)
       ORDER BY cohort_wk, week_offset""",
+
+    "m14_corrupt_scan" -> """
+      WITH p AS (SELECT source,
+          octet_length(encode(text)) < 32 AS truncated,
+          ('0x' || substr(hex(encode(text)), 1, 2))::INT % 16 = 0
+            AS bad_magic
+        FROM documents)
+      SELECT source, count(*) AS n_payloads,
+        count(*) FILTER (WHERE truncated) AS n_truncated,
+        count(*) FILTER (WHERE bad_magic AND NOT truncated) AS n_bad_magic,
+        round(count(*) FILTER (WHERE truncated OR bad_magic) /
+          CAST(count(*) AS DOUBLE), 6) AS corrupt_rate
+      FROM p GROUP BY source ORDER BY source""",
 
     "m13_pair_audit" -> """
       WITH d AS (SELECT doc_id AS tid FROM documents WHERE doc_id % 7 != 0),
