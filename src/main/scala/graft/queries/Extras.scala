@@ -428,6 +428,39 @@ object Extras {
         .orderBy(col("event_type"))
     },
 
+    // Sessionized conversion: 30-minute-gap sessions per user, then the
+    // classic in-session funnel question — did a purchase happen AT OR
+    // AFTER the session's first view? Gaps-and-islands sessionization
+    // (one per-user window) + per-session min-timestamps; no self-join,
+    // no event explosion. Per-user rollup keeps output user-sized.
+    "q74_session_conversion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val sess = t(s, dir, "events")
+        .withColumn("__gap",
+          (us - lag(us, 1).over(w) > 1800000000L).cast("int"))
+        .withColumn("session_id",
+          sum(coalesce(col("__gap"), lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perSession = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(when(col("event_type") === "view", us)).as("first_view_us"),
+          min(when(col("event_type") === "purchase", us))
+            .as("first_purchase_us"))
+        .withColumn("converted",
+          col("first_view_us").isNotNull &&
+            col("first_purchase_us").isNotNull &&
+            col("first_purchase_us") >= col("first_view_us"))
+      perSession.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("converted"), 1)).as("n_converted"),
+          round(count(when(col("converted"), 1)) /
+            count(lit(1)).cast("double"), 6).as("conversion_rate"))
+        .orderBy(col("user_id"))
+    },
+
     // Day-of-month activity bitmap per user — the compressed-presence
     // trick for "active days" analytics at scale: one BIGINT per
     // (user, month) instead of a distinct-days set; membership, counts,
@@ -734,6 +767,29 @@ object Extras {
       SELECT event_type, round(CAST(peak AS DOUBLE), 6) AS peak_detect,
         ts AS peak_at, event_id AS peak_event
       FROM r4 WHERE rn = 1 ORDER BY event_type""",
+
+    "q74_session_conversion" -> """
+      WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        FROM events),
+      g AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS gap
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sx AS (SELECT *, sum(gap) OVER (PARTITION BY user_id
+          ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g),
+      ps AS (SELECT user_id, session_id,
+          min(CASE WHEN event_type = 'view' THEN us END) AS fv,
+          min(CASE WHEN event_type = 'purchase' THEN us END) AS fp
+        FROM sx GROUP BY 1, 2),
+      cv AS (SELECT user_id,
+          (fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv) AS converted
+        FROM ps)
+      SELECT user_id, count(*) AS n_sessions,
+        count(*) FILTER (WHERE converted) AS n_converted,
+        round(count(*) FILTER (WHERE converted) /
+          CAST(count(*) AS DOUBLE), 6) AS conversion_rate
+      FROM cv GROUP BY user_id ORDER BY user_id""",
 
     "q70_activity_bitmap" -> """
       SELECT user_id,
