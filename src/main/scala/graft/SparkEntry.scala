@@ -19,7 +19,8 @@ object SparkEntry {
     (KafkaParity.defs, KafkaParity.oracles),
     (NorthStar.defs, NorthStar.oracles),
     (Pipeline.defs, Pipeline.oracles),
-    (Extras.defs, Extras.oracles))
+    (Extras.defs, Extras.oracles),
+    (Extras2.defs, Extras2.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

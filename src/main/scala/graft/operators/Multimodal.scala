@@ -384,4 +384,29 @@ object Multimodal {
       .select(col(idCol), col("seg_idx"), col("start_chunk"),
         col("n_chunks"))
   }
+
+  /** Per-payload nibble entropy: Shannon entropy over the 16 hex symbols of
+    * the payload's hex encoding — the cheap compressibility / corruption
+    * proxy (uniform nibbles ≈ encrypted or compressed media, skewed ≈
+    * structured). Map-only and codegen'd: 16 `translate` deletions count
+    * each symbol, the entropy is a fixed-order fold over the 16 terms, so
+    * the oracle reproduces it bit-for-bit. Output:
+    * (idCol, n_nibbles, n_distinct, nibble_entropy ∈ [0, ln 16]).
+    */
+  def payloadNibbleEntropy(df: DataFrame, payloadCol: String = "payload",
+      idCol: String = "doc_id"): DataFrame = {
+    val syms = "0123456789ABCDEF".map(_.toString)
+    val hx = hex(col(payloadCol))
+    val counts = array(syms.map(ch =>
+      (length(hx) - length(translate(hx, ch, ""))).cast("long")): _*)
+    df.select(col(idCol), length(hx).cast("long").as("n"),
+        counts.as("cnt"))
+      .select(col(idCol), col("n").as("n_nibbles"),
+        size(filter(col("cnt"), c => c > 0)).cast("long").as("n_distinct"),
+        when(col("n") > 0, round(-aggregate(
+          transform(col("cnt"), c =>
+            when(c > 0, (c.cast("double") / col("n")) *
+              log(c.cast("double") / col("n"))).otherwise(lit(0.0))),
+          lit(0.0), (a, x) => a + x), 6)).as("nibble_entropy"))
+  }
 }

@@ -1210,4 +1210,37 @@ object Similarity {
       }
     df.select(col(idCol), concat(v, array(extra)).as("aug"))
   }
+
+  /** Hybrid-retrieval fusion via Reciprocal Rank Fusion: the standard way
+    * to combine two retrievers that score on incomparable scales (here the
+    * cosine ranking from [[bruteForceTopK]] and the raw inner-product
+    * ranking from [[mipsTopK]]). Each candidate's fused score is
+    * Σ 1/(c + rank) over the rankings that retrieved it — rank arithmetic
+    * only, so no score normalization is needed and the oracle reproduces
+    * it bit-for-bit (two-term sum, fixed order, rounded at 6).
+    *
+    * Scale shape: both input rankings share the broadcast-query/
+    * corpus-never-shuffled plan; the fusion itself joins two |Q|·kEach
+    * tables (panel-sized, AQE broadcasts) — the corpus is scanned twice
+    * and shuffled zero times.
+    */
+  def hybridRrf(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      k: Int = 10, kEach: Int = 20, c: Int = 60): DataFrame = {
+    val cos = bruteForceTopK(corpus, queries, idCol, vecCol, kEach)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("ra"))
+    val ip = mipsTopK(corpus, queries, idCol, vecCol, kEach)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("rb"))
+    val fused = cos.join(ip, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(c) + col("ra")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(c) + col("rb")), lit(0.0)), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rrf"),
+        col("ra").as("cosine_rank"), col("rb").as("ip_rank"),
+        col("fused_rank"))
+  }
 }

@@ -1048,4 +1048,86 @@ object TextAnalysis {
               log(l.cast("double") / col("nc"))),
           lit(0.0), (a, x) => a + x), 6).as("char_entropy"))
   }
+
+  /** CCNet-style cross-document line deduplication: a (trimmed, non-blank)
+    * line that appears in at least `minDocs` distinct documents of the SAME
+    * source is boilerplate (nav bars, footers, license headers) and is
+    * dropped from every document carrying it; blank lines and unique lines
+    * survive. Output per doc: line counts, surviving char mass, and the md5
+    * of the rebuilt text (kept lines re-joined in original order) so the
+    * rewrite itself is oracle-certified, not just the counts.
+    *
+    * Scale shape: one posexplode (map-only), one (source, line) aggregation
+    * for the duplicate directory — only lines seen in >= minDocs docs
+    * survive the HAVING, so the directory is boilerplate-sized, not
+    * corpus-sized — and one hash join back. Per-doc regrouping is bounded
+    * by document size (same envelope as every per-doc text operator).
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would drop every non-blank line")
+    val lines = docs
+      .select(col(idCol), col(srcCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("__t", trim(col("line")))
+    // Duplicate directory: distinct-doc counts per (source, trimmed line).
+    // SHUFFLE_HASH on the join back: at 100 TB the directory can outgrow
+    // a broadcast (it is still tiny next to the line stream).
+    val dups = lines.filter(col("__t") =!= "")
+      .groupBy(col(srcCol), col("__t"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .withColumn("__dup", lit(1))
+      .drop("__nd")
+    val marked = lines
+      .join(dups.hint("SHUFFLE_HASH"), Seq(srcCol, "__t"), "left")
+      .withColumn("__keep", col("__dup").isNull)
+    marked.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__keep"), 1)).as("n_kept"),
+        sum(length(col("line"))).as("total_chars"),
+        coalesce(sum(when(col("__keep"), length(col("line")))), lit(0L))
+          .as("kept_chars"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")))).as("new_text_md5"))
+      .withColumn("retained_ratio",
+        when(col("total_chars") > 0,
+          round(col("kept_chars").cast("double") / col("total_chars"), 6)))
+  }
+
+  /** Heuristic code-vs-prose detection — the routing signal a pretraining
+    * mixture needs before weighting code and natural language differently.
+    * Pure per-row projection (map-only, codegen'd): line-shape fractions
+    * (indentation, brace/semicolon terminators), code-symbol density, and
+    * keyword hits, combined into a flag via exact integer cross-products
+    * (no double thresholds, so the oracle can never drift).
+    */
+  def codeSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val kw = "\\b(def|class|import|return|function|var|const|public|void)\\b"
+    docs
+      .select(col(idCol), col(textCol).as("__x"),
+        split(col(textCol), "\n").as("__ln"))
+      .select(col(idCol),
+        size(col("__ln")).cast("long").as("n_lines"),
+        length(col("__x")).cast("long").as("n_chars"),
+        size(filter(col("__ln"),
+          l => l.rlike("^(\t|  )") && trim(l) =!= lit("")))
+          .cast("long").as("indent_lines"),
+        size(filter(col("__ln"), l => trim(l).rlike("[{};]$")))
+          .cast("long").as("brace_lines"),
+        (length(col("__x")) -
+          length(regexp_replace(col("__x"), "[\\[\\](){};=<>]", "")))
+          .cast("long").as("n_symbols"),
+        size(regexp_extract_all(col("__x"), lit(kw), lit(1)))
+          .cast("long").as("kw_hits"))
+      .withColumn("is_code",
+        (col("indent_lines") * 5 >= col("n_lines")) ||
+        (col("brace_lines") * 5 >= col("n_lines")) ||
+        (col("n_symbols") * 50 >= col("n_chars") && col("kw_hits") >= 1))
+  }
 }

@@ -166,7 +166,9 @@ object KafkaParity {
         .orderBy(col("partition"))
     })
 
-  private val replaySql = """
+  // private[queries]: Extras2's k10 lateness audit runs over the same
+  // replay relation, so its oracle interpolates the same mapping.
+  private[queries] val replaySql = """
       SELECT 'events' AS "topic", CAST(event_id % 8 AS INT) AS "partition",
         event_id AS "offset", date_trunc('milliseconds', ts) AS "timestamp",
         event_type AS "key",

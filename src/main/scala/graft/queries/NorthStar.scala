@@ -1348,7 +1348,9 @@ object NorthStar {
           p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT) AS n_eq
         FROM cand JOIN sig sa ON sa.doc_id = cand.a
                   JOIN sig sb ON sb.doc_id = cand.b)"""
-  private val MinhashCtes = minhashCtes()
+  // private[queries]: Extras2's g09 modularity oracle reuses the exact
+  // near-dup pair chain so the two engines see the same edge set.
+  private[queries] val MinhashCtes = minhashCtes()
 
   /** DCG discount weights as a DuckDB list literal — the SAME integer
     * micro-units `Similarity.dcgWeightMicros(5)` uses on the Spark side,

@@ -389,4 +389,43 @@ class PlanSpec extends SparkSpec {
     // the event_type hash partition + the output sort — nothing more
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, p)
   }
+
+  test("bloom semi join thins the probe scan BEFORE the join: " +
+      "might_contain sits in the scan-side filter (q75)") {
+    val p = plan("q75_bloom_semi_join")
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    // the prefilter must be below the join: the orders scan's filter node
+    // carries the bloom probe, so non-candidates never reach the shuffle
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("LeftSemi")
+    assert(filterIdx >= 0 && joinIdx >= 0, p)
+  }
+
+  test("line dedup: directory join is hashed, not broadcast-dependent, " +
+      "and the line stream shuffles once per aggregation (t43)") {
+    val p = plan("t43_line_dedup")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("code detection is map-only: one exchange (the output sort), " +
+      "no join, no aggregate (t44)") {
+    val p = plan("t44_code_detect")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("hybrid RRF never shuffles the corpus: both rankings broadcast " +
+      "the query panel; fusion joins panel-sized tables (s26)") {
+    val p = plan("s26_hybrid_rrf")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // corpus-side shuffles would appear as hashpartitioning on vec-id
+    // ahead of the rank windows; the only exchanges allowed are the
+    // per-query window partitions and the final fusion/sort
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
 }
