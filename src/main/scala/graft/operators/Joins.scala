@@ -28,6 +28,13 @@ object Joins {
     * the build side may be too big to broadcast.
     *
     * NULL probe keys never match (standard semi-join semantics).
+    *
+    * Sizing: the filter costs ~1 byte per expected key (8 bits/key at the
+    * chosen numBits) on the driver and in each task's closure. That holds
+    * to ~100M build keys (≲100 MB broadcast); past that, prefer Spark's
+    * own runtime bloom injection or a plain shuffled semi join — the
+    * crossover is when the filter broadcast rivals the probe shuffle it
+    * saves.
     */
   def bloomSemiJoin(probe: DataFrame, build: DataFrame,
       probeKey: String, buildKey: String,

@@ -196,6 +196,110 @@ object Extras2 {
           when(col("total_chars") > 0,
             round(col("kept_chars").cast("double") / col("total_chars"), 6)))
         .orderBy(col("source"))
+    },
+
+    // Calendar gap-fill: the daily activity series per event type with
+    // missing days zero-filled from a generated date spine — the scaffold
+    // every downstream time-series model assumes. The spine is
+    // bounds-derived (2 tiny aggregates) and broadcast; the big side is
+    // touched once for the daily rollup.
+    "q78_gap_fill" -> { (s, dir) =>
+      val dec2 = DecimalType(18, 2)
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec2)).cast(dec2).as("v"))
+      val days = ev
+        .agg(date_trunc("day", min(col("ts"))).as("mn"),
+          date_trunc("day", max(col("ts"))).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("interval 1 day"))).as("day"))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(days))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("v"), lit(0).cast(dec2)).as("v"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // Week-over-week percent change + share-of-total per event type:
+    // exact DECIMAL weekly sums, the ratios as closed double formulas.
+    // (Weekly, not monthly: the fixture spans ~1 month, so a monthly
+    // grain would never exercise the lag.)
+    "q79_pct_change" -> { (s, dir) =>
+      val dec2 = DecimalType(18, 2)
+      val m = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).as("week"))
+        .agg(sum(col("value").cast(dec2)).cast(dec2).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      m.withColumn("prev", lag(col("v"), 1).over(w))
+        .withColumn("wow_pct",
+          when(col("prev").isNotNull && col("prev") =!= 0,
+            round(col("v").cast("double") / col("prev").cast("double") -
+              lit(1.0), 6)))
+        .withColumn("share", round(col("v").cast("double") /
+          sum(col("v")).over(Window.partitionBy(col("event_type")))
+            .cast("double"), 6))
+        .orderBy(col("event_type"), col("week"))
+    },
+
+    // MinHash threshold sweep: pair counts per signature-agreement level
+    // with a cumulative at-least curve — the tuning report that says what
+    // moving the near-dup threshold would cost/admit, from ONE pass over
+    // the certified pair table.
+    "d35_threshold_sweep" -> { (s, dir) =>
+      val w = Window.orderBy(col("n_eq").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Dedup.minhashPairs(t(s, dir, "documents"))
+        .groupBy(col("n_eq")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_at_least", sum(col("n_pairs")).over(w))
+        .withColumn("threshold_jaccard",
+          round(col("n_eq").cast("double") / 16, 6))
+        .orderBy(col("n_eq"))
+    },
+
+    // Payload nibble entropy: compressibility/corruption proxy per media
+    // payload (map-only, fixed-order entropy fold).
+    "m15_payload_entropy" -> { (s, dir) =>
+      Multimodal.payloadNibbleEntropy(
+          t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-key event-time ordering audit: within (partition, key), how
+    // often does offset order disagree with event time, and by how much —
+    // the per-entity complement of k10's partition-level lateness.
+    "k11_order_audit" -> { (s, dir) =>
+      val r = KafkaSource.replay(t(s, dir, "events"))
+        .select(col("partition"), col("key"), col("offset"),
+          col("timestamp").cast("timestamp").as("timestamp"))
+      val w = Window.partitionBy(col("partition"), col("key"))
+        .orderBy(col("offset"))
+      r.withColumn("inv_us",
+          unix_micros(lag(col("timestamp"), 1).over(w)) -
+            unix_micros(col("timestamp")))
+        .groupBy(col("partition"))
+        .agg(countDistinct(col("key")).as("n_keys"),
+          count(lit(1)).as("n"),
+          count(when(col("inv_us") > 0, 1)).as("n_inversions"),
+          coalesce(max(when(col("inv_us") > 0, col("inv_us"))), lit(0L))
+            .as("max_inversion_us"))
+        .orderBy(col("partition"))
+    },
+
+    // Degree distribution of the near-dup graph: nodes per degree — the
+    // shape check (power law vs template blowup) run before any graph
+    // algorithm is trusted.
+    "g10_degree_hist" -> { (s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
     })
 
   /** Shared line-dedup chain (t43, d34): per-line explode with ordinality,
@@ -387,5 +491,82 @@ object Extras2 {
         CASE WHEN sum(total_chars) > 0 THEN
           round(sum(kept_chars) / CAST(sum(total_chars) AS DOUBLE), 6) END
           AS retained_ratio
-      FROM j GROUP BY 1 ORDER BY 1""")
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q78_gap_fill" -> """
+      WITH daily AS (SELECT event_type,
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1, 2),
+      b AS (SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS mn,
+          CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS mx FROM events),
+      days AS (SELECT t.d AS day
+        FROM b, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS t(d)),
+      ty AS (SELECT DISTINCT event_type FROM events)
+      SELECT event_type, day, coalesce(n, 0) AS n,
+        coalesce(v, CAST(0 AS DECIMAL(18,2))) AS v
+      FROM ty CROSS JOIN days LEFT JOIN daily USING (event_type, day)
+      ORDER BY 1, 2""",
+
+    "q79_pct_change" -> """
+      WITH m AS (SELECT event_type,
+          CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        FROM events GROUP BY 1, 2),
+      x AS (SELECT *,
+          lag(v, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev,
+          sum(v) OVER (PARTITION BY event_type) AS tot FROM m)
+      SELECT event_type, week, v, prev,
+        CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+          round(CAST(v AS DOUBLE) / CAST(prev AS DOUBLE) -
+            CAST(1 AS DOUBLE), 6) END AS wow_pct,
+        round(CAST(v AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+      FROM x ORDER BY 1, 2""",
+
+    "d35_threshold_sweep" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      f AS (SELECT n_eq FROM pairs WHERE n_eq * 100 >= 800),
+      g AS (SELECT n_eq, count(*) AS n_pairs FROM f GROUP BY 1)
+      SELECT n_eq, n_pairs,
+        CAST(sum(n_pairs) OVER (ORDER BY n_eq DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_pairs_at_least,
+        round(n_eq / CAST(16 AS DOUBLE), 6) AS threshold_jaccard
+      FROM g ORDER BY n_eq""",
+
+    "m15_payload_entropy" -> """
+      WITH p AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+      c AS (SELECT doc_id, length(hx) AS n,
+          list_transform(['0','1','2','3','4','5','6','7','8','9',
+            'A','B','C','D','E','F'],
+            s -> length(hx) - length(replace(hx, s, ''))) AS cnt
+        FROM p)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_nibbles,
+        CAST(len(list_filter(cnt, c -> c > 0)) AS BIGINT) AS n_distinct,
+        CASE WHEN n > 0 THEN round(-list_reduce(
+          list_prepend(0.0, list_transform(cnt,
+            c -> CASE WHEN c > 0 THEN (CAST(c AS DOUBLE) / n) *
+              ln(CAST(c AS DOUBLE) / n) ELSE 0.0 END)),
+          (a, b) -> a + b), 6) END AS nibble_entropy
+      FROM c ORDER BY doc_id""",
+
+    "k11_order_audit" -> s"""
+      WITH r AS (${KafkaParity.replaySql}),
+      iv AS (SELECT "partition", "key",
+          epoch_us(lag("timestamp", 1) OVER (
+            PARTITION BY "partition", "key" ORDER BY "offset")) -
+          epoch_us("timestamp") AS inv_us
+        FROM r)
+      SELECT "partition", count(DISTINCT "key") AS n_keys, count(*) AS n,
+        count(*) FILTER (WHERE inv_us > 0) AS n_inversions,
+        CAST(coalesce(max(inv_us) FILTER (WHERE inv_us > 0), 0) AS BIGINT)
+          AS max_inversion_us
+      FROM iv GROUP BY 1 ORDER BY 1""",
+
+    "g10_degree_hist" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      f AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      dg AS (SELECT doc_id, count(*) AS deg FROM (
+          SELECT a AS doc_id FROM f UNION ALL SELECT b FROM f) GROUP BY 1)
+      SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1 ORDER BY 1""")
 }

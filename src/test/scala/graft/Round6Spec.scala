@@ -149,6 +149,59 @@ class Round6Spec extends SparkSpec {
     }
   }
 
+  // ---- payloadNibbleEntropy ---------------------------------------------
+
+  test("payloadNibbleEntropy: constant payload ~0 bits, varied payload more") {
+    import graft.operators.Multimodal
+    val df = Seq(
+      (1L, Array.fill[Byte](64)(0x11)),          // hex = "11"*64 -> 1 symbol
+      (2L, (0 until 64).map(_.toByte).toArray),  // spread across symbols
+      (3L, Array.empty[Byte]))                   // empty -> NULL entropy
+      .toDF("doc_id", "payload")
+    val r = Multimodal.payloadNibbleEntropy(df).orderBy("doc_id").collect()
+    assert(r(0).getAs[Double]("nibble_entropy") === 0.0)
+    assert(r(0).getAs[Long]("n_distinct") === 1)
+    assert(r(1).getAs[Double]("nibble_entropy") > 2.0) // near ln(16)=2.77
+    assert(r(2).isNullAt(r(2).fieldIndex("nibble_entropy")))
+    assert(r(2).getAs[Long]("n_nibbles") === 0)
+  }
+
+  // ---- q77 weighted median / q78 gap fill -------------------------------
+
+  test("weighted median matches a driver-side model on the fixture") {
+    val rows = SparkEntry.queries("q77_mode_wmedian")(spark, sf).collect()
+    val base = Tables.load(spark, sf, "events")
+      .select("event_type", "value", "event_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val g = base.filter(_._1 == et).sortBy(x => (x._2, x._3))
+      val ws = g.map(x => (x._3 % 7) + 1)
+      val tot = ws.sum
+      var acc = 0L
+      val idx = g.indices.find { i => acc += ws(i); acc * 2 >= tot }.get
+      assert(r.getAs[Double]("w_median") === g(idx)._2, et)
+      assert(r.getAs[Long]("total_w") === tot, et)
+    }
+  }
+
+  test("gap fill emits a complete spine: types x days, originals preserved") {
+    val r = SparkEntry.queries("q78_gap_fill")(spark, sf)
+    val counts = r.groupBy("event_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts.values.toSet.size === 1, "all types share the spine")
+    val total = r.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total === Tables.load(spark, sf, "events").count())
+  }
+
+  test("threshold sweep curve is monotone non-increasing in n_eq") {
+    val r = SparkEntry.queries("d35_threshold_sweep")(spark, sf)
+      .orderBy("n_eq").collect()
+    val atLeast = r.map(_.getAs[Long]("n_pairs_at_least"))
+    assert(atLeast.toSeq === atLeast.sorted.reverse)
+    assert(atLeast.head === r.map(_.getAs[Long]("n_pairs")).sum)
+  }
+
   test("hybridRrf: candidate in both rankings outranks single-ranking ties") {
     // A neighbor ranked ~r in both lists beats one ranked r in only one.
     val e = Tables.load(spark, sf, "embeddings")
