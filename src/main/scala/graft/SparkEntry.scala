@@ -20,7 +20,8 @@ object SparkEntry {
     (NorthStar.defs, NorthStar.oracles),
     (Pipeline.defs, Pipeline.oracles),
     (Extras.defs, Extras.oracles),
-    (Extras2.defs, Extras2.oracles))
+    (Extras2.defs, Extras2.oracles),
+    (Extras3.defs, Extras3.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

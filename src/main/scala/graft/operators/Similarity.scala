@@ -1243,4 +1243,113 @@ object Similarity {
         col("ra").as("cosine_rank"), col("rb").as("ip_rank"),
         col("fused_rank"))
   }
+
+  /** EXACT radius (range) search: every corpus vector whose rounded
+    * cosine with a query is >= `minCosine` — the "all neighbors within a
+    * similarity threshold" complement of top-k, with NO recall loss.
+    *
+    * Unlike the LSH/IVF top-k paths (approximate candidate generation,
+    * exact confirm), the pruning here is a triangle-inequality BOUND, so
+    * the result is provably identical to brute force: vectors are
+    * unit-normalized and assigned to their nearest sampled centroid; a
+    * cell can only contain a neighbor of q if
+    * dist(q, centroid) <= rEuclid + maxRadius(cell), where rEuclid is the
+    * euclidean radius equivalent to the cosine threshold on the unit
+    * sphere (||u-w||² = 2 - 2·cos). Cells failing the bound are skipped
+    * without being scanned. Conservative slack (1e-5 on the cosine, 1e-4
+    * on the distance) absorbs the round-6 candidate distances and IEEE
+    * noise — over-inclusion costs a confirm, never a missed neighbor,
+    * which is why the brute-force SQL oracle certifies this path
+    * directly.
+    *
+    * Scale shape: centroids and per-cell radii are broadcast; the corpus
+    * is scanned once map-side for assignment and shuffled ONCE on cell;
+    * the (query, cell) candidate list is panel-sized and broadcasts. The
+    * final cosine is the same round-6 formula as [[bruteForceTopK]] over
+    * the RAW vectors, so output values match the d05/s01 family.
+    * Output: (query_id, neighbor_id, cosine), self-matches excluded.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      minCosine: Double = 0.4, modulus: Int = 50): DataFrame = {
+    require(minCosine > -1.0 && minCosine <= 1.0, s"minCosine $minCosine")
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .filter(col("nc") > 0)
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .filter(col("nq") > 0)
+    val cents = c.filter(col("neighbor_id") % modulus === 0)
+      .select(col("neighbor_id").as("centroid_id"),
+        transform(col("vc"), x => x / col("nc")).as("cv"))
+    require(!cents.isEmpty,
+      "centroid sample is empty; lower modulus or widen the corpus")
+    val packed = cents
+      .agg(sort_array(collect_list(struct(col("centroid_id"), col("cv"))))
+        .as("cents"))
+    // nearest_entry's d2 is round-6; sqrt keeps the error ~1e-6-scale,
+    // inside the 1e-4 slack below.
+    val assigned = c
+      .withColumn("uv", transform(col("vc"), x => x / col("nc")))
+      .crossJoin(broadcast(packed))
+      .withColumn("best",
+        graft.functions.VectorFunctions.nearest_entry(col("uv"), col("cents")))
+      .select(col("neighbor_id"), col("vc"), col("nc"),
+        col("best").getField("id").as("cell"),
+        sqrt(col("best").getField("d2")).as("dc"))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(max(col("dc")).as("maxr"))
+    val rEuclid = math.sqrt(math.max(0.0, 2.0 - 2.0 * (minCosine - 1e-5)))
+    val qcells = q
+      .withColumn("uq", transform(col("vq"), x => x / col("nq")))
+      .crossJoin(broadcast(cents))
+      .withColumn("dqc", sqrt(dist2(col("uq"), col("cv"))))
+      .select(col("query_id"), col("vq"), col("nq"),
+        col("centroid_id").as("cell"), col("dqc"))
+    val cand = qcells.join(broadcast(cellStats), "cell")
+      .filter(col("dqc") <= lit(rEuclid + 1e-4) + col("maxr"))
+      .select(col("cell"), col("query_id"), col("vq"), col("nq"))
+    assigned.join(broadcast(cand), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** kNN classification — label a query vector by majority vote of its k
+    * nearest labeled neighbors (exact cosine, the retrieval-based
+    * classifier a labeling pipeline bootstraps from). Vote ties break
+    * deterministically to the SMALLEST label (n_votes desc, label asc) —
+    * never the engine's arbitrary pick. Same plan as [[bruteForceTopK]]:
+    * broadcast query panel, map-side cosine, WindowGroupLimit top-k; the
+    * vote aggregation is panel-sized.
+    * Output: (query_id, pred_label, n_votes, vote_share).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label", k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("nlabel"),
+        col(vecCol).cast("array<double>").as("vc"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("nlabel"))
+    votes.withColumn("pr", row_number().over(pw))
+      .filter(col("pr") === 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"),
+        col("n_votes"),
+        round(col("n_votes").cast("double") / lit(k.toDouble), 6)
+          .as("vote_share"))
+  }
 }

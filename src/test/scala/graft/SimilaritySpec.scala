@@ -537,4 +537,69 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(err.getMessage.contains("augmentForMips"))
   }
+
+  test("range search with cell pruning == brute-force radius filter, " +
+      "at every threshold") {
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val n = emb.count().toInt
+    // brute-force ground truth: ALL neighbors with their exact cosines
+    val brute = Similarity.bruteForceTopK(emb, qs, k = n)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    for (thr <- Seq(-0.5, 0.0, 0.25, 0.6, 0.95)) {
+      val expected = brute.filter(_._2 >= thr).toSet
+      val got = Similarity.rangeSearch(emb, qs, minCosine = thr)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        .toSet
+      assert(got === expected, s"threshold $thr")
+    }
+  }
+
+  test("range search pruning loses nothing on a clustered corpus " +
+      "(the case where pruning actually skips cells)") {
+    import spark.implicits._
+    // two tight clusters far apart on the unit sphere: queries near
+    // cluster A must not lose any A-neighbor when B's cells are pruned
+    val rows = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+      else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val jit = 0.001f * (i % 7)
+      (i, Array(base(0) + jit, base(1) + jit, base(2), base(3)), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val qs = rows.filter(col("vec_id") < 4)
+    val nAll = rows.count().toInt
+    val brute = Similarity.bruteForceTopK(rows, qs, k = nAll)
+      .select("query_id", "neighbor_id", "cosine").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter(_._2 >= 0.9).toSet
+    val got = Similarity.rangeSearch(rows, qs, minCosine = 0.9, modulus = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toSet
+    assert(got === brute)
+    // with the clusters ~90 degrees apart, a 0.9-cosine radius around a
+    // cluster-A query must exclude every cluster-B neighbor
+    assert(got.nonEmpty)
+    assert(got.forall { case ((q, nb), _) => q % 2 === nb % 2 })
+  }
+
+  test("knn classification matches a hand-rolled majority vote over " +
+      "the brute-force top-k, ties to the smallest label") {
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = Similarity.bruteForceTopK(emb, qs, k = k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), labels(r.getLong(1))))
+      .groupBy(_._1).map { case (q, rows) =>
+        val votes = rows.groupBy(_._2).map { case (l, v) => (l, v.size) }
+        val (lbl, n) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+        q -> ((lbl, n))
+      }
+    val got = Similarity.knnClassify(emb, qs, k = k).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2).toInt))).toMap
+    assert(got === expected)
+    // exactly one prediction per query
+    assert(got.size === qs.count())
+  }
 }
