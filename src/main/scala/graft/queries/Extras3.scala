@@ -299,6 +299,232 @@ object Extras3 {
           round(expr("percentile(late_us, 0.99D)"), 6).as("p99_us"),
           max(col("late_us")).as("max_us"))
         .orderBy(col("partition"))
+    },
+
+    // Last-touch attribution: each 'purchase' conversion is credited to
+    // the user's latest touch event (click/view/signup — errors are not
+    // touches) at or before the purchase time — the as-of join IS the
+    // attribution operator (same AsOfJoin core as q20/q67). Touches are
+    // deduped per (user, ts) first (as-of requires a unique right side);
+    // purchases with no prior touch fall into 'unattributed'.
+    "q85_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dw = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val touch = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .withColumn("rn", row_number().over(dw)).filter(col("rn") === 1)
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      AsOfJoin.leftAsOf(conv, touch, "user_id", "ts", "t_user", "t_ts",
+          Seq("touch_type"))
+        .groupBy(coalesce(col("touch_type"), lit("unattributed"))
+          .as("channel"))
+        .agg(count(lit(1)).as("n_conversions"),
+          sum(col("value").cast(dec2)).cast(dec2).as("revenue"))
+        .orderBy(col("channel"))
+    },
+
+    // RFM segmentation per market segment: recency / frequency /
+    // monetary quintiles (ntile(5), fully ordered -> deterministic),
+    // concatenated into the classic 3-digit RFM code. The anchor date is
+    // the corpus max order date (broadcast 1-row), so the report is
+    // reproducible from the data alone.
+    "q86_rfm_segments" -> { (s, dir) =>
+      val maxd = t(s, dir, "orders")
+        .agg(max(col("o_orderdate")).as("maxd"))
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).cast(dec2).as("monetary"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("recency_days",
+          datediff(col("maxd").cast("date"), col("last_order").cast("date")))
+      def q5(order: Seq[Column]): Column = ntile(5).over(
+        Window.partitionBy(col("c_mktsegment")).orderBy(order: _*))
+      val coded = base
+        .withColumn("rq", q5(Seq(col("recency_days").asc,
+          col("c_custkey").asc)))
+        .withColumn("fq", q5(Seq(col("n_orders").desc,
+          col("c_custkey").asc)))
+        .withColumn("mq", q5(Seq(col("monetary").desc,
+          col("c_custkey").asc)))
+        .withColumn("rfm_code", concat(col("rq").cast("string"),
+          col("fq").cast("string"), col("mq").cast("string")))
+      coded.groupBy(col("c_mktsegment"), col("rfm_code"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary")).cast(dec2).as("total_monetary"),
+          round(sum(col("monetary")).cast("double") / count(lit(1)), 6)
+            .as("avg_monetary"))
+        .orderBy(col("c_mktsegment"), col("rfm_code"))
+    },
+
+    // Audience overlap matrix: pairwise Jaccard / overlap coefficient /
+    // cosine between event types' distinct-user sets — exact integer
+    // intersection counts from ONE self-join on user (bounded by the
+    // type cardinality per user), set sizes broadcast.
+    "q87_audience_overlap" -> { (s, dir) =>
+      val tu = t(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
+      val sizes = tu.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      val a = tu.select(col("event_type").as("type_a"), col("user_id"))
+      val b = tu.select(col("event_type").as("type_b"), col("user_id"))
+      a.join(b, Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("event_type").as("type_a"),
+          col("n_users").as("na"))), Seq("type_a"))
+        .join(broadcast(sizes.select(col("event_type").as("type_b"),
+          col("n_users").as("nb"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_inter"),
+          col("na"), col("nb"),
+          round(col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"),
+          round(col("n_inter").cast("double") /
+            least(col("na"), col("nb")), 6).as("overlap_coef"),
+          round(col("n_inter").cast("double") /
+            sqrt(col("na").cast("double") * col("nb")), 6).as("cosine"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // Local clustering coefficient per node of the near-dup graph:
+    // closed wedges / possible wedges, the per-node complement of g02's
+    // global triangle count. Wedges come from one self-join of the
+    // symmetrized edge list; each wedge closes iff its endpoints are an
+    // edge in the canonical (a<b) set. Same certified minhash pair
+    // set as g01-g11.
+    "g12_clustering_coeff" -> { (s, dir) =>
+      val edges = Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(col("a"), col("b"))
+      val und = edges.select(col("a").as("v"), col("b").as("w"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("w")))
+      val deg = und.groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      val wedges = und.select(col("v"), col("w").as("x"))
+        .join(und.select(col("v"), col("w").as("y")), Seq("v"))
+        .filter(col("x") < col("y"))
+      val tri = wedges
+        .join(edges.select(col("a").as("x"), col("b").as("y")),
+          Seq("x", "y"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n_triangles"))
+      deg.join(tri, Seq("v"), "left")
+        .na.fill(0L, Seq("n_triangles"))
+        .select(col("v").as("doc_id"), col("degree"), col("n_triangles"),
+          when(col("degree") >= 2, round(
+            (lit(2) * col("n_triangles")).cast("double") /
+              (col("degree") * (col("degree") - 1)), 6))
+            .as("clustering_coef"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Vocabulary coverage curve per language: what fraction of the token
+    // mass the top-{10,100,1000} terms cover — the tokenizer-budget
+    // report. Exact integer masses; the rank window partitions by lang.
+    "t45_vocab_coverage" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(col("lang"), explode(filter(
+          split(lower(col("text")), "\\s+"), x => x =!= lit("")))
+          .as("term"))
+        .groupBy(col("lang"), col("term"))
+        .agg(count(lit(1)).as("f"))
+      val tot = terms.groupBy(col("lang"))
+        .agg(sum(col("f")).as("total_tokens"),
+          count(lit(1)).as("n_terms"))
+      val rk = Window.partitionBy(col("lang"))
+        .orderBy(col("f").desc, col("term"))
+      terms.withColumn("rk", row_number().over(rk))
+        .withColumn("cutoff",
+          explode(array(lit(10), lit(100), lit(1000))))
+        .filter(col("rk") <= col("cutoff"))
+        .groupBy(col("lang"), col("cutoff"))
+        .agg(sum(col("f")).as("covered_tokens"))
+        .join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("cutoff"), col("covered_tokens"),
+          col("total_tokens"), col("n_terms"),
+          round(col("covered_tokens").cast("double") /
+            col("total_tokens"), 6).as("coverage"))
+        .orderBy(col("lang"), col("cutoff"))
+    },
+
+    // Duplicate-inflation report: per source, how much character mass
+    // the near-dup keep-one pass (d09's rule: keep each cluster's min
+    // doc_id) would reclaim — the "why dedup" executive summary.
+    // Composes the certified cluster chain with one join to documents.
+    "d36_dup_inflation" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val dropped = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"), lit(true).as("is_dropped"))
+      d.join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("is_dropped"), 1)).as("n_dropped"),
+          sum(col("n_chars")).as("total_chars"),
+          coalesce(sum(when(col("is_dropped"), col("n_chars"))), lit(0L))
+            .as("wasted_chars"))
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          col("total_chars"), col("wasted_chars"),
+          when(col("total_chars") - col("wasted_chars") > 0, round(
+            col("total_chars").cast("double") /
+              (col("total_chars") - col("wasted_chars")), 6))
+            .as("inflation"))
+        .orderBy(col("source"))
+    },
+
+    // Pseudo-relevance feedback (Rocchio): expand each query vector with
+    // the rank-ordered mean of its top-10 neighbors (q' = q + 0.5·mean),
+    // then re-rank the corpus against q'. The feedback fold is
+    // LEFT-TO-RIGHT IN RANK ORDER (bounded at k elements, so the
+    // per-query buffer is constant) and the rerank reuses the broadcast-
+    // panel plan — the corpus is scanned twice, shuffled never. Every
+    // double operation is order-pinned, so the DuckDB oracle reproduces
+    // the expanded vectors bit-for-bit.
+    "s29_rocchio" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") % 100 === 0)
+      val top = Similarity.bruteForceTopK(e, qs, k = 10)
+      val nvec = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("nv"))
+      // bounded per-query state: k (rank, vec) structs, folded in rank
+      // order after sort_array — the m15/chunked-fold house pattern
+      val fb = top.join(nvec, Seq("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("rank"), col("nv"))))
+          .as("arr"))
+        .select(col("query_id"),
+          aggregate(expr("slice(arr, 2, size(arr) - 1)"),
+            col("arr").getItem(0).getField("nv"),
+            (acc, s) => zip_with(acc, s.getField("nv"),
+              (x, y) => x + y)).as("acc"),
+          size(col("arr")).as("k"))
+      val qv = qs.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      val probes = fb.join(qv, Seq("query_id"))
+        .select(col("query_id"),
+          zip_with(col("qv"), col("acc"), (q, a) =>
+            lit(1.0) * q + lit(0.5) * a / col("k")).as("qp"))
+        .withColumn("np", sqrt(Similarity.dot(col("qp"), col("qp"))))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("vc"))
+        .withColumn("nc", sqrt(Similarity.dot(col("vc"), col("vc"))))
+      val scored = c.crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cosine", round(
+          Similarity.dot(col("qp"), col("vc")) / (col("np") * col("nc")),
+          6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -530,5 +756,154 @@ object Extras3 {
         round(quantile_cont(late_us, 0.95), 6) AS p95_us,
         round(quantile_cont(late_us, 0.99), 6) AS p99_us,
         CAST(max(late_us) AS BIGINT) AS max_us
-      FROM lt GROUP BY 1 ORDER BY 1""")
+      FROM lt GROUP BY 1 ORDER BY 1""",
+
+    "q85_attribution" -> """
+      WITH dd AS (SELECT user_id, ts, event_type, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      touch AS (SELECT user_id AS t_user, ts AS t_ts,
+          event_type AS touch_type FROM dd WHERE rn = 1),
+      conv AS (SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'),
+      j AS (SELECT conv.value, touch.touch_type
+        FROM conv ASOF LEFT JOIN touch
+          ON conv.user_id = touch.t_user AND conv.ts >= touch.t_ts)
+      SELECT coalesce(touch_type, 'unattributed') AS channel,
+        count(*) AS n_conversions,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          AS revenue
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "q86_rfm_segments" -> """
+      WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      base AS (SELECT c_mktsegment, c_custkey,
+          max(o_orderdate) AS last_order, count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS monetary
+        FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      wd AS (SELECT *, datediff('day', CAST(last_order AS DATE),
+          CAST(maxd AS DATE)) AS recency_days FROM base, maxd),
+      coded AS (SELECT c_mktsegment, monetary,
+          ntile(5) OVER (PARTITION BY c_mktsegment
+            ORDER BY recency_days ASC, c_custkey ASC) AS rq,
+          ntile(5) OVER (PARTITION BY c_mktsegment
+            ORDER BY n_orders DESC, c_custkey ASC) AS fq,
+          ntile(5) OVER (PARTITION BY c_mktsegment
+            ORDER BY monetary DESC, c_custkey ASC) AS mq
+        FROM wd)
+      SELECT c_mktsegment, CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) ||
+          CAST(mq AS VARCHAR) AS rfm_code,
+        count(*) AS n_customers,
+        CAST(sum(monetary) AS DECIMAL(18,2)) AS total_monetary,
+        round(CAST(sum(monetary) AS DOUBLE) / count(*), 6) AS avg_monetary
+      FROM coded GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q87_audience_overlap" -> """
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      sz AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+      ix AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          count(*) AS n_inter
+        FROM tu a JOIN tu b ON a.user_id = b.user_id
+          AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_inter, sa.n_users AS na, sb.n_users AS nb,
+        round(CAST(n_inter AS DOUBLE) /
+          (sa.n_users + sb.n_users - n_inter), 6) AS jaccard,
+        round(CAST(n_inter AS DOUBLE) /
+          least(sa.n_users, sb.n_users), 6) AS overlap_coef,
+        round(CAST(n_inter AS DOUBLE) /
+          sqrt(CAST(sa.n_users AS DOUBLE) * sb.n_users), 6) AS cosine
+      FROM ix JOIN sz sa ON ix.type_a = sa.event_type
+        JOIN sz sb ON ix.type_b = sb.event_type
+      ORDER BY type_a, type_b""",
+
+    "g12_clustering_coeff" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      f AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      und AS (SELECT a AS v, b AS w FROM f UNION ALL SELECT b, a FROM f),
+      dg AS (SELECT v, count(*) AS degree FROM und GROUP BY 1),
+      wg AS (SELECT u1.v, u1.w AS x, u2.w AS y FROM und u1 JOIN und u2
+        ON u1.v = u2.v AND u1.w < u2.w),
+      tr AS (SELECT wg.v, count(*) AS n_triangles FROM wg
+        JOIN f ON wg.x = f.a AND wg.y = f.b GROUP BY 1)
+      SELECT dg.v AS doc_id, degree,
+        coalesce(n_triangles, 0) AS n_triangles,
+        CASE WHEN degree >= 2 THEN round(
+          CAST(2 * coalesce(n_triangles, 0) AS DOUBLE) /
+            (degree * (degree - 1)), 6)
+        END AS clustering_coef
+      FROM dg LEFT JOIN tr ON dg.v = tr.v ORDER BY doc_id""",
+
+    "t45_vocab_coverage" -> raw"""
+      WITH tm AS (SELECT lang, unnest(list_filter(
+          string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT lang, term, count(*) AS f FROM tm GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(f) AS BIGINT) AS total_tokens,
+          count(*) AS n_terms FROM tf GROUP BY 1),
+      rk AS (SELECT lang, f, row_number() OVER (PARTITION BY lang
+          ORDER BY f DESC, term) AS rk FROM tf),
+      ct AS (SELECT unnest([10, 100, 1000]) AS cutoff),
+      cv AS (SELECT lang, cutoff, CAST(sum(f) AS BIGINT) AS covered_tokens
+        FROM rk, ct WHERE rk <= cutoff GROUP BY 1, 2)
+      SELECT cv.lang, CAST(cutoff AS INT) AS cutoff, covered_tokens,
+        total_tokens, n_terms,
+        round(CAST(covered_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+      FROM cv JOIN tot ON cv.lang = tot.lang ORDER BY 1, 2""",
+
+    "d36_dup_inflation" -> s"""
+      WITH RECURSIVE ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+      j AS (SELECT d.source, d.n_chars, (dr.doc_id IS NOT NULL) AS dropped
+        FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id)
+      SELECT source, count(*) AS n_docs,
+        count(*) FILTER (WHERE dropped) AS n_dropped,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(coalesce(sum(n_chars) FILTER (WHERE dropped), 0) AS BIGINT)
+          AS wasted_chars,
+        CASE WHEN sum(n_chars) -
+            coalesce(sum(n_chars) FILTER (WHERE dropped), 0) > 0
+          THEN round(CAST(sum(n_chars) AS DOUBLE) / (sum(n_chars) -
+            coalesce(sum(n_chars) FILTER (WHERE dropped), 0)), 6)
+        END AS inflation
+      FROM j GROUP BY 1 ORDER BY 1""",
+
+    "s29_rocchio" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          c.v AS nv,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS rk FROM s),
+      fb AS (SELECT query_id,
+          list_reduce(list(nv ORDER BY rk),
+            (a, b) -> list_transform(range(1, len(a) + 1),
+              i -> a[i] + b[i])) AS acc,
+          count(*) AS k FROM r WHERE rk <= 10 GROUP BY query_id),
+      p AS (SELECT f.query_id, list_transform(range(1, len(q.v) + 1),
+            i -> 1.0 * q.v[i] + 0.5 * f.acc[i] / f.k) AS qp
+        FROM fb f JOIN q ON f.query_id = q.vec_id),
+      pn AS (SELECT query_id, qp, sqrt(list_dot_product(qp, qp)) AS np
+        FROM p),
+      sc AS (SELECT pn.query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(pn.qp, c.v) / (pn.np * c.nrm), 6)
+            AS cosine
+        FROM pn, n c WHERE c.vec_id != pn.query_id),
+      rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank"
+      FROM rr WHERE "rank" <= 5 ORDER BY query_id, "rank"""")
 }
