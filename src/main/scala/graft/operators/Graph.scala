@@ -66,6 +66,53 @@ object Graph {
       (col("prl").cast("double") / lit(Scale.toDouble)).as("pagerank"))
   }
 
+  /** Personalized PageRank: identical scaled-long iteration scheme to
+    * [[pageRank]], but the restart mass lands ONLY on `seeds` (one `id`
+    * column) — non-seed nodes get score exclusively through propagation.
+    * This is the seed-expansion primitive of data curation: "find more
+    * documents like this vetted set" over the near-dup / citation graph.
+    *
+    * Scale design matches [[pageRank]]: each iteration is one edge⋈rank
+    * join plus one dst aggregation; the seed flag is node-sized and rides
+    * the same rank-table join. Same portable floor(x+0.5) rounding, so
+    * every fold is an exact integer sum, bit-equal to the unrolled oracle.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 3, damping: Double = 0.85,
+      restart: Double = 0.15): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val flagged = nodes
+      .join(seeds.select(col("id")).distinct().withColumn("__s", lit(1)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0)).as("is_seed"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val restartL = math.round(restart * Scale)
+    var pr: DataFrame = flagged.select(col("id"),
+      when(col("is_seed") === 1, lit(Scale)).otherwise(lit(0L)).as("prl"))
+    for (it <- 1 to iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"),
+          floor(col("prl").cast("double") / col("outdeg") + 0.5)
+            .as("c"))
+      val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = flagged
+        .join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed") === 1, lit(restartL)).otherwise(lit(0L)) +
+            floor(lit(damping) *
+              coalesce(col("s"), lit(0L)).cast("double") + 0.5)).as("prl"))
+      if (it % 5 == 0 && it < iterations)
+        pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("id"),
+      (col("prl").cast("double") / lit(Scale.toDouble)).as("ppr"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own label; each round, a node adopts the most frequent
     * label among its neighbors, ties broken toward the SMALLEST label, and
