@@ -222,6 +222,57 @@ object Similarity {
         sum(col("__cnt")).as("cnt"))
   }
 
+  /** Per-label simplified silhouette over the [[chunkedOrderedSum]]
+    * centroid fold: for each vector, a = d² to its own label's centroid,
+    * b = min d² to any OTHER label's centroid, sil = (b-a)/max(a,b); the
+    * output is each label's mean silhouette — the cluster-quality gate
+    * before trusting label-conditioned sampling, hard-negative mining, or
+    * an IVF index keyed on the labels.
+    *
+    * Scale design (100 TB): the centroids (labels × dim doubles) collapse
+    * into ONE broadcast row; a and b are array expressions over it, so
+    * the corpus is scanned map-side only and the single shuffle is the
+    * label-sized final aggregation. Numerics: per-vector sil goes
+    * straight to integer micro-units with the portable floor(x+0.5) (an
+    * intermediate round() would tie-break differently per engine exactly
+    * because sil is a ratio of round-6 values), so the per-label sum is
+    * an order-free exact integer fold; the mean re-applies floor(x+0.5)
+    * at micro resolution. Output: (label, n_vectors, mean_sil).
+    */
+  def silhouetteByLabel(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label",
+      chunkSize: Int = 256): DataFrame = {
+    val exploded = emb.select(col(labelCol).as("label"),
+      col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
+    val cents = chunkedOrderedSum(exploded, Seq("label", "idx"), "id",
+        "comp", chunkSize)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("idx"),
+          (col("s") / col("cnt")).as("m")))),
+        e => e.getField("m")).as("ccv"))
+    val allCents = cents.agg(collect_list(struct(
+      col("label").as("clabel"), col("ccv"))).as("all_cents"))
+    emb.select(col(idCol).as("id"), col(labelCol).as("label"),
+        col(vecCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(allCents))
+      .withColumn("own", element_at(filter(col("all_cents"),
+        c => c.getField("clabel") === col("label")), 1).getField("ccv"))
+      .withColumn("a", round(dist2(col("v"), col("own")), 6))
+      .withColumn("b", array_min(transform(filter(col("all_cents"),
+          c => c.getField("clabel") =!= col("label")),
+        c => round(dist2(col("v"), c.getField("ccv")), 6))))
+      .withColumn("sm",
+        when(greatest(col("a"), col("b")) === 0, lit(0L))
+          .otherwise(floor((col("b") - col("a")) /
+            greatest(col("a"), col("b")) * 1000000 + 0.5).cast("long")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sm")).as("ssm"))
+      .select(col("label"), col("n_vectors"),
+        (floor(col("ssm").cast("double") / col("n_vectors") + 0.5)
+          .cast("long") / lit(1000000.0)).as("mean_sil"))
+  }
+
   /** Lloyd's k-means refinement of the deterministic sample centroids —
     * the production replacement for [[sampleCentroids]] as the IVF index
     * quality knob. Each iteration: map-side fold assignment (no corpus

@@ -124,42 +124,7 @@ object Extras4 {
     // is touched map-side only, then one label-sized aggregation. The
     // per-label mean folds integer micro-units so it is order-free.
     "s30_silhouette" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
-      val exploded = emb.select(col("label"), col("vec_id").as("id"),
-        posexplode(col("embedding").cast("array<double>"))
-          .as(Seq("idx", "comp")))
-      val cents = Similarity
-        .chunkedOrderedSum(exploded, Seq("label", "idx"), "id", "comp", 256)
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("idx"),
-            (col("s") / col("cnt")).as("m")))),
-          e => e.getField("m")).as("ccv"))
-      val allCents = cents.agg(collect_list(struct(
-        col("label").as("clabel"), col("ccv"))).as("all_cents"))
-      emb.select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .crossJoin(broadcast(allCents))
-        .withColumn("own", element_at(filter(col("all_cents"),
-          c => c.getField("clabel") === col("label")), 1).getField("ccv"))
-        .withColumn("a", round(Similarity.dist2(col("v"), col("own")), 6))
-        .withColumn("b", array_min(transform(filter(col("all_cents"),
-            c => c.getField("clabel") =!= col("label")),
-          c => round(Similarity.dist2(col("v"), c.getField("ccv")), 6))))
-        // Straight to integer micro-units with the portable floor(x+0.5):
-        // an intermediate round(sil, 6) would hit engine-divergent tie
-        // directions exactly because sil is a ratio of round-6 values.
-        .withColumn("sm",
-          when(greatest(col("a"), col("b")) === 0, lit(0L))
-            .otherwise(floor((col("b") - col("a")) /
-              greatest(col("a"), col("b")) * 1000000 + 0.5).cast("long")))
-        .groupBy(col("label"))
-        .agg(count(lit(1)).as("n_vectors"), sum(col("sm")).as("ssm"))
-        // The mean is reported at exact micro-unit resolution via the
-        // same portable floor(x+0.5) — sum/n can land exactly on a .5
-        // micro tie, where the engines' round() directions differ.
-        .select(col("label"), col("n_vectors"),
-          (floor(col("ssm").cast("double") / col("n_vectors") + 0.5)
-            .cast("long") / lit(1000000.0)).as("mean_sil"))
+      Similarity.silhouetteByLabel(t(s, dir, "embeddings"))
         .orderBy(col("label"))
     },
 

@@ -23,6 +23,37 @@ class GraphSpec extends SparkSpec {
     assert(leaves.map(pr).distinct.size === 1)
   }
 
+  test("personalized pagerank: components with no seed score exactly " +
+      "zero; mass flows outward from seeds; all-seeds degenerates to " +
+      "plain pagerank bit-for-bit") {
+    import spark.implicits._
+    // two components: a seeded path 0-1-2 and an unseeded triangle 10-11-12
+    val edges = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L),
+      (10L, 11L), (11L, 10L), (11L, 12L), (12L, 11L), (10L, 12L),
+      (12L, 10L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val got = Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(Seq(10L, 11L, 12L).forall(got(_) === 0.0),
+      s"unseeded component leaked mass: $got")
+    // mass decays with distance from the seed's neighborhood: the far
+    // end of the path scores lowest but still positive (reachable); the
+    // middle node tops the component (it drains the seed's full
+    // out-mass AND the far end's)
+    assert(got(1L) > got(0L) && got(0L) > got(2L) && got(2L) > 0.0, s"$got")
+    // seeding EVERY node reproduces plain pageRank exactly (same init,
+    // same per-node restart term)
+    val all = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val ppr = Graph.personalizedPageRank(edges, all, iterations = 6)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
+    val pr = Graph.pageRank(edges, iterations = 6)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
+    assert(ppr === pr)
+  }
+
   test("triangle counts: K4 gives every node 3; chain gives none; " +
       "direction and duplicate edges don't matter") {
     import spark.implicits._

@@ -602,4 +602,34 @@ class SimilaritySpec extends SparkSpec {
     // exactly one prediction per query
     assert(got.size === qs.count())
   }
+
+  test("silhouette: tight well-separated labels score near 1, a label " +
+      "interleaved into another's region scores poorly, and the fold is " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    // label 0 tight at x≈0, label 1 tight at x≈100 — both near-perfect;
+    // label 2 sits ON label 1's region, so its b (distance to label 1's
+    // centroid) is small relative to its own spread
+    val rows = (for {
+      (lbl, base) <- Seq((0, 0.0), (1, 100.0), (2, 100.0))
+      i <- 0 until 8
+    } yield ((lbl * 10 + i).toLong,
+      Array((base + i * 0.01).toFloat, lbl.toFloat), lbl))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouetteByLabel(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(0, 1, 2))
+    assert(got.values.forall { case (n, s) => n === 8L && s >= -1 && s <= 1 })
+    assert(got(0)._2 > 0.9, s"separated label scored ${got(0)._2}")
+    assert(got(1)._2 > 0.5 && got(2)._2 < got(0)._2,
+      s"interleaved labels: ${got(1)._2}, ${got(2)._2}")
+    // bit-stable under repartitioning (chunked fold + integer micro sums)
+    val a = Similarity.silhouetteByLabel(rows.repartition(7)).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq.sorted
+    val b = Similarity.silhouetteByLabel(rows.repartition(2)).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq.sorted
+    assert(a === b)
+  }
 }
