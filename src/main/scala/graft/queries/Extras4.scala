@@ -239,6 +239,198 @@ object Extras4 {
         .orderBy(col("partition"))
     },
 
+    // Supplier lead-time scorecard: order→ship latency in exact integer
+    // days, nearest-rank p50/p95 (integer cross-compare, no
+    // interpolation), order-free micro-unit mean, and a late rate —
+    // the SLA report per dimension key. One orderkey join + supplier
+    // windows over supplier-sized groups.
+    "q91_lead_time" -> { (s, dir) =>
+      val j = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"),
+          col("l_shipdate"))
+        .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("lat", datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).cast("long"))
+      val w = Window.partitionBy(col("l_suppkey"))
+      val wo = w.orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))
+      j.withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_items"),
+          min(col("lat")).as("min_days"), max(col("lat")).as("max_days"),
+          (floor(sum(col("lat")).cast("double") * 1000000 /
+            count(lit(1)) + 0.5).cast("long") / lit(1000000.0))
+            .as("mean_days"),
+          min(when(col("rn") * 100 >= col("n") * 50, col("lat")))
+            .as("p50_days"),
+          min(when(col("rn") * 100 >= col("n") * 95, col("lat")))
+            .as("p95_days"),
+          (floor(count(when(col("lat") > 365, 1)).cast("double") *
+            1000000 / count(lit(1)) + 0.5).cast("long") / lit(1000000.0))
+            .as("late_rate"))
+        .orderBy(col("l_suppkey"))
+    },
+
+    // Log-likelihood (G2) keyness: each source's most over-represented
+    // terms vs the REST of the corpus — the domain-vocabulary profile
+    // that catches a source drifting off-topic before it pollutes a
+    // mixture. Exact integer counts feed one closed double formula over
+    // round-6 logs (the t42 discipline), integerized to micro-units with
+    // the portable floor(x+0.5) so the per-source ranking compares
+    // integers, never raw doubles. One (source, term) shuffle + one
+    // term-keyed join; source totals broadcast.
+    "t47_keyness_g2" -> { (s, dir) =>
+      val tok = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val st = tok.groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("a"))
+      val termTot = st.groupBy(col("term")).agg(sum(col("a")).as("tt"))
+      val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("stt"))
+      val corpusTot = srcTot.agg(sum(col("stt")).as("ct"))
+      st.join(termTot, "term")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(corpusTot))
+        .withColumn("b", col("tt") - col("a"))
+        .withColumn("e1",
+          col("stt").cast("double") * col("tt") / col("ct"))
+        .withColumn("e2",
+          (col("ct") - col("stt")).cast("double") * col("tt") / col("ct"))
+        .filter(col("a") >= 20 && col("b") >= 1)
+        .withColumn("la", round(log(col("a") / col("e1")), 6))
+        .withColumn("lb", round(log(col("b") / col("e2")), 6))
+        .filter(col("la") > 0)
+        .withColumn("g2m", floor((col("a") * col("la") +
+          col("b") * col("lb")) * 2000000 + 0.5).cast("long"))
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("source"))
+          .orderBy(col("g2m").desc, col("term"))))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("term"), col("a").as("n_in_source"),
+          col("b").as("n_elsewhere"),
+          (col("g2m") / lit(1000000.0)).as("g2"))
+        .orderBy(col("source"), col("g2").desc, col("term"))
+    },
+
+    // Embedding-distribution drift: per label, the d² between the
+    // centroids of the two corpus halves (vec_id parity — the stand-in
+    // for "yesterday's snapshot vs today's"). Built on the certified
+    // bounded-buffer chunked fold; the join is label-sized. The report
+    // that tells you an embedding model or upstream filter changed
+    // before the index quality degrades.
+    "s31_centroid_shift" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      def half(rem: Int): DataFrame =
+        Similarity.chunkedOrderedSum(
+            emb.filter(col("vec_id") % 2 === rem)
+              .select(col("label"), col("vec_id").as("id"),
+                posexplode(col("embedding").cast("array<double>"))
+                  .as(Seq("idx", "comp"))),
+            Seq("label", "idx"), "id", "comp", 256)
+          .groupBy(col("label"))
+          .agg(transform(array_sort(collect_list(struct(col("idx"),
+              (col("s") / col("cnt")).as("m")))),
+            e2 => e2.getField("m")).as(s"cv$rem"))
+      def n(rem: Int): DataFrame =
+        emb.filter(col("vec_id") % 2 === rem).groupBy(col("label"))
+          .agg(count(lit(1)).as(s"n$rem"))
+      half(0).join(half(1), "label")
+        .join(n(0), "label").join(n(1), "label")
+        .select(col("label"), col("n0").as("n_even"),
+          col("n1").as("n_odd"),
+          round(Similarity.dist2(col("cv0"), col("cv1")), 6)
+            .as("shift_d2"))
+        .orderBy(col("label"))
+    },
+
+    // Degree assortativity of the near-dup graph (Newman's r): do
+    // high-degree docs link high-degree docs? Positive r = template
+    // families (hub pages duplicate each other); negative r = hub-and-
+    // spoke boilerplate. Exact integer moments over the symmetrized
+    // certified edge set; ONE closed double formula.
+    "g14_assortativity" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(col("a"), col("b"))
+      val edges = pairs.union(pairs.select(col("b").as("a"),
+        col("a").as("b")))
+      val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val j = edges
+        .join(deg.select(col("a"), col("d").as("dx")), "a")
+        .join(deg.select(col("a").as("b"), col("d").as("dy")), "b")
+      j.agg(count(lit(1)).as("n"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
+          round((col("n").cast("double") * col("sxy") -
+              col("sx").cast("double") * col("sy")) /
+            (sqrt(col("n").cast("double") * col("sxx") -
+              col("sx").cast("double") * col("sx")) *
+             sqrt(col("n").cast("double") * col("syy") -
+              col("sy").cast("double") * col("sy"))), 6)
+            .as("assortativity"))
+    },
+
+    // Perceptual-bucket frame dedup ratio: m03's frame signatures
+    // truncated to one hex char (16 coarse buckets — the stand-in for a
+    // perceptual hash, where near-identical frames collide), then per
+    // payload: frames vs distinct buckets. The static-video / slideshow
+    // detector. Map-only + one doc-keyed aggregation.
+    "m17_frame_dup_ratio" -> { (s, dir) =>
+      Multimodal.withFrameSamples(
+          t(s, dir, "documents")
+            .withColumn("payload", encode(col("text"), "UTF-8")))
+        .withColumn("sig", substring(col("frame_md5"), 1, 1))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("sig")).as("n_distinct_sigs"))
+        .withColumn("dup_ratio",
+          floor((col("n_frames") - col("n_distinct_sigs")).cast("double") *
+            1000000 / col("n_frames") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("doc_id"))
+    },
+
+    // Cross-language near-dup matrix: certified minhash pairs labeled by
+    // the two documents' languages (unordered) — translated/boilerplate
+    // duplication across language slices, the contamination a per-lang
+    // dedup run never sees. Two doc joins + one lang²-sized aggregation.
+    "d38_cross_lang_dup" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val la = d.select(col("doc_id").as("a"), col("lang").as("lang_a0"))
+      val lb = d.select(col("doc_id").as("b"), col("lang").as("lang_b0"))
+      val m = pairs.join(la, "a").join(lb, "b")
+        .select(least(col("lang_a0"), col("lang_b0")).as("lang_a"),
+          greatest(col("lang_a0"), col("lang_b0")).as("lang_b"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+      m.withColumn("share",
+          floor(col("n_pairs").cast("double") * 1000000 /
+            sum(col("n_pairs")).over(Window.partitionBy()) + 0.5)
+            .cast("long") / lit(1000000.0))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+
+    // Partition balance report for the replay topic: each partition's
+    // ratio to the ideal uniform share — the skew signal that sizes
+    // consumer groups (s25's IVF balance shape, applied to Kafka).
+    "k14_partition_skew" -> { (s, dir) =>
+      KafkaSource.replay(t(s, dir, "events"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_msgs"))
+        .withColumn("total",
+          sum(col("n_msgs")).over(Window.partitionBy()))
+        .select(col("partition"), col("n_msgs"),
+          (floor(col("n_msgs").cast("double") * 8000000 / col("total") +
+            0.5).cast("long") / lit(1000000.0)).as("ratio_to_ideal"))
+        .orderBy(col("partition"))
+    },
+
     // Cluster-density audit of the near-dup graph: per connected
     // component, direct edges vs implied pairs (n·(n-1)/2). A large
     // cluster with low density is the chain-collapse signature —
@@ -459,6 +651,154 @@ object Extras4 {
         min(c) FILTER (WHERE rn * 100 >= n * 95) AS p95_per_sec,
         max(c) AS max_per_sec
       FROM w GROUP BY 1 ORDER BY 1""",
+
+    "q91_lead_time" -> """
+      WITH j AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+          CAST(date_diff('day', CAST(o_orderdate AS DATE),
+            CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      w AS (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+            ORDER BY lat, l_orderkey, l_linenumber) AS rn,
+          count(*) OVER (PARTITION BY l_suppkey) AS n FROM j)
+      SELECT l_suppkey, count(*) AS n_items,
+        min(lat) AS min_days, max(lat) AS max_days,
+        CAST(floor(CAST(sum(lat) AS DOUBLE) * 1000000 / count(*) + 0.5)
+          AS BIGINT) / 1000000.0 AS mean_days,
+        min(lat) FILTER (WHERE rn * 100 >= n * 50) AS p50_days,
+        min(lat) FILTER (WHERE rn * 100 >= n * 95) AS p95_days,
+        CAST(floor(CAST(count(*) FILTER (WHERE lat > 365) AS DOUBLE) *
+          1000000 / count(*) + 0.5) AS BIGINT) / 1000000.0 AS late_rate
+      FROM w GROUP BY 1 ORDER BY 1""",
+
+    "t47_keyness_g2" -> raw"""
+      WITH tok AS (SELECT source, g AS term
+          FROM documents, unnest(string_split_regex(lower(text), '\s+'))
+            AS t(g) WHERE g != ''),
+      st AS (SELECT source, term, count(*) AS a FROM tok GROUP BY 1, 2),
+      ttot AS (SELECT term, CAST(sum(a) AS BIGINT) AS tt FROM st
+               GROUP BY 1),
+      stot AS (SELECT source, CAST(sum(a) AS BIGINT) AS stt FROM st
+               GROUP BY 1),
+      ctot AS (SELECT CAST(sum(stt) AS BIGINT) AS ct FROM stot),
+      sc AS (SELECT st.source, st.term, a, tt - a AS b,
+          CAST(stt AS DOUBLE) * tt / ct AS e1,
+          CAST(ct - stt AS DOUBLE) * tt / ct AS e2
+        FROM st JOIN ttot USING (term) JOIN stot USING (source), ctot
+        WHERE a >= 20 AND tt - a >= 1),
+      lg AS (SELECT *, round(ln(a / e1), 6) AS la,
+          round(ln(b / e2), 6) AS lb FROM sc),
+      gm AS (SELECT source, term, a, b,
+          CAST(floor((a * la + b * lb) * 2000000 + 0.5) AS BIGINT) AS g2m
+        FROM lg WHERE la > 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY g2m DESC, term) AS rn FROM gm)
+      SELECT source, term, a AS n_in_source, b AS n_elsewhere,
+        g2m / 1000000.0 AS g2
+      FROM r WHERE rn <= 5 ORDER BY source, g2 DESC, term""",
+
+    // Two copies of the s05 centroid chain (vec_id parity), joined on
+    // label; the shift is the index-ordered fold distance.
+    "s31_centroid_shift" -> """
+      WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      x0 AS (SELECT label, vec_id, t.i, v[t.i] AS comp
+             FROM e, unnest(generate_series(1, len(v))) AS t(i)
+             WHERE vec_id % 2 = 0),
+      p0 AS (SELECT label, i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
+              count(*) AS cnt
+             FROM x0 GROUP BY label, i, chunk),
+      m0 AS (SELECT label, i,
+              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+                / CAST(sum(cnt) AS BIGINT) AS mean
+             FROM p0 GROUP BY label, i),
+      cv0 AS (SELECT label, list(mean ORDER BY i) AS cv0 FROM m0
+              GROUP BY label),
+      x1 AS (SELECT label, vec_id, t.i, v[t.i] AS comp
+             FROM e, unnest(generate_series(1, len(v))) AS t(i)
+             WHERE vec_id % 2 = 1),
+      p1 AS (SELECT label, i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b) AS ps,
+              count(*) AS cnt
+             FROM x1 GROUP BY label, i, chunk),
+      m1 AS (SELECT label, i,
+              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+                / CAST(sum(cnt) AS BIGINT) AS mean
+             FROM p1 GROUP BY label, i),
+      cv1 AS (SELECT label, list(mean ORDER BY i) AS cv1 FROM m1
+              GROUP BY label),
+      n0 AS (SELECT label, count(*) AS n_even FROM e
+             WHERE vec_id % 2 = 0 GROUP BY label),
+      n1 AS (SELECT label, count(*) AS n_odd FROM e
+             WHERE vec_id % 2 = 1 GROUP BY label)
+      SELECT label, n_even, n_odd,
+        round(list_reduce(list_transform(list_zip(cv0, cv1),
+          q -> (q[1] - q[2]) * (q[1] - q[2])), (a, b) -> a + b), 6)
+          AS shift_d2
+      FROM cv0 JOIN cv1 USING (label) JOIN n0 USING (label)
+        JOIN n1 USING (label)
+      ORDER BY label""",
+
+    "g14_assortativity" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      ed AS (SELECT a, b FROM filt UNION ALL SELECT b, a FROM filt),
+      deg AS (SELECT a AS id, count(*) AS d FROM ed GROUP BY 1),
+      j AS (SELECT dx.d AS dx, dy.d AS dy
+        FROM ed JOIN deg dx ON dx.id = ed.a JOIN deg dy ON dy.id = ed.b),
+      mo AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+          CAST(sum(dy) AS BIGINT) AS sy,
+          CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          CAST(sum(dy * dy) AS BIGINT) AS syy,
+          CAST(sum(dx * dy) AS BIGINT) AS sxy FROM j),
+      nn AS (SELECT count(*) AS n_nodes FROM deg)
+      SELECT n_nodes, CAST(n / 2 AS BIGINT) AS n_edges,
+        round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+          (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+           sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+          AS assortativity
+      FROM mo, nn""",
+
+    // m03's frame chain, signatures truncated to one hex char.
+    "m17_frame_dup_ratio" -> """
+      WITH f AS (SELECT doc_id, j AS frame_idx,
+          j * greatest(1, octet_length(encode(text)) // 4) + 1 AS off,
+          hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+        FROM documents, generate_series(0, 3) t(j)),
+      fr AS (SELECT doc_id,
+          substr(md5(substring(hx, CAST((off - 1) * 2 + 1 AS INT), 32)),
+            1, 1) AS sig
+        FROM f WHERE off <= nb),
+      g AS (SELECT doc_id, count(*) AS n_frames,
+          count(DISTINCT sig) AS n_distinct_sigs FROM fr GROUP BY 1)
+      SELECT doc_id, n_frames, n_distinct_sigs,
+        CAST(floor(CAST(n_frames - n_distinct_sigs AS DOUBLE) * 1000000
+          / n_frames + 0.5) AS BIGINT) / 1000000.0 AS dup_ratio
+      FROM g ORDER BY doc_id""",
+
+    "d38_cross_lang_dup" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      lp AS (SELECT least(da.lang, db.lang) AS lang_a,
+          greatest(da.lang, db.lang) AS lang_b
+        FROM filt JOIN documents da ON da.doc_id = filt.a
+                  JOIN documents db ON db.doc_id = filt.b),
+      g AS (SELECT lang_a, lang_b, count(*) AS n_pairs FROM lp
+            GROUP BY 1, 2)
+      SELECT lang_a, lang_b, n_pairs,
+        CAST(floor(CAST(n_pairs AS DOUBLE) * 1000000 /
+          CAST(sum(n_pairs) OVER () AS BIGINT) + 0.5) AS BIGINT)
+          / 1000000.0 AS share
+      FROM g ORDER BY lang_a, lang_b""",
+
+    "k14_partition_skew" -> s"""
+      WITH r AS (${KafkaParity.replaySql}),
+      g AS (SELECT "partition", count(*) AS n_msgs FROM r GROUP BY 1)
+      SELECT "partition", n_msgs,
+        CAST(floor(CAST(n_msgs AS DOUBLE) * 8000000 /
+          CAST(sum(n_msgs) OVER () AS BIGINT) + 0.5) AS BIGINT)
+          / 1000000.0 AS ratio_to_ideal
+      FROM g ORDER BY 1""",
 
     // d08's recursive component chain + the certified pair set; density
     // is the one closed double formula.
