@@ -431,6 +431,131 @@ object Extras4 {
         .orderBy(col("partition"))
     },
 
+    // Round-8 capstone: quality-seeded personalized PageRank over the
+    // near-dup graph — seeds are the docs passing the certified t03
+    // quality gate; restart-pinned mass ranks every connected doc by its
+    // proximity to vetted content ("find more like the good ones", the
+    // graph-walk curation primitive). Composes three certified chains
+    // (minhash pairs, quality score, scaled-long PPR); one oracle
+    // certifies the composition.
+    "d39_ppr_curation" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val edges = pairs
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = TextAnalysis.withQuality(d)
+        .filter(col("quality_score") > 0.55)
+        .select(col("doc_id").as("id"))
+      val ppr = Graph.personalizedPageRank(edges, seeds)
+      ppr.join(seeds.withColumn("__s", lit(1)), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("__s"), lit(0)).as("is_seed"), col("ppr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hourly anomaly enrichment: per (event_type, hour-of-day), exact
+    // decimal moments give mean/std (the q47 population formulas); each
+    // event is then flagged against ITS bucket's 2σ band via a broadcast
+    // join of the (type × 24)-sized stats back onto the stream. Two
+    // passes over events, one shuffle each.
+    "q92_hourly_zscore" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .withColumn("hour", hour(col("ts")).cast("int"))
+        .withColumn("vd", col("value").cast(dec2))
+      val stats = e.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"), sum(col("vd")).as("s1"),
+          sum(col("vd") * col("vd")).as("s2"))
+        .withColumn("mean", col("s1").cast("double") / col("n"))
+        .withColumn("sd", sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / col("n")))
+      e.join(broadcast(stats), Seq("event_type", "hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(abs(col("vd").cast("double") - col("mean")) >
+            col("sd") * 2, 1)).as("n_anomalies"),
+          (floor(max(col("mean")) * 1000000 + 0.5).cast("long") /
+            lit(1000000.0)).as("mean_value"),
+          (floor(max(col("sd")) * 1000000 + 0.5).cast("long") /
+            lit(1000000.0)).as("std_value"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
+    // Word-complexity profile: syllables approximated as vowel runs —
+    // counted EXACTLY via the replace-run-vs-delete length difference —
+    // plus the share of 3+-syllable words (per-word run counts through a
+    // nested array transform). Map-only; the readability-family quality
+    // signal without trusting any engine tokenizer.
+    "t48_word_complexity" -> { (s, dir) =>
+      def runs(c: Column): Column =
+        length(regexp_replace(c, "[aeiou]+", "V")) -
+          length(regexp_replace(c, "[aeiou]+", ""))
+      val d = t(s, dir, "documents")
+        .withColumn("w", filter(split(lower(col("text")), "\\s+"),
+          x => x =!= ""))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .withColumn("n_syllables", runs(lower(col("text"))).cast("long"))
+        .withColumn("n_complex", size(filter(col("w"),
+          x => length(regexp_replace(x, "[aeiou]+", "V")) -
+            length(regexp_replace(x, "[aeiou]+", "")) >= 3)).cast("long"))
+      d.select(col("doc_id"), col("n_words"), col("n_syllables"),
+          col("n_complex"),
+          (floor(col("n_syllables").cast("double") * 1000000 /
+            col("n_words") + 0.5).cast("long") / lit(1000000.0))
+            .as("syll_per_word"),
+          (floor(col("n_complex").cast("double") * 1000000 /
+            col("n_words") + 0.5).cast("long") / lit(1000000.0))
+            .as("pct_complex"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Embedding norm histogram per label: ‖v‖ bucketed at 0.1 width via
+    // the portable floor(x+0.5) — the normalization QA check (a cosine
+    // index assumes unit-ish norms; a drifting tail breaks MIPS
+    // reductions). Map-only + one (label, bucket) aggregation.
+    "s32_norm_histogram" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm2", round(Similarity.dot(col("v"), col("v")), 6))
+        .withColumn("bucket",
+          floor(sqrt(col("norm2")) * 10 + 0.5).cast("long"))
+        .groupBy(col("label"), col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("label"), col("bucket"))
+    },
+
+    // Core/periphery edge split: each near-dup edge classified by how
+    // many endpoints survive the 3-core peel — the one-row summary of
+    // whether duplication mass sits in dense template families (core)
+    // or borderline chains (periphery).
+    "g15_core_edge_split" -> { (s, dir) =>
+      val pairs = Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      val core = Graph.kCore(
+          pairs.select(col("a").as("src"), col("b").as("dst")), k = 3)
+        .select(col("id"))
+      val j = pairs
+        .join(core.select(col("id").as("a"), lit(1).as("ca")), Seq("a"),
+          "left")
+        .join(core.select(col("id").as("b"), lit(1).as("cb")), Seq("b"),
+          "left")
+        .withColumn("n_in_core",
+          coalesce(col("ca"), lit(0)) + coalesce(col("cb"), lit(0)))
+      j.agg(count(lit(1)).as("n_edges"),
+          count(when(col("n_in_core") === 2, 1)).as("n_core_core"),
+          count(when(col("n_in_core") === 1, 1)).as("n_core_periph"),
+          count(when(col("n_in_core") === 0, 1)).as("n_periph_periph"))
+        .select(col("n_edges"), col("n_core_core"), col("n_core_periph"),
+          col("n_periph_periph"),
+          (floor(col("n_core_core").cast("double") * 1000000 /
+            col("n_edges") + 0.5).cast("long") / lit(1000000.0))
+            .as("core_share"))
+    },
+
     // Cluster-density audit of the near-dup graph: per connected
     // component, direct edges vs implied pairs (n·(n-1)/2). A large
     // cluster with low density is the chain-collapse signature —
@@ -651,6 +776,141 @@ object Extras4 {
         min(c) FILTER (WHERE rn * 100 >= n * 95) AS p95_per_sec,
         max(c) AS max_per_sec
       FROM w GROUP BY 1 ORDER BY 1""",
+
+    // Quality chain (d19's qb/qm/qs), seed gate, then the unrolled
+    // 3-iteration scaled-long PPR over the symmetrized pair graph.
+    "d39_ppr_curation" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      qb AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+             FROM documents),
+      qm AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        FROM qb),
+      qs AS (SELECT doc_id,
+          0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+        FROM qm),
+      sd AS (SELECT doc_id FROM qs WHERE quality_score > 0.55),
+      ed AS (SELECT a AS src, b AS dst FROM filt
+             UNION ALL SELECT b, a FROM filt),
+      nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+      ns AS (SELECT nodes.id, CASE WHEN sd.doc_id IS NOT NULL
+          THEN 1 ELSE 0 END AS is_seed
+        FROM nodes LEFT JOIN sd ON sd.doc_id = nodes.id),
+      od AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+      p0 AS (SELECT id, CAST(CASE WHEN is_seed = 1
+          THEN 10000000000 ELSE 0 END AS BIGINT) AS prl FROM ns),
+      c1 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p0 p ON p.id = ed.src JOIN od ON od.src = ed.src),
+      i1 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c1 GROUP BY dst),
+      p1 AS (SELECT ns.id, CAST(CASE WHEN is_seed = 1
+          THEN 1500000000 ELSE 0 END AS BIGINT) + $ppr AS prl
+        FROM ns LEFT JOIN i1 ON i1.dst = ns.id),
+      c2 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p1 p ON p.id = ed.src JOIN od ON od.src = ed.src),
+      i2 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c2 GROUP BY dst),
+      p2 AS (SELECT ns.id, CAST(CASE WHEN is_seed = 1
+          THEN 1500000000 ELSE 0 END AS BIGINT) + $ppr AS prl
+        FROM ns LEFT JOIN i2 ON i2.dst = ns.id),
+      c3 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) / od.outdeg
+          + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p2 p ON p.id = ed.src JOIN od ON od.src = ed.src),
+      i3 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c3 GROUP BY dst),
+      p3 AS (SELECT ns.id, CAST(CASE WHEN is_seed = 1
+          THEN 1500000000 ELSE 0 END AS BIGINT) + $ppr AS prl
+        FROM ns LEFT JOIN i3 ON i3.dst = ns.id)
+      SELECT ns.id AS doc_id, ns.is_seed,
+        CAST(prl AS DOUBLE) / 10000000000.0 AS ppr
+      FROM p3 JOIN ns ON ns.id = p3.id ORDER BY doc_id""",
+
+    "q92_hourly_zscore" -> """
+      WITH e AS (SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+          CAST(value AS DECIMAL(18,2)) AS vd FROM events),
+      st AS (SELECT event_type, hour, count(*) AS n, sum(vd) AS s1,
+          sum(vd * vd) AS s2 FROM e GROUP BY 1, 2),
+      sm AS (SELECT *, CAST(s1 AS DOUBLE) / n AS mean,
+          sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+            * CAST(s1 AS DOUBLE) / n) / n) AS sd FROM st)
+      SELECT e.event_type, e.hour, count(*) AS n_events,
+        count(*) FILTER (WHERE abs(CAST(vd AS DOUBLE) - mean) > sd * 2)
+          AS n_anomalies,
+        CAST(floor(max(mean) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+          AS mean_value,
+        CAST(floor(max(sd) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+          AS std_value
+      FROM e JOIN sm ON sm.event_type = e.event_type AND sm.hour = e.hour
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "t48_word_complexity" -> raw"""
+      WITH d AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x != '') AS w,
+          length(regexp_replace(lower(text), '[aeiou]+', 'V', 'g')) -
+            length(regexp_replace(lower(text), '[aeiou]+', '', 'g'))
+            AS n_syll
+        FROM documents),
+      c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+          CAST(n_syll AS BIGINT) AS n_syllables,
+          CAST(len(list_filter(w, x ->
+            length(regexp_replace(x, '[aeiou]+', 'V', 'g')) -
+            length(regexp_replace(x, '[aeiou]+', '', 'g')) >= 3))
+            AS BIGINT) AS n_complex
+        FROM d)
+      SELECT doc_id, n_words, n_syllables, n_complex,
+        CAST(floor(CAST(n_syllables AS DOUBLE) * 1000000 / n_words + 0.5)
+          AS BIGINT) / 1000000.0 AS syll_per_word,
+        CAST(floor(CAST(n_complex AS DOUBLE) * 1000000 / n_words + 0.5)
+          AS BIGINT) / 1000000.0 AS pct_complex
+      FROM c ORDER BY doc_id""",
+
+    "s32_norm_histogram" -> """
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT label, round(list_dot_product(v, v), 6) AS norm2
+            FROM e)
+      SELECT label, CAST(floor(sqrt(norm2) * 10 + 0.5) AS BIGINT)
+          AS bucket, count(*) AS n_vectors
+      FROM n GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // g05's peel chain; the core set is its output membership (kdf).
+    "g15_core_edge_split" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      kc_filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      kc_ec AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM kc_filt WHERE a <> b),
+      kc_adj AS (SELECT a AS z, b AS x FROM kc_ec
+                 UNION ALL SELECT b AS z, a AS x FROM kc_ec),
+      kd1 AS (SELECT z, count(*) AS deg FROM kc_adj GROUP BY z),
+      ka1 AS (SELECT z AS id FROM kd1 WHERE deg >= 3),
+      kd2 AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka1 p ON p.id = e.z JOIN ka1 q ON q.id = e.x
+              GROUP BY e.z),
+      ka2 AS (SELECT z AS id FROM kd2 WHERE deg >= 3),
+      kd3 AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka2 p ON p.id = e.z JOIN ka2 q ON q.id = e.x
+              GROUP BY e.z),
+      ka3 AS (SELECT z AS id FROM kd3 WHERE deg >= 3),
+      kdf AS (SELECT e.z, count(*) AS deg FROM kc_adj e
+              JOIN ka3 p ON p.id = e.z JOIN ka3 q ON q.id = e.x
+              GROUP BY e.z),
+      core AS (SELECT z AS id FROM kdf),
+      j AS (SELECT kc_ec.a, kc_ec.b,
+          (CASE WHEN ca.id IS NOT NULL THEN 1 ELSE 0 END +
+           CASE WHEN cb.id IS NOT NULL THEN 1 ELSE 0 END) AS nic
+        FROM kc_ec LEFT JOIN core ca ON ca.id = kc_ec.a
+                   LEFT JOIN core cb ON cb.id = kc_ec.b)
+      SELECT count(*) AS n_edges,
+        count(*) FILTER (WHERE nic = 2) AS n_core_core,
+        count(*) FILTER (WHERE nic = 1) AS n_core_periph,
+        count(*) FILTER (WHERE nic = 0) AS n_periph_periph,
+        CAST(floor(CAST(count(*) FILTER (WHERE nic = 2) AS DOUBLE)
+          * 1000000 / count(*) + 0.5) AS BIGINT) / 1000000.0
+          AS core_share
+      FROM j""",
 
     "q91_lead_time" -> """
       WITH j AS (SELECT l_suppkey, l_orderkey, l_linenumber,
