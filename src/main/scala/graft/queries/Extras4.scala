@@ -239,6 +239,78 @@ object Extras4 {
         .orderBy(col("partition"))
     },
 
+    // Cohort LTV curve: customers grouped by first-order month, revenue
+    // tracked by integer cohort age (months since first order) with the
+    // cumulative per-cohort running total — the standard lifetime-value
+    // report. Age is exact integer year/month arithmetic (never
+    // months_between's fractional double); windows run over
+    // (cohort, age)-sized rows.
+    "q93_cohort_ltv" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .withColumn("month", date_trunc("month", col("o_orderdate")))
+        .withColumn("cohort",
+          min(col("month")).over(Window.partitionBy(col("o_custkey"))))
+        .withColumn("age",
+          ((year(col("month")) - year(col("cohort"))) * 12 +
+            (month(col("month")) - month(col("cohort")))).cast("int"))
+      val g = o.groupBy(col("cohort"), col("age"))
+        .agg(countDistinct(col("o_custkey")).as("n_active"),
+          sum(col("o_totalprice").cast(dec2)).as("rev"))
+      g.withColumn("cum_rev",
+          sum(col("rev")).over(Window.partitionBy(col("cohort"))
+            .orderBy(col("age"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("cohort"), col("age"), col("n_active"),
+          col("rev").cast("double").as("revenue"),
+          col("cum_rev").cast("double").as("cum_revenue"))
+        .orderBy(col("cohort"), col("age"))
+    },
+
+    // Token-yield report: per source, document/token mass before vs
+    // after the certified keep-one near-dedup — the number a mixture
+    // planner actually budgets with (raw counts overstate a duplicated
+    // source's contribution). Composes d09's survivor chain with exact
+    // whitespace token counts; one doc-keyed join + source-sized agg.
+    "t49_token_yield" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val surv = Dedup.dropNearDuplicates(d, pairs)
+        .select(col("doc_id"), lit(1).as("kept"))
+      val tok = d.select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= ""))
+          .cast("long").as("n_tok"))
+      tok.join(surv, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          count(col("kept")).as("n_surviving_docs"),
+          coalesce(sum(when(col("kept") === 1, col("n_tok"))), lit(0L))
+            .as("n_surviving_tokens"))
+        .withColumn("token_yield",
+          floor(col("n_surviving_tokens").cast("double") * 1000000 /
+            col("n_tokens") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("source"))
+    },
+
+    // PQ distortion report: per subspace, the mean/max quantization
+    // error of the certified s09 encoding — the index-quality budget
+    // that tells you whether mSub/codebook size fit the corpus before
+    // ADC recall degrades. Micro-unit integer mean over the round-6 d²;
+    // one (m)-sized aggregation over the map-only encode.
+    "s33_pq_distortion" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val enc = Similarity.pqEncode(e, Similarity.pqCodebook(e))
+      enc
+        .withColumn("dm", floor(col("d2") * 1000000 + 0.5).cast("long"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_vectors"),
+          (floor(sum(col("dm")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long") / lit(1000000.0)).as("mean_d2"),
+          max(col("d2")).as("max_d2"),
+          countDistinct(col("code")).as("n_codes_used"))
+        .orderBy(col("m"))
+    },
+
     // Supplier lead-time scorecard: order→ship latency in exact integer
     // days, nearest-rank p50/p95 (integer cross-compare, no
     // interpolation), order-free micro-unit mean, and a late rate —
@@ -911,6 +983,61 @@ object Extras4 {
           * 1000000 / count(*) + 0.5) AS BIGINT) / 1000000.0
           AS core_share
       FROM j""",
+
+    "q93_cohort_ltv" -> """
+      WITH o AS (SELECT o_custkey, o_totalprice,
+          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+          CAST(min(date_trunc('month', o_orderdate))
+            OVER (PARTITION BY o_custkey) AS TIMESTAMP) AS cohort
+        FROM orders),
+      a AS (SELECT *, CAST((year(month) - year(cohort)) * 12 +
+          (month(month) - month(cohort)) AS INT) AS age FROM o),
+      g AS (SELECT cohort, age, count(DISTINCT o_custkey) AS n_active,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM a GROUP BY 1, 2)
+      SELECT cohort, age, n_active, CAST(rev AS DOUBLE) AS revenue,
+        CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS cum_revenue
+      FROM g ORDER BY cohort, age""",
+
+    // d08's component chain → keep-one survivors → per-source token mass.
+    "t49_token_yield" -> s"""
+      WITH RECURSIVE ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+      dropped AS (SELECT doc_id FROM cl WHERE doc_id != cluster_id),
+      tok AS (SELECT doc_id, source,
+          CAST(len(list_filter(string_split_regex(text, '\\s+'),
+            x -> x != '')) AS BIGINT) AS n_tok
+        FROM documents),
+      tk AS (SELECT tok.*, CASE WHEN dropped.doc_id IS NULL THEN 1 END
+          AS kept
+        FROM tok LEFT JOIN dropped ON dropped.doc_id = tok.doc_id),
+      g AS (SELECT source, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          count(kept) AS n_surviving_docs,
+          CAST(coalesce(sum(n_tok) FILTER (WHERE kept = 1), 0) AS BIGINT)
+            AS n_surviving_tokens
+        FROM tk GROUP BY 1)
+      SELECT *, CAST(floor(CAST(n_surviving_tokens AS DOUBLE) * 1000000
+          / n_tokens + 0.5) AS BIGINT) / 1000000.0 AS token_yield
+      FROM g ORDER BY source""",
+
+    "s33_pq_distortion" -> (NorthStar.PqCodesCte + """
+      SELECT CAST(m AS INT) AS m, count(*) AS n_vectors,
+        CAST(floor(CAST(sum(CAST(floor(d2 * 1000000 + 0.5) AS BIGINT))
+          AS DOUBLE) / count(*) + 0.5) AS BIGINT) / 1000000.0 AS mean_d2,
+        max(d2) AS max_d2,
+        count(DISTINCT code) AS n_codes_used
+      FROM codes GROUP BY m ORDER BY m"""),
 
     "q91_lead_time" -> """
       WITH j AS (SELECT l_suppkey, l_orderkey, l_linenumber,

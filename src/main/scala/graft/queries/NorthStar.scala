@@ -1275,7 +1275,9 @@ object NorthStar {
     * (ADC ranking over the same codes). Slice distance is the same
     * index-ordered left fold as every vector oracle here.
     */
-  private val PqCodesCte: String = raw"""
+  // private[queries]: Extras4's s33 distortion report reuses the same
+  // codes chain so both engines see the identical codebook/assignments.
+  private[queries] val PqCodesCte: String = raw"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       cbv AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id % 50 = 0),
       cb AS (SELECT m, code, cv[m*8+1 : m*8+8] AS sv
