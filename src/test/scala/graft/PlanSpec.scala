@@ -428,4 +428,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"), p)
   }
+
+  test("silhouette scans the corpus map-side: centroids arrive as ONE " +
+      "broadcast row and the corpus never hits a Window or a join " +
+      "shuffle — only the centroid fold and the label-sized final agg " +
+      "exchange") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = graft.operators.Similarity.silhouetteByLabel(emb)
+      .queryExecution.explainString(FormattedMode)
+    // the centroid side reaches the corpus via a broadcast nested-loop
+    // (single-row cross join), never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+    // no per-vector window anywhere
+    assert(!p.contains("WindowExec") && !p.contains("(\\d+) Window"), p)
+  }
+
+  test("personalized pagerank keeps the pageRank plan discipline: the " +
+      "seed flag rides the node-sized rank join, no extra edge shuffle") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val ppr = graft.operators.Graph
+      .personalizedPageRank(edges, seeds, iterations = 2)
+    val pr = graft.operators.Graph.pageRank(edges, iterations = 2)
+    def exchanges(p: String): Int =
+      """\(\d+\) Exchange""".r.findAllIn(p).size
+    val pPpr = ppr.queryExecution.explainString(FormattedMode)
+    val pPr = pr.queryExecution.explainString(FormattedMode)
+    // the seed join adds at most one node-sized exchange over the plain
+    // pageRank plan — never an edge-sized one per iteration
+    assert(exchanges(pPpr) <= exchanges(pPr) + 2, s"$pPpr\n----\n$pPr")
+  }
 }
