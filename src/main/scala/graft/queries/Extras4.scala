@@ -311,6 +311,77 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Doc-frequency spectrum of 3-word shingles (count-of-counts): how
+    // many distinct shingles occur in exactly k documents — the
+    // Good-Turing-style profile that tunes dedup thresholds (a fat k=2+
+    // tail means boilerplate; a dominant k=1 mass means the corpus is
+    // already diverse). One gram-hash shuffle + a spectrum-sized agg.
+    "t50_gram_spectrum" -> { (s, dir) =>
+      val dfc = t(s, dir, "documents")
+        .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      dfc.groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+        .withColumn("share",
+          floor(col("n_grams").cast("double") * 1000000 /
+            sum(col("n_grams")).over(Window.partitionBy()) + 0.5)
+            .cast("long") / lit(1000000.0))
+        .filter(col("df") <= 20)
+        .orderBy(col("df"))
+    },
+
+    // Recall sliced by label: the s21 truth/approx comparison aggregated
+    // per query label — exposes WHICH slice an IVF index underserves
+    // (a hot cell can hide a cold label's recall collapse behind a good
+    // global mean). Exact integer hit/truth sums; micro-unit recall.
+    "s34_recall_by_label" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val rec = Similarity.annRecall(
+        Similarity.bruteForceTopK(e, q), Similarity.ivfSearch(e, q))
+      rec.join(e.select(col("vec_id").as("query_id"), col("label")),
+          "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("n_hits"),
+          sum(col("n_truth")).as("n_truth"))
+        .withColumn("recall",
+          floor(col("n_hits").cast("double") * 1000000 /
+            col("n_truth") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("label"))
+    },
+
+    // Inter-purchase interval per market segment: consecutive-order gaps
+    // in exact integer days (one custkey window), rolled up with
+    // nearest-rank quantiles — the repeat-behavior profile behind
+    // retention modeling. Customer dimension broadcast.
+    "q94_purchase_interval" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", datediff(col("o_orderdate").cast("date"),
+          col("prev").cast("date")).cast("long"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+      val wo = w.orderBy(col("gap"), col("o_custkey"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_gaps"),
+          (floor(sum(col("gap")).cast("double") * 1000000 /
+            count(lit(1)) + 0.5).cast("long") / lit(1000000.0))
+            .as("mean_days"),
+          min(when(col("rn") * 100 >= col("n") * 50, col("gap")))
+            .as("p50_days"),
+          min(when(col("rn") * 100 >= col("n") * 90, col("gap")))
+            .as("p90_days"),
+          max(col("gap")).as("max_days"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Supplier lead-time scorecard: order→ship latency in exact integer
     // days, nearest-rank p50/p95 (integer cross-compare, no
     // interpolation), order-free micro-unit mean, and a late rate —
@@ -1038,6 +1109,57 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // sgl is the same shingle chain the minhash oracles use; unreferenced
+    // CTEs in the interpolated block are never evaluated.
+    "t50_gram_spectrum" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      g AS (SELECT unnest(sh) AS g FROM sgl),
+      dfc AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+      sp AS (SELECT df, count(*) AS n_grams FROM dfc GROUP BY 1)
+      SELECT df, n_grams,
+        CAST(floor(CAST(n_grams AS DOUBLE) * 1000000 /
+          CAST(sum(n_grams) OVER () AS BIGINT) + 0.5) AS BIGINT)
+          / 1000000.0 AS share
+      FROM sp QUALIFY df <= 20 ORDER BY df""",
+
+    "s34_recall_by_label" -> s"""
+      WITH ${NorthStar.AnnEvalCtes},
+      sc AS (SELECT t.query_id, count(*) AS n_truth,
+          count(ap.neighbor_id) AS n_hits
+        FROM truth t LEFT JOIN approxr ap
+          ON ap.query_id = t.query_id AND ap.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id),
+      lb AS (SELECT vec_id, label FROM embeddings)
+      SELECT label, count(*) AS n_queries,
+        CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        CAST(sum(n_truth) AS BIGINT) AS n_truth,
+        CAST(floor(CAST(sum(n_hits) AS DOUBLE) * 1000000 /
+          CAST(sum(n_truth) AS BIGINT) + 0.5) AS BIGINT) / 1000000.0
+          AS recall
+      FROM sc JOIN lb ON lb.vec_id = sc.query_id
+      GROUP BY label ORDER BY label""",
+
+    "q94_purchase_interval" -> """
+      WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+          lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      g AS (SELECT o.o_custkey, o.o_orderkey, c_mktsegment,
+          CAST(date_diff('day', CAST(prev AS DATE),
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        FROM o JOIN customer ON o_custkey = c_custkey
+        WHERE prev IS NOT NULL),
+      w AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+            ORDER BY gap, o_custkey, o_orderkey) AS rn,
+          count(*) OVER (PARTITION BY c_mktsegment) AS n FROM g)
+      SELECT c_mktsegment, count(*) AS n_gaps,
+        CAST(floor(CAST(sum(gap) AS DOUBLE) * 1000000 / count(*) + 0.5)
+          AS BIGINT) / 1000000.0 AS mean_days,
+        min(gap) FILTER (WHERE rn * 100 >= n * 50) AS p50_days,
+        min(gap) FILTER (WHERE rn * 100 >= n * 90) AS p90_days,
+        max(gap) AS max_days
+      FROM w GROUP BY 1 ORDER BY 1""",
 
     "q91_lead_time" -> """
       WITH j AS (SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -1363,7 +1363,9 @@ object NorthStar {
   /** Shared ANN-evaluation chain (s21 recall, s23 ranking metrics):
     * brute-force truth top-5 (the s01 chain) and the IVF approx top-5
     * WITH rank retained (`approxr`) — the s03 chain. */
-  private val AnnEvalCtes = """
+  // private[queries]: Extras4's s34 per-label recall reuses the same
+  // truth/approx chains.
+  private[queries] val AnnEvalCtes = """
       e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
