@@ -113,6 +113,45 @@ object Graph {
       (col("prl").cast("double") / lit(Scale.toDouble)).as("ppr"))
   }
 
+  /** Weighted PageRank: [[pageRank]] with per-edge weights — each node
+    * splits its rank proportionally to edge weight instead of uniformly
+    * (on a near-dup graph weighted by signature agreement, strong
+    * duplicates pull rank harder than borderline matches). Input:
+    * (src, dst, w) with integer weights ≥ 1. Same scaled-long scheme;
+    * the per-edge share is floor(prl·w/Σw + 0.5), every sum an exact
+    * integer fold. prl·w stays < ~2^54 for weights ≤ ~100, inside
+    * double's exact-integer range (require()d).
+    */
+  def weightedPageRank(edges: DataFrame, iterations: Int = 3,
+      damping: Double = 0.85, base: Double = 0.15): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val baseL = math.round(base * Scale)
+    var pr: DataFrame = nodes.withColumn("prl", lit(Scale))
+    for (it <- 1 to iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("id", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst"),
+          floor(col("prl").cast("double") * col("w") / col("sw") + 0.5)
+            .as("c"))
+      val inbound = contrib.groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      pr = nodes
+        .join(inbound.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(baseL) + floor(lit(damping) *
+            coalesce(col("s"), lit(0L)).cast("double") + 0.5)).as("prl"))
+      if (it % 5 == 0 && it < iterations)
+        pr = pr.localCheckpoint(false)
+    }
+    pr.select(col("id"),
+      (col("prl").cast("double") / lit(Scale.toDouble)).as("wpagerank"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts as its own label; each round, a node adopts the most frequent
     * label among its neighbors, ties broken toward the SMALLEST label, and

@@ -311,6 +311,81 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Survivor-divergence report: per normalized-text dup group, compare
+    // the priority winner (tier, doc_id — d29's rule) against the naive
+    // min-id winner; per source, how many groups each rule awards and
+    // the net document change. The dry-run audit you read BEFORE
+    // switching dedup precedence rules on a 100 TB corpus. One nm
+    // shuffle, two frames of the same window sort.
+    "d40_survivor_divergence" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("nm",
+          md5(TextAnalysis.normalizeForDedup(col("text"))))
+        .withColumn("tier",
+          (col("source").substr(lit(4), lit(10)).cast("int") % 3)
+            .cast("int"))
+      val wPr = Window.partitionBy(col("nm"))
+        .orderBy(col("tier"), col("doc_id"))
+      val wId = Window.partitionBy(col("nm")).orderBy(col("doc_id"))
+      d.withColumn("rp", row_number().over(wPr))
+        .withColumn("ri", row_number().over(wId))
+        .groupBy(col("source"))
+        .agg(count(when(col("rp") === 1, 1)).as("n_priority_wins"),
+          count(when(col("ri") === 1, 1)).as("n_minid_wins"),
+          count(when(col("rp") === 1 && col("ri") =!= 1, 1))
+            .as("n_taken_over"))
+        .withColumn("net_change",
+          col("n_priority_wins") - col("n_minid_wins"))
+        .orderBy(col("source"))
+    },
+
+    // IVF probe-cost report: per query, the exact number of corpus rows
+    // its nprobe=2 cells force the search to score — the cost half of
+    // the recall/cost tradeoff (s21/s34 report the recall half). Cell
+    // sizes and probes both derive from the certified s02/s03 chains;
+    // everything broadcasts except the one corpus-assignment pass.
+    "s35_probe_cost" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val cents = Similarity.sampleCentroids(e)
+      val sizes = Similarity.ivfAssign(e, cents)
+        .groupBy(col("cell")).agg(count(lit(1)).as("cell_size"))
+      val nv = e.agg(count(lit(1)).as("nv"))
+      val probes = q.select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("vq"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", round(Similarity.dist2(col("vq"), col("cv")), 6))
+        .withColumn("pr", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("centroid_id"))))
+        .filter(col("pr") <= 2)
+        .select(col("query_id"), col("centroid_id").as("cell"))
+      probes.join(broadcast(sizes), "cell")
+        .crossJoin(broadcast(nv))
+        .groupBy(col("query_id"), col("nv"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("cell_size")).as("n_candidates"))
+        .select(col("query_id"), col("n_cells"), col("n_candidates"),
+          (floor(col("n_candidates").cast("double") * 1000000 /
+            col("nv") + 0.5).cast("long") / lit(1000000.0))
+            .as("pct_of_corpus"))
+        .orderBy(col("query_id"))
+    },
+
+    // Weighted PageRank over the near-dup graph, edge weight = signature
+    // agreement (n_eq): strong duplicates pull rank harder than
+    // borderline band matches — the centrality that finds the canonical
+    // template of a boilerplate family.
+    "g16_weighted_pagerank" -> { (s, dir) =>
+      val p = Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(col("a"), col("b"), col("n_eq"))
+      val edges = p.select(col("a").as("src"), col("b").as("dst"),
+          col("n_eq").as("w"))
+        .union(p.select(col("b").as("src"), col("a").as("dst"),
+          col("n_eq").as("w")))
+      Graph.weightedPageRank(edges).orderBy(col("id"))
+    },
+
     // Doc-frequency spectrum of 3-word shingles (count-of-counts): how
     // many distinct shingles occur in exactly k documents — the
     // Good-Turing-style profile that tunes dedup thresholds (a fat k=2+
@@ -1109,6 +1184,67 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // d29's normalization chain with BOTH precedence windows.
+    "d40_survivor_divergence" -> raw"""
+      WITH d AS (SELECT doc_id, source,
+          CAST(substring(source, 4) AS INT) % 3 AS tier,
+          md5(trim(regexp_replace(regexp_replace(regexp_replace(
+            lower(text), '[^\p{L}\p{N}\s]', ' ', 'g'), '\p{N}+', '0', 'g'),
+            '\s+', ' ', 'g'))) AS nm
+        FROM documents),
+      k AS (SELECT *, row_number() OVER (PARTITION BY nm
+            ORDER BY tier, doc_id) AS rp,
+          row_number() OVER (PARTITION BY nm ORDER BY doc_id) AS ri
+        FROM d)
+      SELECT source,
+        count(*) FILTER (WHERE rp = 1) AS n_priority_wins,
+        count(*) FILTER (WHERE ri = 1) AS n_minid_wins,
+        count(*) FILTER (WHERE rp = 1 AND ri != 1) AS n_taken_over,
+        count(*) FILTER (WHERE rp = 1) - count(*) FILTER (WHERE ri = 1)
+          AS net_change
+      FROM k GROUP BY 1 ORDER BY 1""",
+
+    "s35_probe_cost" -> s"""
+      WITH ${NorthStar.AnnEvalCtes},
+      cs AS (SELECT cell, count(*) AS cell_size FROM a GROUP BY 1),
+      nv AS (SELECT count(*) AS nv FROM e)
+      SELECT query_id, count(*) AS n_cells,
+        CAST(sum(cell_size) AS BIGINT) AS n_candidates,
+        CAST(floor(CAST(sum(cell_size) AS DOUBLE) * 1000000 / max(nv)
+          + 0.5) AS BIGINT) / 1000000.0 AS pct_of_corpus
+      FROM qp JOIN cs USING (cell), nv
+      GROUP BY query_id ORDER BY query_id""",
+
+    "g16_weighted_pagerank" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      fw AS (SELECT a, b, n_eq FROM pairs WHERE n_eq * 100 >= 800),
+      ed AS (SELECT a AS src, b AS dst, CAST(n_eq AS BIGINT) AS w FROM fw
+             UNION ALL SELECT b, a, CAST(n_eq AS BIGINT) FROM fw),
+      nodes AS (SELECT src AS id FROM ed UNION SELECT dst FROM ed),
+      ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM ed
+             GROUP BY src),
+      p0 AS (SELECT id, CAST(10000000000 AS BIGINT) AS prl FROM nodes),
+      c1 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) * ed.w
+          / ow.sw + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p0 p ON p.id = ed.src JOIN ow ON ow.src = ed.src),
+      i1 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c1 GROUP BY dst),
+      p1 AS (SELECT id, 1500000000 + $ppr AS prl
+        FROM nodes LEFT JOIN i1 ON i1.dst = nodes.id),
+      c2 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) * ed.w
+          / ow.sw + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p1 p ON p.id = ed.src JOIN ow ON ow.src = ed.src),
+      i2 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c2 GROUP BY dst),
+      p2 AS (SELECT id, 1500000000 + $ppr AS prl
+        FROM nodes LEFT JOIN i2 ON i2.dst = nodes.id),
+      c3 AS (SELECT ed.dst, CAST(floor(CAST(p.prl AS DOUBLE) * ed.w
+          / ow.sw + 0.5) AS BIGINT) AS c
+        FROM ed JOIN p2 p ON p.id = ed.src JOIN ow ON ow.src = ed.src),
+      i3 AS (SELECT dst, CAST(sum(c) AS BIGINT) AS s FROM c3 GROUP BY dst),
+      p3 AS (SELECT id, 1500000000 + $ppr AS prl
+        FROM nodes LEFT JOIN i3 ON i3.dst = nodes.id)
+      SELECT id, CAST(prl AS DOUBLE) / 10000000000.0 AS wpagerank
+      FROM p3 ORDER BY id""",
 
     // sgl is the same shingle chain the minhash oracles use; unreferenced
     // CTEs in the interpolated block are never evaluated.

@@ -54,6 +54,27 @@ class GraphSpec extends SparkSpec {
     assert(ppr === pr)
   }
 
+  test("weighted pagerank: uniform weights reproduce plain pagerank " +
+      "bit-for-bit; a heavier edge pulls strictly more rank") {
+    import spark.implicits._
+    val plain = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L))
+    val uniform = plain.map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRank(plain.toDF("src", "dst"), iterations = 4)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
+    val wpr = Graph.weightedPageRank(uniform, iterations = 4)
+      .collect().map(r => (r.getLong(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
+    assert(pr === wpr)
+    // hub 0 splits 9:1 between nodes 1 and 2
+    val skew = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L),
+      (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.weightedPageRank(skew, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L), s"$got")
+  }
+
   test("triangle counts: K4 gives every node 3; chain gives none; " +
       "direction and duplicate edges don't matter") {
     import spark.implicits._
