@@ -311,6 +311,59 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Top-1 neighbor label confusion: for each query vector, the label
+    // of its exact nearest neighbor vs its own — the (label × label)
+    // coherence matrix that validates labels before kNN classification
+    // or label-conditioned sampling trusts them. Reuses the s01
+    // brute-force chain (broadcast query panel, WindowGroupLimit top-1).
+    "s36_neighbor_confusion" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 20 === 0)
+      Similarity.bruteForceTopK(e, q, k = 1)
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("query_label")), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("neighbor_label")), "neighbor_id")
+        .groupBy(col("query_label"), col("neighbor_label"))
+        .agg(count(lit(1)).as("n_queries"))
+        .orderBy(col("query_label"), col("neighbor_label"))
+    },
+
+    // ROLLUP with GROUPING indicators: the grouping_id/grouping()
+    // bitmask semantics both engines must agree on for any BI cube
+    // consumer — subtotal rows identified structurally, not by NULL
+    // sentinels (which collide with genuine NULL keys).
+    "q95_grouping_id" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""")
+    },
+
+    // Media balance matrix: media_type × source counts and byte mass
+    // with per-source shares — the dataset-card slice for the media
+    // columns (m01's certified meta, one dimension-sized aggregation).
+    "m18_media_matrix" -> { (s, dir) =>
+      val m = Multimodal.withMediaMeta(
+        t(s, dir, "documents")
+          .withColumn("payload", encode(col("text"), "UTF-8")))
+      m.groupBy(col("source"), col("media_type"))
+        .agg(count(lit(1)).as("n_payloads"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .withColumn("share_of_source",
+          floor(col("n_payloads").cast("double") * 1000000 /
+            sum(col("n_payloads")).over(Window.partitionBy(col("source")))
+            + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("source"), col("media_type"))
+    },
+
     // Survivor-divergence report: per normalized-text dup group, compare
     // the priority winner (tier, doc_id — d29's rule) against the naive
     // min-id winner; per source, how many groups each rule awards and
@@ -1184,6 +1237,49 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "s36_neighbor_confusion" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+      bs AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+          c.vec_id AS neighbor_id, c.label AS neighbor_label,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      t1 AS (SELECT * FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM bs) WHERE rk = 1)
+      SELECT query_label, neighbor_label, count(*) AS n_queries
+      FROM t1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q95_grouping_id" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        count(*) AS n,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority""",
+
+    "m18_media_matrix" -> """
+      WITH m AS (SELECT doc_id, source,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'image'
+               WHEN octet_length(encode(text)) % 3 = 1 THEN 'audio'
+               ELSE 'video' END AS media_type
+        FROM documents),
+      g AS (SELECT source, media_type, count(*) AS n_payloads,
+          CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        FROM m GROUP BY 1, 2)
+      SELECT source, media_type, n_payloads, total_bytes,
+        CAST(floor(CAST(n_payloads AS DOUBLE) * 1000000 /
+          CAST(sum(n_payloads) OVER (PARTITION BY source) AS BIGINT)
+          + 0.5) AS BIGINT) / 1000000.0 AS share_of_source
+      FROM g ORDER BY source, media_type""",
 
     // d29's normalization chain with BOTH precedence windows.
     "d40_survivor_divergence" -> raw"""
