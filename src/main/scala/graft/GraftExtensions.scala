@@ -62,9 +62,33 @@ object GraftExtensions {
       "_FUNC_(payload) - 8-stripe unsigned-byte-sum payload signature",
       es => PatchPool(es.head, 8)))
 
+  /** One-string-literal-path TVF over a parquet documents corpus: the
+    * SQL-only front door to the north-star curation operators, so a
+    * pure-SQL user runs dedup without touching the Scala API. Bind-time
+    * validation mirrors kafka_consumer's (literal-only, loud errors).
+    */
+  private def corpusTvf(fnName: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => {
+      if (es.length != 1)
+        throw new IllegalArgumentException(
+          s"$fnName requires exactly 1 argument: (path)")
+      val p = es.head
+      if (!(p.foldable &&
+          p.dataType == org.apache.spark.sql.types.StringType))
+        throw new IllegalArgumentException(
+          s"$fnName: path must be a string literal, got $p")
+      val v = p.eval()
+      if (v == null)
+        throw new IllegalArgumentException(s"$fnName: path must not be NULL")
+      val spark = org.apache.spark.sql.SparkSession.active
+      f(spark.read.parquet(v.toString)).queryExecution.logical
+    }
+
   /** Table-valued functions: the reference's SQL front door, under both
     * the registered name (kafka_consumer, cpp:223) and the README's alias
-    * (kafquack, README.md:13).
+    * (kafquack, README.md:13), plus the corpus-curation TVFs.
     */
   private[graft] val tableBuilders: Seq[(String, String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
@@ -77,7 +101,25 @@ object GraftExtensions {
         build),
       ("kafquack",
         "_FUNC_(brokers, topic, group_id) - alias of kafka_consumer",
-        build))
+        build),
+      ("minhash_pairs",
+        "_FUNC_(path) - certified near-dup pairs (a, b, n_eq, " +
+          "est_jaccard) over a parquet documents corpus",
+        corpusTvf("minhash_pairs")(d =>
+          graft.operators.Dedup.minhashPairs(d))),
+      ("doc_quality",
+        "_FUNC_(path) - t03 quality profile over a parquet documents " +
+          "corpus",
+        corpusTvf("doc_quality")(d =>
+          graft.operators.TextAnalysis.withQuality(d))),
+      ("dedup_corpus",
+        "_FUNC_(path) - keep-one near-dedup materialization of a " +
+          "parquet documents corpus",
+        corpusTvf("dedup_corpus")(d =>
+          graft.operators.Dedup.dropNearDuplicates(d,
+            graft.operators.Dedup.minhashPairs(d)
+              .select(org.apache.spark.sql.functions.col("a"),
+                org.apache.spark.sql.functions.col("b"))))))
   }
 
   /** Register into an already-created session (withExtensions only applies

@@ -66,4 +66,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(frames.length === 4) // 48 bytes, stride 12, 4 frames in range
     assert(frames.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
   }
+
+  test("corpus TVFs: SQL minhash_pairs/doc_quality/dedup_corpus match " +
+      "the Scala operators; bind errors are loud") {
+    GraftExtensions.register(spark)
+    val path = s"$sf/documents.parquet"
+    val docs = spark.read.parquet(path)
+    val sqlPairs = spark.sql(s"SELECT * FROM minhash_pairs('$path')")
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val apiPairs = graft.operators.Dedup.minhashPairs(docs)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(sqlPairs === apiPairs && sqlPairs.nonEmpty)
+    assert(spark.sql(s"SELECT * FROM doc_quality('$path')").count() ===
+      docs.count())
+    val kept = spark.sql(
+      s"SELECT count(*) AS n FROM dedup_corpus('$path')").collect()(0)
+      .getLong(0)
+    val apiKept = graft.operators.Dedup.dropNearDuplicates(docs,
+      graft.operators.Dedup.minhashPairs(docs).select(col("a"), col("b")))
+      .count()
+    assert(kept === apiKept && kept < docs.count())
+    // bind errors: wrong arity, non-literal path
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM minhash_pairs('a', 'b')"))
+    assert(e1.getMessage.contains("exactly 1 argument"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM dedup_corpus(doc_id)"))
+    assert(e2.getMessage != null)
+  }
 }
