@@ -311,6 +311,77 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Interval stitching: each event opens a 300-second activity
+    // window; overlapping windows merge into maximal islands per user
+    // (running-max boundary test — the linear gaps-and-islands
+    // formulation, never an interval self-join). All arithmetic in
+    // exact integer microseconds. Output per user: events, islands,
+    // covered activity time.
+    "q96_interval_merge" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        .withColumn("e_us", col("s_us") + 300000000L)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("s_us"), col("event_id"))
+      val marked = e
+        .withColumn("prev_max", max(col("e_us")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("is_new",
+          when(col("prev_max").isNull || col("s_us") > col("prev_max"), 1)
+            .otherwise(0))
+        .withColumn("island", sum(col("is_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      marked.groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("n_ev"), min(col("s_us")).as("i_s"),
+          max(col("e_us")).as("i_e"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_ev")).as("n_events"),
+          count(lit(1)).as("n_islands"),
+          sum(col("i_e") - col("i_s")).as("covered_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // First-touch vs last-touch attribution delta: the same conversions
+    // credited under both rules (last = q85's as-of; first = the user's
+    // earliest touch at-or-before the purchase), per channel — the
+    // report that shows how much credit moves when the attribution rule
+    // changes. One full-outer channel join of two certified chains.
+    "q97_attribution_compare" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dw = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val touch = ev
+        .filter(col("event_type").isin("click", "view", "signup"))
+        .withColumn("rn", row_number().over(dw)).filter(col("rn") === 1)
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_type").as("touch_type"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val lastCh = AsOfJoin.leftAsOf(conv, touch, "user_id", "ts",
+          "t_user", "t_ts", Seq("touch_type"))
+        .select(coalesce(col("touch_type"), lit("unattributed"))
+          .as("channel"))
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_last_touch"))
+      val ftw = Window.partitionBy(col("t_user"))
+        .orderBy(col("t_ts"), col("touch_type"))
+      val ft = touch.withColumn("fr", row_number().over(ftw))
+        .filter(col("fr") === 1)
+        .select(col("t_user"), col("t_ts").as("f_ts"),
+          col("touch_type").as("f_type"))
+      val firstCh = conv
+        .join(ft, col("user_id") === col("t_user"), "left")
+        .select(coalesce(when(col("f_ts") <= col("ts"), col("f_type")),
+          lit("unattributed")).as("channel"))
+        .groupBy(col("channel")).agg(count(lit(1)).as("n_first_touch"))
+      lastCh.join(firstCh, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+          coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+        .withColumn("delta", col("n_first_touch") - col("n_last_touch"))
+        .orderBy(col("channel"))
+    },
+
     // Top-1 neighbor label confusion: for each query vector, the label
     // of its exact nearest neighbor vs its own — the (label × label)
     // coherence matrix that validates labels before kNN classification
@@ -1237,6 +1308,54 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "q96_interval_merge" -> """
+      WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+          epoch_us(ts) + 300000000 AS e_us FROM events),
+      m AS (SELECT *, max(e_us) OVER (PARTITION BY user_id
+            ORDER BY s_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM e),
+      f AS (SELECT *, CASE WHEN prev_max IS NULL OR s_us > prev_max
+            THEN 1 ELSE 0 END AS is_new FROM m),
+      i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+            ORDER BY s_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM f),
+      g AS (SELECT user_id, island, count(*) AS n_ev,
+          min(s_us) AS i_s, max(e_us) AS i_e
+        FROM i GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        count(*) AS n_islands,
+        CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+      FROM g GROUP BY 1 ORDER BY 1""",
+
+    "q97_attribution_compare" -> """
+      WITH dd AS (SELECT user_id, ts, event_type, row_number() OVER (
+          PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      touch AS (SELECT user_id AS t_user, ts AS t_ts,
+          event_type AS touch_type FROM dd WHERE rn = 1),
+      conv AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'),
+      lt AS (SELECT coalesce(touch_type, 'unattributed') AS channel,
+          count(*) AS n_last_touch
+        FROM conv ASOF LEFT JOIN touch
+          ON conv.user_id = touch.t_user AND conv.ts >= touch.t_ts
+        GROUP BY 1),
+      fr AS (SELECT t_user, t_ts AS f_ts, touch_type AS f_type FROM (
+          SELECT *, row_number() OVER (PARTITION BY t_user
+            ORDER BY t_ts, touch_type) AS fr FROM touch) WHERE fr = 1),
+      ft AS (SELECT coalesce(CASE WHEN f_ts <= ts THEN f_type END,
+            'unattributed') AS channel, count(*) AS n_first_touch
+        FROM conv LEFT JOIN fr ON fr.t_user = conv.user_id
+        GROUP BY 1)
+      SELECT coalesce(lt.channel, ft.channel) AS channel,
+        coalesce(n_first_touch, 0) AS n_first_touch,
+        coalesce(n_last_touch, 0) AS n_last_touch,
+        coalesce(n_first_touch, 0) - coalesce(n_last_touch, 0) AS delta
+      FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+      ORDER BY 1""",
 
     "s36_neighbor_confusion" -> """
       WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
