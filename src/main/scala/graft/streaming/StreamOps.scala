@@ -116,20 +116,42 @@ object StreamOps {
     * micros the same way [[Tables.load]] does.
     */
   def replayStream(spark: SparkSession, dir: String,
-      topic: String = "events"): DataFrame = {
+      topic: String = "events"): DataFrame =
+    KafkaSource.replay(eventStream(spark, dir), topic)
+
+  /** The raw events fixture as a normalized stream (ts → TIMESTAMP_NTZ
+    * micros), without the Kafka-record projection — the input shape for
+    * stream-static enrichment over the business columns.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
     // The fixture is a single file, not a directory; FileStreamSource
     // insists on a directory basePath, but a glob makes it derive the
     // parent dir as the base itself.
     val glob = s"$dir/events*.parquet"
     val onDisk = spark.read.parquet(glob).schema
     val raw = spark.readStream.schema(onDisk).parquet(glob)
-    val normalized =
-      if (onDisk("ts").dataType == LongType)
-        raw.withColumn("ts",
-          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-      else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
-    KafkaSource.replay(normalized, topic)
+    if (onDisk("ts").dataType == LongType)
+      raw.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
   }
+
+  /** Stream-static anomaly gate (q92's streaming twin): each event joins
+    * its (event_type, hour-of-day) stats row — a broadcast dimension
+    * refreshed per micro-batch — and passes only if it falls outside
+    * mean ± nSigma·sd. Stateless map-side filtering: no watermark, no
+    * state store; the stats table is the (type × 24)-sized artifact the
+    * batch job publishes.
+    */
+  def anomalyFlags(events: DataFrame, stats: DataFrame,
+      nSigma: Double = 2.0): DataFrame =
+    events
+      .withColumn("hour", hour(col("ts")).cast("int"))
+      .withColumn("vd", col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .join(broadcast(stats), Seq("event_type", "hour"))
+      .filter(abs(col("vd").cast("double") - col("mean")) >
+        col("sd") * nSigma)
 
   /** Tumbling (or, with `slide`, hopping) window counts with a watermark:
     * the canonical streaming agg. Late rows beyond `lateness` are dropped;

@@ -34,6 +34,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("streaming anomaly gate == q92's batch flags, row-exact per " +
+      "(type, hour) (sf0.01)") {
+    import org.apache.spark.sql.types.DecimalType
+    // publish the stats table exactly as q92 computes it
+    val ev = Tables.load(spark, sf01, "events")
+      .withColumn("hour", hour(col("ts")).cast("int"))
+      .withColumn("vd", col("value").cast(DecimalType(18, 2)))
+    val stats = ev.groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("vd")).as("s1"),
+        sum(col("vd") * col("vd")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("sd", sqrt((col("s2").cast("double") -
+        col("s1").cast("double") * col("s1").cast("double") / col("n"))
+        / col("n")))
+      .select("event_type", "hour", "mean", "sd")
+    val flagged = StreamOps.anomalyFlags(
+      StreamOps.eventStream(spark, sf01), stats)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("anom").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("anom").groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = ev.join(broadcast(stats), Seq("event_type", "hour"))
+      .filter(abs(col("vd").cast("double") - col("mean")) >
+        col("sd") * 2)
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty && got === batch)
+  }
+
   test("streaming sliding windows == batch sliding windows (sf0.01)") {
     val agg = StreamOps.windowedCounts(StreamOps.replayStream(spark, sf01),
       windowLen = "10 minutes", slide = Some("5 minutes"))
