@@ -311,6 +311,22 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // RAG retrieval capstone: the corpus chunked into overlapping
+    // passages (t22's exact integer windows), then BM25-ranked against
+    // the query terms — retrieval at PASSAGE granularity, the context-
+    // assembly shape a RAG pipeline runs. Passage ids are synthesized as
+    // doc_id·1000 + passage_idx so provenance survives the ranking.
+    // Composes two certified chains; one oracle certifies the whole.
+    "t51_passage_retrieval" -> { (s, dir) =>
+      val passages = TextAnalysis
+        .passageChunks(t(s, dir, "documents"), window = 16, stride = 12)
+        .select((col("doc_id") * 1000 + col("passage_idx")).as("doc_id"),
+          col("passage").as("text"))
+      TextAnalysis.bm25(passages,
+          Seq("join", "vector", "spark", "customer"))
+        .orderBy(col("rank"))
+    },
+
     // Interval stitching: each event opens a 300-second activity
     // window; overlapping windows merge into maximal islands per user
     // (running-max boundary test — the linear gaps-and-islands
@@ -1308,6 +1324,40 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // t22's passage chain feeding t20's BM25 chain, token-for-token.
+    "t51_passage_retrieval" -> raw"""
+      WITH wt0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+                   FROM documents),
+      p0 AS (SELECT doc_id, w, len(w) AS n,
+          greatest(0, (len(w) - 16 + 11) // 12) AS np FROM wt0),
+      pa AS (SELECT doc_id * 1000 + t.i AS doc_id,
+          array_to_string(w[t.i*12+1 : t.i*12+16], ' ') AS text
+        FROM p0, unnest(generate_series(0, np)) AS t(i)),
+      tok AS (SELECT doc_id,
+          unnest(string_split_regex(text, '\s+')) AS term FROM pa),
+      dl AS (SELECT doc_id,
+          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS dl
+        FROM pa),
+      st AS (SELECT count(*) AS n_docs,
+          CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      qt AS (SELECT * FROM tok
+             WHERE term IN ('join', 'vector', 'spark', 'customer')),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt
+              GROUP BY 1),
+      sc AS (SELECT tf.doc_id, CAST(round(
+          ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * (1.2 + 1.0))
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+          AS DECIMAL(18,6)) AS ts
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), st),
+      agg AS (SELECT doc_id, count(*) AS n_terms,
+          CAST(sum(ts) AS DOUBLE) AS score FROM sc GROUP BY doc_id),
+      r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+          AS "rank" FROM agg)
+      SELECT doc_id, n_terms, score, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 10 ORDER BY "rank"""",
 
     "q96_interval_merge" -> """
       WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS s_us,
