@@ -311,6 +311,81 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Media QA capstone: the magic-byte dispatch (m16) crossed with the
+    // corrupt-scan rules (m14) and the nibble-entropy profile (m15) —
+    // per detected format: volume, corrupt rate, mean entropy. The
+    // triage report a multimodal ingest publishes per batch; three
+    // certified fragments, one composed oracle.
+    "m19_media_qa" -> { (s, dir) =>
+      import s.implicits._
+      val sig = Seq(
+        ("73", "fmt_s"), ("74", "fmt_t"), ("63", "fmt_c"),
+        ("61", "fmt_a"), ("66", "fmt_f"), ("76", "fmt_v"),
+        ("6B", "fmt_k"), ("62", "fmt_b")).toDF("magic", "fmt")
+      val base = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      val flags = base
+        .withColumn("magic", upper(substring(hex(col("payload")), 1, 2)))
+        .join(broadcast(sig), Seq("magic"), "left")
+        .withColumn("media_format", coalesce(col("fmt"), lit("unknown")))
+        .withColumn("truncated", length(col("payload")) < 32)
+        .withColumn("bad_magic",
+          conv(substring(hex(col("payload")), 1, 2), 16, 10).cast("int")
+            % 16 === 0)
+        .select(col("doc_id"), col("media_format"), col("truncated"),
+          col("bad_magic"))
+      val ent = Multimodal.payloadNibbleEntropy(base)
+        .select(col("doc_id"),
+          floor(col("nibble_entropy") * 1000000 + 0.5).cast("long")
+            .as("em"))
+      flags.join(ent, "doc_id")
+        .groupBy(col("media_format"))
+        .agg(count(lit(1)).as("n_payloads"),
+          count(when(col("truncated") || col("bad_magic"), 1))
+            .as("n_corrupt"),
+          (floor(count(when(col("truncated") || col("bad_magic"), 1))
+            .cast("double") * 1000000 / count(lit(1)) + 0.5).cast("long")
+            / lit(1000000.0)).as("corrupt_rate"),
+          (floor(sum(col("em")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long") / lit(1000000.0)).as("mean_entropy"))
+        .orderBy(col("media_format"))
+    },
+
+    // Community-quality audit: Newman modularity computed over the LPA
+    // communities themselves (g03's labels × g09's formula) — does the
+    // plurality partition actually concentrate edges, or did it shred a
+    // real structure? Positive q_contrib per community = real cluster.
+    "g17_community_modularity" -> { (s, dir) =>
+      val e = Dedup.minhashPairs(t(s, dir, "documents"))
+        .select(col("a"), col("b"))
+      val labels = Graph.labelPropagation(
+          e.select(col("a").as("src"), col("b").as("dst")),
+          iterations = 3)
+        .select(col("id"), col("community"))
+      val tot = e.agg(count(lit(1)).as("m"))
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .join(labels, "id")
+        .groupBy(col("community"))
+        .agg(sum(col("deg")).as("d_sum"), count(lit(1)).as("n_nodes"))
+      val within = e
+        .join(labels.select(col("id").as("a"),
+          col("community").as("ca")), "a")
+        .join(labels.select(col("id").as("b"),
+          col("community").as("cb")), "b")
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community"))
+        .agg(count(lit(1)).as("e_within"))
+      val dd = col("d_sum").cast("double") / (col("m") * 2).cast("double")
+      deg.join(within, Seq("community"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("community"), col("n_nodes"), col("d_sum"),
+          coalesce(col("e_within"), lit(0L)).as("e_within"), col("m"),
+          round(coalesce(col("e_within"), lit(0L)).cast("double") /
+            col("m") - dd * dd, 6).as("q_contrib"))
+        .orderBy(col("community"))
+    },
+
     // RAG retrieval capstone: the corpus chunked into overlapping
     // passages (t22's exact integer windows), then BM25-ranked against
     // the query terms — retrieval at PASSAGE granularity, the context-
@@ -1324,6 +1399,91 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // m16's dispatch + m14's corrupt rules + m15's entropy, one report.
+    "m19_media_qa" -> """
+      WITH sig(magic, fmt) AS (VALUES
+        ('73', 'fmt_s'), ('74', 'fmt_t'), ('63', 'fmt_c'),
+        ('61', 'fmt_a'), ('66', 'fmt_f'), ('76', 'fmt_v'),
+        ('6B', 'fmt_k'), ('62', 'fmt_b')),
+      p AS (SELECT doc_id, encode(text) AS payload FROM documents),
+      fl AS (SELECT doc_id, coalesce(fmt, 'unknown') AS media_format,
+          octet_length(payload) < 32 AS truncated,
+          ('0x' || substr(hex(payload), 1, 2))::INT % 16 = 0 AS bad_magic
+        FROM p LEFT JOIN sig
+          ON upper(substr(hex(payload), 1, 2)) = sig.magic),
+      hx AS (SELECT doc_id, hex(payload) AS hx FROM p),
+      c AS (SELECT doc_id, length(hx) AS n,
+          list_transform(['0','1','2','3','4','5','6','7','8','9',
+            'A','B','C','D','E','F'],
+            s -> length(hx) - length(replace(hx, s, ''))) AS cnt
+        FROM hx),
+      en AS (SELECT doc_id, CAST(floor(round(-list_reduce(
+          list_prepend(0.0, list_transform(cnt,
+            c -> CASE WHEN c > 0 THEN (CAST(c AS DOUBLE) / n) *
+              ln(CAST(c AS DOUBLE) / n) ELSE 0.0 END)),
+          (a, b) -> a + b), 6) * 1000000 + 0.5) AS BIGINT) AS em
+        FROM c),
+      g AS (SELECT media_format,
+          count(*) AS n_payloads,
+          count(*) FILTER (WHERE truncated OR bad_magic) AS n_corrupt,
+          CAST(sum(em) AS BIGINT) AS sem
+        FROM fl JOIN en USING (doc_id) GROUP BY 1)
+      SELECT media_format, n_payloads, n_corrupt,
+        CAST(floor(CAST(n_corrupt AS DOUBLE) * 1000000 / n_payloads
+          + 0.5) AS BIGINT) / 1000000.0 AS corrupt_rate,
+        CAST(floor(CAST(sem AS DOUBLE) / n_payloads + 0.5) AS BIGINT)
+          / 1000000.0 AS mean_entropy
+      FROM g ORDER BY media_format""",
+
+    // g03's LPA chain labeling g09's modularity formula.
+    "g17_community_modularity" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT a AS src, b AS dst FROM filt WHERE a <> b
+          UNION ALL SELECT b AS src, a AS dst FROM filt WHERE a <> b)),
+      n AS (SELECT DISTINCT src AS id FROM e),
+      l0 AS (SELECT id, id AS lbl FROM n),
+      c1 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1, 2),
+      p1 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c1)
+        WHERE rn = 1),
+      l1 AS (SELECT n.id, coalesce(p1.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p1 ON p1.src = n.id),
+      c2 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1, 2),
+      p2 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c2)
+        WHERE rn = 1),
+      l2 AS (SELECT n.id, coalesce(p2.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p2 ON p2.src = n.id),
+      c3 AS (SELECT e.src, l.lbl, count(*) AS cnt
+             FROM e JOIN l2 l ON l.id = e.dst GROUP BY 1, 2),
+      p3 AS (SELECT src, lbl FROM (SELECT src, lbl, row_number()
+          OVER (PARTITION BY src ORDER BY cnt DESC, lbl) AS rn FROM c3)
+        WHERE rn = 1),
+      l3 AS (SELECT n.id, coalesce(p3.lbl, n.id) AS lbl
+             FROM n LEFT JOIN p3 ON p3.src = n.id),
+      tot AS (SELECT count(*) AS m FROM filt),
+      dg AS (SELECT doc_id, count(*) AS deg FROM (
+          SELECT a AS doc_id FROM filt
+          UNION ALL SELECT b FROM filt) GROUP BY 1),
+      ds AS (SELECT l3.lbl AS community, CAST(sum(deg) AS BIGINT)
+          AS d_sum, count(*) AS n_nodes
+        FROM dg JOIN l3 ON l3.id = dg.doc_id GROUP BY 1),
+      wi AS (SELECT la.lbl AS community, count(*) AS e_within
+        FROM filt JOIN l3 la ON la.id = filt.a
+                  JOIN l3 lb ON lb.id = filt.b
+        WHERE la.lbl = lb.lbl GROUP BY 1)
+      SELECT ds.community, n_nodes, d_sum,
+        coalesce(e_within, 0) AS e_within, m,
+        round(CAST(coalesce(e_within, 0) AS DOUBLE) / m -
+          (CAST(d_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)) *
+          (CAST(d_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)), 6) AS q_contrib
+      FROM ds LEFT JOIN wi USING (community), tot
+      ORDER BY community""",
 
     // t22's passage chain feeding t20's BM25 chain, token-for-token.
     "t51_passage_retrieval" -> raw"""
