@@ -311,6 +311,27 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Recall of the COMPRESSED search path: the certified IVF-PQ chain
+    // (s11) scored against exact cosine truth, per label — quantifies
+    // what the 8-byte codes + probe restriction cost in recall, the
+    // number that justifies (or vetoes) deploying the compressed index.
+    "s37_pq_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.annRecall(Similarity.bruteForceTopK(e, q),
+          Similarity.ivfPqSearch(e, q))
+        .join(e.select(col("vec_id").as("query_id"), col("label")),
+          "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(col("n_hits")).as("n_hits"),
+          sum(col("n_truth")).as("n_truth"))
+        .withColumn("recall",
+          floor(col("n_hits").cast("double") * 1000000 /
+            col("n_truth") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("label"))
+    },
+
     // Media QA capstone: the magic-byte dispatch (m16) crossed with the
     // corrupt-scan rules (m14) and the nibble-entropy profile (m15) —
     // per detected format: volume, corrupt rate, mean entropy. The
@@ -1399,6 +1420,64 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // PqCodesCte + s11's ADC search chain vs the exact cosine truth.
+    "s37_pq_recall" -> (NorthStar.PqCodesCte + raw""",
+      ivfs AS (SELECT e.vec_id, cbv.code AS centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, cbv.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, cbv),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM ivfs) WHERE rn = 1),
+      qp AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS pr FROM ivfs
+          WHERE vec_id % 100 = 0) WHERE pr <= 2),
+      cand AS (SELECT qp.query_id, a.vec_id AS neighbor_id
+        FROM qp JOIN a ON a.cell = qp.cell WHERE a.vec_id != qp.query_id),
+      qe AS (SELECT vec_id AS query_id, m, sv FROM ve
+             WHERE vec_id % 100 = 0),
+      dt AS (SELECT qe.query_id, cb.m, cb.code,
+          round(list_reduce(list_transform(list_zip(qe.sv, cb.sv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS pd
+        FROM qe JOIN cb USING (m)),
+      adc AS (SELECT x.query_id, c.vec_id AS neighbor_id,
+          CAST(sum(CAST(d.pd AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS s
+        FROM cand x JOIN codes c ON c.vec_id = x.neighbor_id
+             JOIN dt d ON d.query_id = x.query_id AND d.m = c.m
+                      AND d.code = c.code
+        GROUP BY 1, 2),
+      apx AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+            row_number() OVER (PARTITION BY query_id
+              ORDER BY CAST(s AS DOUBLE), neighbor_id) AS rk FROM adc)
+        WHERE rk <= 5),
+      nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+             FROM e),
+      qn AS (SELECT * FROM nn WHERE vec_id % 100 = 0),
+      bs2 AS (SELECT qn.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, c.v) / (qn.nrm * c.nrm), 6)
+            AS cosine
+        FROM qn, nn c WHERE c.vec_id != qn.vec_id),
+      truth2 AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM bs2)
+        WHERE rk <= 5),
+      sc2 AS (SELECT t.query_id, count(*) AS n_truth,
+          count(ap.neighbor_id) AS n_hits
+        FROM truth2 t LEFT JOIN apx ap
+          ON ap.query_id = t.query_id AND ap.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id)
+      SELECT label, count(*) AS n_queries,
+        CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        CAST(sum(n_truth) AS BIGINT) AS n_truth,
+        CAST(floor(CAST(sum(n_hits) AS DOUBLE) * 1000000 /
+          CAST(sum(n_truth) AS BIGINT) + 0.5) AS BIGINT) / 1000000.0
+          AS recall
+      FROM sc2 JOIN (SELECT vec_id, label FROM embeddings) lb
+        ON lb.vec_id = sc2.query_id
+      GROUP BY label ORDER BY label"""),
 
     // m16's dispatch + m14's corrupt rules + m15's entropy, one report.
     "m19_media_qa" -> """
