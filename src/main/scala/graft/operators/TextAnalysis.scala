@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash._
@@ -1129,5 +1130,71 @@ object TextAnalysis {
         (col("indent_lines") * 5 >= col("n_lines")) ||
         (col("brace_lines") * 5 >= col("n_lines")) ||
         (col("n_symbols") * 50 >= col("n_chars") && col("kw_hits") >= 1))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020): each token is masked
+    * by a deterministic content hash (md5 of "doc_id:pos" mod 100 <
+    * maskPct), consecutive masked tokens collapse into one
+    * `<extra_id_k>` sentinel in the corrupted sequence, and the target
+    * sequence lists each sentinel followed by the tokens it replaced —
+    * the denoising-objective data prep, with zero RNG so every rerun
+    * (and the oracle) masks identically.
+    *
+    * Output per doc: (idCol, n_tokens, n_masked, n_spans, masked_md5,
+    * targets_md5) — both sequences certified by md5 of the exact rebuilt
+    * string (the lineDedup discipline).
+    *
+    * Scale shape: one posexplode, then windows and aggregations all
+    * keyed on the doc id — one shuffle, reused across the stages;
+    * per-doc state bounded by document length.
+    */
+  def spanCorruption(docs: DataFrame, maskPct: Int = 15,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, s"maskPct: $maskPct")
+    val toks = docs.select(col(idCol),
+      posexplode(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+        .as(Seq("pos", "tok")))
+    val marked = toks.withColumn("msk",
+      md5Long(concat(col(idCol), lit(":"), col("pos"))) % 100 < maskPct)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val maskedRows = marked.filter(col("msk"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+    val runs = maskedRows.groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("run_start"),
+        count(lit(1)).as("run_len"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("span_text"))
+    val runsK = runs.withColumn("k",
+      row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("run_start"))) - 1)
+    val annotated = marked
+      .join(maskedRows.select(col(idCol), col("pos"), col("grp")),
+        Seq(idCol, "pos"), "left")
+      .join(runsK.select(col(idCol), col("grp"), col("k"),
+        col("run_start")), Seq(idCol, "grp"), "left")
+      .withColumn("token_out",
+        when(!col("msk"), col("tok"))
+          .when(col("pos") === col("run_start"),
+            concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))))
+    val perDoc = annotated.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("msk"), 1)).as("n_masked"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("token_out").isNotNull,
+            struct(col("pos"), col("token_out"))))),
+          s => s.getField("token_out")))).as("masked_md5"))
+    val targets = runsK.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("k"),
+            concat(lit("<extra_id_"), col("k").cast("string"), lit("> "),
+              col("span_text")).as("t")))),
+          s => s.getField("t")))).as("targets_md5"))
+    perDoc.join(targets, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        col("masked_md5"),
+        coalesce(col("targets_md5"), md5(lit(""))).as("targets_md5"))
   }
 }

@@ -311,6 +311,14 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // T5-style span corruption: deterministic hash-masked spans collapse
+    // to <extra_id_k> sentinels; the corrupted sequence AND the target
+    // sequence are certified by md5 of the exact rebuilt strings.
+    "t52_span_corruption" -> { (s, dir) =>
+      TextAnalysis.spanCorruption(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Recall of the COMPRESSED search path: the certified IVF-PQ chain
     // (s11) scored against exact cosine truth, per label — quantifies
     // what the 8-byte codes + probe restriction cost in recall, the
@@ -1420,6 +1428,44 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "t52_span_corruption" -> raw"""
+      WITH wt AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        FROM documents),
+      tk AS (SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok
+             FROM wt, unnest(generate_series(1, len(w))) AS t(i)),
+      mk AS (SELECT *, ('0x' || substr(md5(doc_id || ':' || pos), 1, 15))
+          ::BIGINT % 100 < 15 AS msk FROM tk),
+      mr AS (SELECT doc_id, pos, tok, pos - row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM mk WHERE msk),
+      rk AS (SELECT doc_id, grp, min(pos) AS run_start,
+          count(*) AS run_len,
+          string_agg(tok, ' ' ORDER BY pos) AS span_text
+        FROM mr GROUP BY 1, 2),
+      rk2 AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY run_start) - 1 AS k FROM rk),
+      ann AS (SELECT mk.doc_id, mk.pos, mk.msk,
+          CASE WHEN NOT mk.msk THEN mk.tok
+               WHEN mk.pos = rk2.run_start
+                 THEN '<extra_id_' || rk2.k || '>' END AS token_out
+        FROM mk LEFT JOIN mr ON mr.doc_id = mk.doc_id AND mr.pos = mk.pos
+                LEFT JOIN rk2 ON rk2.doc_id = mk.doc_id
+                             AND rk2.grp = mr.grp),
+      a1 AS (SELECT doc_id, count(*) AS n_tokens,
+          count(*) FILTER (WHERE msk) AS n_masked,
+          md5(string_agg(token_out, ' ' ORDER BY pos)) AS masked_md5
+        FROM ann GROUP BY 1),
+      a2 AS (SELECT doc_id, count(*) AS n_spans,
+          md5(string_agg('<extra_id_' || k || '> ' || span_text,
+            ' ' ORDER BY k)) AS targets_md5
+        FROM rk2 GROUP BY 1)
+      SELECT a1.doc_id, n_tokens, n_masked,
+        coalesce(n_spans, 0) AS n_spans, masked_md5,
+        coalesce(targets_md5, md5('')) AS targets_md5
+      FROM a1 LEFT JOIN a2 ON a2.doc_id = a1.doc_id
+      ORDER BY a1.doc_id""",
 
     // PqCodesCte + s11's ADC search chain vs the exact cosine truth.
     "s37_pq_recall" -> (NorthStar.PqCodesCte + raw""",

@@ -719,4 +719,40 @@ class TextAnalysisSpec extends SparkSpec {
         s"doc ${row.getAs[Long]("doc_id")}")
     }
   }
+
+  test("span corruption: maskPct=0 is the identity (masked == original " +
+      "token stream, zero spans); maskPct=100 collapses each doc to one " +
+      "sentinel; sentinel/target structure is consistent and " +
+      "partitioning-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val zero = TextAnalysis.spanCorruption(docs, maskPct = 0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val origMd5 = docs.select(col("doc_id"),
+        md5(concat_ws(" ", filter(split(col("text"), "\\s+"),
+          x => x =!= ""))).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    zero.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_masked") === 0L)
+      assert(r.getAs[Long]("n_spans") === 0L)
+      assert(r.getAs[String]("masked_md5") === origMd5(id))
+    }
+    val full = TextAnalysis.spanCorruption(docs, maskPct = 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val sentinelMd5 = spark.sql("SELECT md5('<extra_id_0>')")
+      .collect()(0).getString(0)
+    full.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_masked") === r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_spans") === 1L)
+      assert(r.getAs[String]("masked_md5") === sentinelMd5)
+    }
+    // default pct: deterministic under repartitioning
+    val big = Tables.load(spark, sf, "documents")
+    def run(p: Int) = TextAnalysis.spanCorruption(big.repartition(p))
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getString(5)))
+      .toSeq.sorted
+    assert(run(3) === run(11))
+  }
 }
