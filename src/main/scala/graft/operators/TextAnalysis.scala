@@ -1132,6 +1132,39 @@ object TextAnalysis {
         (col("n_symbols") * 50 >= col("n_chars") && col("kw_hits") >= 1))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022): the token
+    * stream splits at two hash-deterministic cut points into
+    * prefix/middle/suffix, re-emitted in PSM order
+    * (`<PRE> p <SUF> s <MID> m`) — the code-model objective's data prep.
+    * Cuts derive from md5("doc_id"/"2:doc_id") so reruns and the oracle
+    * agree exactly; the rendered sequence is md5-certified. Map-only:
+    * array slicing per row, no shuffle at all.
+    * Output: (idCol, n_tokens, cut1, cut2, fim_md5).
+    */
+  def fimTransform(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    docs.select(col(idCol), w.as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      // cut1 in [0, n], cut2 in [cut1, n] — both ends inclusive so empty
+      // prefix/middle/suffix all occur
+      .withColumn("c1", md5Long(concat(lit("1:"), col(idCol))) %
+        (col("n") + 1))
+      .withColumn("c2", col("c1") +
+        md5Long(concat(lit("2:"), col(idCol))) % (col("n") - col("c1") + 1))
+      .select(col(idCol), col("n").as("n_tokens"),
+        col("c1").as("cut1"), col("c2").as("cut2"),
+        md5(concat_ws(" ",
+          concat(array(lit("<PRE>")),
+            slice(col("w"), lit(1), col("c1").cast("int")),
+            array(lit("<SUF>")),
+            slice(col("w"), (col("c2") + 1).cast("int"),
+              (col("n") - col("c2")).cast("int")),
+            array(lit("<MID>")),
+            slice(col("w"), (col("c1") + 1).cast("int"),
+              (col("c2") - col("c1")).cast("int"))))).as("fim_md5"))
+  }
+
   /** T5-style span corruption (Raffel et al. 2020): each token is masked
     * by a deterministic content hash (md5 of "doc_id:pos" mod 100 <
     * maskPct), consecutive masked tokens collapse into one

@@ -311,6 +311,13 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Fill-in-the-middle: hash-deterministic PSM re-ordering, map-only,
+    // rendered sequence md5-certified.
+    "t53_fim_transform" -> { (s, dir) =>
+      TextAnalysis.fimTransform(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // T5-style span corruption: deterministic hash-masked spans collapse
     // to <extra_id_k> sentinels; the corrupted sequence AND the target
     // sequence are certified by md5 of the exact rebuilt strings.
@@ -1428,6 +1435,26 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "t53_fim_transform" -> raw"""
+      WITH wt AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x != '') AS w
+        FROM documents),
+      c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+          ('0x' || substr(md5('1:' || doc_id), 1, 15))::BIGINT
+            % (CAST(len(w) AS BIGINT) + 1) AS c1
+        FROM wt),
+      c2 AS (SELECT *, c1 +
+          ('0x' || substr(md5('2:' || doc_id), 1, 15))::BIGINT
+            % (n - c1 + 1) AS c2
+        FROM c)
+      SELECT doc_id, n AS n_tokens, c1 AS cut1, c2 AS cut2,
+        md5(array_to_string(
+          ['<PRE>'] || w[1 : CAST(c1 AS INT)] ||
+          ['<SUF>'] || w[CAST(c2 + 1 AS INT) : CAST(n AS INT)] ||
+          ['<MID>'] || w[CAST(c1 + 1 AS INT) : CAST(c2 AS INT)],
+          ' ')) AS fim_md5
+      FROM c2 ORDER BY doc_id""",
 
     "t52_span_corruption" -> raw"""
       WITH wt AS (SELECT doc_id,
