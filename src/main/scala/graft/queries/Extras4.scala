@@ -311,6 +311,51 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // CUPED variance reduction (Deng et al. 2013): the experimentation
+    // operator — per-user pre-period spend as the covariate, theta =
+    // cov(pre, post)/var(pre) from exact decimal moments, and each
+    // variant's adjusted mean post - theta·(pre - mean_pre). Variants
+    // are hash-deterministic (user_id % 2). Every statistic is one
+    // closed double formula over exact sums; outputs micro-floored.
+    // User table is dimension-sized; events shuffle once on user_id.
+    "q98_cuped" -> { (s, dir) =>
+      val split = lit("2024-01-16").cast("timestamp_ntz")
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts") < split,
+            col("value").cast(dec2))), lit(0).cast(dec2)).as("pre"),
+          coalesce(sum(when(col("ts") >= split,
+            col("value").cast(dec2))), lit(0).cast(dec2)).as("post"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val mom = per.agg(count(lit(1)).as("n"),
+        sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("pre") * col("post")).as("sxy"))
+      val th = mom.select(col("n"),
+        ((col("sxy").cast("double") - col("sx").cast("double") *
+            col("sy").cast("double") / col("n")) /
+          (col("sxx").cast("double") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n"))).as("theta"),
+        (col("sx").cast("double") / col("n")).as("mean_pre"))
+      per.crossJoin(broadcast(th))
+        // per-user adjusted value integerized to micro-units BEFORE the
+        // variant sum — a raw double sum would be order-dependent
+        .withColumn("adjm", floor((col("post").cast("double") -
+          col("theta") * (col("pre").cast("double") - col("mean_pre"))) *
+          1000000 + 0.5).cast("long"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          (floor(sum(col("post")).cast("double") * 1000000 /
+            count(lit(1)) + 0.5).cast("long") / lit(1000000.0))
+            .as("raw_mean"),
+          (floor(sum(col("adjm")).cast("double") / count(lit(1)) + 0.5)
+            .cast("long") / lit(1000000.0)).as("adjusted_mean"),
+          (floor(max(col("theta")) * 1000000 + 0.5).cast("long") /
+            lit(1000000.0)).as("theta"))
+        .orderBy(col("variant"))
+    },
+
     // Fill-in-the-middle: hash-deterministic PSM re-ordering, map-only,
     // rendered sequence md5-certified.
     "t53_fim_transform" -> { (s, dir) =>
@@ -1435,6 +1480,38 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "q98_cuped" -> """
+      WITH per AS (SELECT user_id,
+          coalesce(sum(CAST(value AS DECIMAL(18,2)))
+            FILTER (WHERE ts < TIMESTAMP '2024-01-16'), 0) AS pre,
+          coalesce(sum(CAST(value AS DECIMAL(18,2)))
+            FILTER (WHERE ts >= TIMESTAMP '2024-01-16'), 0) AS post,
+          CAST(user_id % 2 AS INT) AS variant
+        FROM events GROUP BY 1),
+      mom AS (SELECT count(*) AS n,
+          sum(pre) AS sx, sum(post) AS sy,
+          sum(pre * pre) AS sxx, sum(pre * post) AS sxy FROM per),
+      th AS (SELECT n,
+          (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sy AS DOUBLE) / n) /
+          (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+            * CAST(sx AS DOUBLE) / n) AS theta,
+          CAST(sx AS DOUBLE) / n AS mean_pre FROM mom),
+      adj AS (SELECT variant, post,
+          CAST(floor((CAST(post AS DOUBLE) - theta *
+            (CAST(pre AS DOUBLE) - mean_pre)) * 1000000 + 0.5) AS BIGINT)
+            AS adjm,
+          theta
+        FROM per, th)
+      SELECT variant, count(*) AS n_users,
+        CAST(floor(CAST(sum(post) AS DOUBLE) * 1000000 / count(*) + 0.5)
+          AS BIGINT) / 1000000.0 AS raw_mean,
+        CAST(floor(CAST(sum(adjm) AS DOUBLE) / count(*) + 0.5)
+          AS BIGINT) / 1000000.0 AS adjusted_mean,
+        CAST(floor(max(theta) * 1000000 + 0.5) AS BIGINT) / 1000000.0
+          AS theta
+      FROM adj GROUP BY 1 ORDER BY 1""",
 
     "t53_fim_transform" -> raw"""
       WITH wt AS (SELECT doc_id,
