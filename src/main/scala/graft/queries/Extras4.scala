@@ -311,6 +311,33 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Contrastive-pair builder: every (text, embedding)-paired id (m13's
+    // integrity gates) gets its aligned positive plus ONE derangement
+    // negative — the partner at hash-offset rank (offset ∈ [1, n-1], so
+    // never itself). Zero RNG: the dataset regenerates identically on
+    // both engines and every rerun. Windows run over the paired-id
+    // dimension only.
+    "m20_contrastive_pairs" -> { (s, dir) =>
+      val p = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id").as("id"))
+      val n = p.agg(count(lit(1)).as("n"))
+      val ranked = p
+        .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
+        .crossJoin(broadcast(n))
+      val withNeg = ranked
+        .withColumn("off", lit(1) +
+          graft.functions.CrossHash.md5Long(
+            concat(lit("n:"), col("id"))) % (col("n") - 1))
+        .withColumn("neg_rank", (col("rn") + col("off")) % col("n"))
+      withNeg
+        .join(ranked.select(col("rn").as("neg_rank"),
+          col("id").as("neg_id")), "neg_rank")
+        .select(col("id").as("anchor_id"), col("id").as("pos_id"),
+          col("neg_id"))
+        .orderBy(col("anchor_id"))
+    },
+
     // CUPED variance reduction (Deng et al. 2013): the experimentation
     // operator — per-user pre-period spend as the covariate, theta =
     // cov(pre, post)/var(pre) from exact decimal moments, and each
@@ -1480,6 +1507,19 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "m20_contrastive_pairs" -> """
+      WITH p AS (SELECT doc_id AS id FROM documents
+        WHERE doc_id % 7 != 0 AND doc_id % 11 != 0),
+      nn AS (SELECT count(*) AS n FROM p),
+      r AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn, n
+            FROM p, nn),
+      w AS (SELECT *, (rn + 1 +
+          ('0x' || substr(md5('n:' || id), 1, 15))::BIGINT % (n - 1)) % n
+            AS neg_rank FROM r)
+      SELECT w.id AS anchor_id, w.id AS pos_id, r2.id AS neg_id
+      FROM w JOIN r r2 ON r2.rn = w.neg_rank
+      ORDER BY anchor_id""",
 
     "q98_cuped" -> """
       WITH per AS (SELECT user_id,
