@@ -311,6 +311,28 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // At-least-once → exactly-once reconciliation: the replay relation
+    // with every 10th offset delivered TWICE (the redelivery storm an
+    // at-least-once source produces), deduplicated by (partition,
+    // offset) keeping the first delivery — per partition: deliveries,
+    // unique records, duplicates dropped. The ledger a checkpointed sink
+    // maintains, expressed relationally.
+    "k15_duplicate_delivery" -> { (s, dir) =>
+      val r = KafkaSource.replay(t(s, dir, "events"))
+        .withColumn("attempt", lit(1))
+      val redelivered = r.filter(col("offset") % 10 === 0)
+        .withColumn("attempt", lit(2))
+      val all = r.unionByName(redelivered)
+      val w = Window.partitionBy(col("partition"), col("offset"))
+        .orderBy(col("attempt"))
+      all.withColumn("rn", row_number().over(w))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_deliveries"),
+          count(when(col("rn") === 1, 1)).as("n_unique"),
+          count(when(col("rn") > 1, 1)).as("n_dupes_dropped"))
+        .orderBy(col("partition"))
+    },
+
     // Contrastive-pair builder: every (text, embedding)-paired id (m13's
     // integrity gates) gets its aligned positive plus ONE derangement
     // negative — the partner at hash-offset rank (offset ∈ [1, n-1], so
@@ -1507,6 +1529,19 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "k15_duplicate_delivery" -> s"""
+      WITH r AS (SELECT *, 1 AS attempt FROM (${KafkaParity.replaySql})),
+      all_d AS (SELECT * FROM r
+        UNION ALL SELECT "topic", "partition", "offset", "timestamp",
+          "key", "value", "error", 2 AS attempt
+        FROM r WHERE "offset" % 10 = 0),
+      w AS (SELECT *, row_number() OVER (PARTITION BY "partition",
+          "offset" ORDER BY attempt) AS rn FROM all_d)
+      SELECT "partition", count(*) AS n_deliveries,
+        count(*) FILTER (WHERE rn = 1) AS n_unique,
+        count(*) FILTER (WHERE rn > 1) AS n_dupes_dropped
+      FROM w GROUP BY 1 ORDER BY 1""",
 
     "m20_contrastive_pairs" -> """
       WITH p AS (SELECT doc_id AS id FROM documents
