@@ -311,6 +311,31 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Recall-vs-nprobe tuning curve: the IVF search evaluated at nprobe
+    // ∈ {1, 2, 4} against the same exact truth — the one table that
+    // picks the operating point (each probe level multiplies scanned
+    // cells; s35 prices the cost side). Exact integer hit sums.
+    "s38_nprobe_sweep" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") % 100 === 0)
+      val truth = Similarity.bruteForceTopK(e, q)
+      val sweeps = Seq(1, 2, 4).map { np =>
+        Similarity.annRecall(truth,
+            Similarity.ivfSearch(e, q, nprobe = np))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_hits")).as("n_hits"),
+            sum(col("n_truth")).as("n_truth"))
+          .withColumn("nprobe", lit(np))
+      }
+      sweeps.reduce(_ unionByName _)
+        .select(col("nprobe"), col("n_queries"), col("n_hits"),
+          col("n_truth"),
+          (floor(col("n_hits").cast("double") * 1000000 /
+            col("n_truth") + 0.5).cast("long") / lit(1000000.0))
+            .as("recall"))
+        .orderBy(col("nprobe"))
+    },
+
     // At-least-once → exactly-once reconciliation: the replay relation
     // with every 10th offset delivered TWICE (the redelivery storm an
     // at-least-once source produces), deduplicated by (partition,
@@ -1529,6 +1554,37 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "s38_nprobe_sweep" -> s"""
+      WITH ${NorthStar.AnnEvalCtes},
+      qpr AS (SELECT query_id, centroid_id AS cell, row_number() OVER (
+          PARTITION BY query_id ORDER BY d2, centroid_id) AS pr FROM qs),
+      lv AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(np)),
+      icx AS (SELECT lv.np, qpr.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6)
+            AS cosine
+        FROM lv JOIN qpr ON qpr.pr <= lv.np
+             JOIN a ON a.cell = qpr.cell
+             JOIN n cn ON cn.vec_id = a.vec_id
+             JOIN n qn ON qn.vec_id = qpr.query_id
+        WHERE cn.vec_id != qpr.query_id),
+      apx AS (SELECT np, query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY np, query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM icx)
+        WHERE rk <= 5),
+      fin AS (SELECT lv.np, t.query_id, count(*) AS n_truth,
+          count(ap.neighbor_id) AS n_hits
+        FROM lv CROSS JOIN truth t LEFT JOIN apx ap
+          ON ap.np = lv.np AND ap.query_id = t.query_id
+          AND ap.neighbor_id = t.neighbor_id
+        GROUP BY 1, 2)
+      SELECT np AS nprobe, count(*) AS n_queries,
+        CAST(sum(n_hits) AS BIGINT) AS n_hits,
+        CAST(sum(n_truth) AS BIGINT) AS n_truth,
+        CAST(floor(CAST(sum(n_hits) AS DOUBLE) * 1000000 /
+          CAST(sum(n_truth) AS BIGINT) + 0.5) AS BIGINT) / 1000000.0
+          AS recall
+      FROM fin GROUP BY 1 ORDER BY 1""",
 
     "k15_duplicate_delivery" -> s"""
       WITH r AS (SELECT *, 1 AS attempt FROM (${KafkaParity.replaySql})),
