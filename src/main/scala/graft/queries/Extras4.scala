@@ -311,6 +311,35 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Pipeline attrition funnel: the d12 capstone chain re-run with
+    // per-source stage counts — where does each source's mass die
+    // (quality gate / exact dedup / near-dedup)? The report that
+    // debugs a mixture before anyone trains on it.
+    "d41_pipeline_funnel" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val kept = TextAnalysis.withRepetitionStats(d)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      val red = TextAnalysis.withRedaction(kept)
+        .select(col("doc_id"), col("source"), col("clean_text"),
+          col("n_chars"))
+      val ex = Dedup.dropExact(red, "doc_id", "clean_text")
+      val pairs = Dedup.minhashPairs(ex, textCol = "clean_text")
+        .select(col("a"), col("b"))
+      val fin = Dedup.dropNearDuplicates(ex, pairs)
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.groupBy(col("source")).agg(count(lit(1)).as(name))
+      cnt(d, "n_input")
+        .join(cnt(kept, "n_after_gate"), Seq("source"), "left")
+        .join(cnt(ex, "n_after_exact"), Seq("source"), "left")
+        .join(cnt(fin, "n_after_near"), Seq("source"), "left")
+        .select(col("source"), col("n_input"),
+          coalesce(col("n_after_gate"), lit(0L)).as("n_after_gate"),
+          coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
+          coalesce(col("n_after_near"), lit(0L)).as("n_after_near"))
+        .orderBy(col("source"))
+    },
+
     // Recall-vs-nprobe tuning curve: the IVF search evaluated at nprobe
     // ∈ {1, 2, 4} against the same exact truth — the one table that
     // picks the operating point (each probe level multiplies scanned
@@ -1554,6 +1583,46 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // d12's stage CTEs with `source` carried through, counted per stage.
+    "d41_pipeline_funnel" -> (raw"""
+      WITH RECURSIVE
+      w0 AS (SELECT doc_id, source, text, n_chars,
+          string_split_regex(lower(text), '\s+') AS w FROM documents),
+      gate AS (SELECT doc_id, source, text, n_chars FROM w0
+        WHERE len(w) BETWEEN 5 AND 10000
+          AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.3
+          AND CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+              / len(w) >= 0.8),
+      red AS (SELECT doc_id, source, n_chars,
+          regexp_replace(regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS text
+        FROM gate),
+      ex AS (SELECT doc_id, source, n_chars, text FROM (
+          SELECT doc_id, source, n_chars, text, row_number()
+            OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM red)
+        WHERE rn = 1),
+      """ + s"""${NorthStar.minhashCtes("ex")},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (SELECT src, dst FROM edges
+        UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src),
+      dropped AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_id),
+      fin AS (SELECT * FROM ex
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+      i0 AS (SELECT source, count(*) AS n_input FROM documents GROUP BY 1),
+      g1 AS (SELECT source, count(*) AS n_after_gate FROM gate GROUP BY 1),
+      e1 AS (SELECT source, count(*) AS n_after_exact FROM ex GROUP BY 1),
+      f1 AS (SELECT source, count(*) AS n_after_near FROM fin GROUP BY 1)
+      SELECT i0.source, n_input,
+        coalesce(n_after_gate, 0) AS n_after_gate,
+        coalesce(n_after_exact, 0) AS n_after_exact,
+        coalesce(n_after_near, 0) AS n_after_near
+      FROM i0 LEFT JOIN g1 USING (source) LEFT JOIN e1 USING (source)
+        LEFT JOIN f1 USING (source)
+      ORDER BY i0.source"""),
 
     "s38_nprobe_sweep" -> s"""
       WITH ${NorthStar.AnnEvalCtes},

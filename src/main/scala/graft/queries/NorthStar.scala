@@ -1326,7 +1326,7 @@ object NorthStar {
       FROM tr, evl ORDER BY doc_id"""
 
   /** Full MinHash pipeline through candidate pairs (shared by d02/d08/d12). */
-  private def minhashCtes(src: String = "documents") = s"""${shinglesCte(src)},
+  private[queries] def minhashCtes(src: String = "documents") = s"""${shinglesCte(src)},
       hp AS (SELECT doc_id, list_transform(sh, s ->
           {'h1': ${h("s")},
            'h2r': ('0x' || substr(md5(s), 17, 15))::BIGINT >> 3}) AS hp
