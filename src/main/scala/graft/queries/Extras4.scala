@@ -311,6 +311,64 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // TPC-H Q5 shape (local supplier volume): revenue from orders where
+    // customer AND supplier sit in the same ASIA nation, one year —
+    // the 6-table join benchmark classic. Dimensions broadcast; the two
+    // fact tables shuffle once each on the join keys.
+    "q99_local_supplier_volume" -> { (s, dir) =>
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy(col("n_name"))
+        .agg(sum(drev(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q8 shape (market share): one nation's share of a region's
+    // PROMO-part revenue per order year — the ratio-of-conditional-sums
+    // pattern. Decimal sums; the share is the one closed double division
+    // micro-floored.
+    "q100_market_share" -> { (s, dir) =>
+      val vol = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .withColumn("o_year", year(col("o_orderdate")).cast("int"))
+        .withColumn("rev", drev(col("l_extendedprice"), col("l_discount")))
+      vol.groupBy(col("o_year"))
+        .agg(sum(col("rev")).as("total_rev"),
+          coalesce(sum(when(col("n_name") === "NATION_13", col("rev"))),
+            lit(0).cast(dec2)).as("nation_rev"))
+        .select(col("o_year"),
+          col("total_rev").cast("double").as("total_revenue"),
+          col("nation_rev").cast("double").as("nation_revenue"),
+          (floor(col("nation_rev").cast("double") * 1000000 /
+            col("total_rev").cast("double") + 0.5).cast("long") /
+            lit(1000000.0)).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
     // Pipeline attrition funnel: the d12 capstone chain re-run with
     // per-source stage counts — where does each source's mass die
     // (quality gate / exact dedup / near-dedup)? The report that
@@ -1583,6 +1641,47 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    "q99_local_supplier_volume" -> """
+      SELECT n_name,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_items
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+                   AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q100_market_share" -> """
+      WITH vol AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          n_name,
+          CAST(l_extendedprice AS DECIMAL(18,2)) *
+            (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      g AS (SELECT o_year, sum(rev) AS total_rev,
+          coalesce(sum(rev) FILTER (WHERE n_name = 'NATION_13'), 0)
+            AS nation_rev
+        FROM vol GROUP BY 1)
+      SELECT o_year, CAST(total_rev AS DOUBLE) AS total_revenue,
+        CAST(nation_rev AS DOUBLE) AS nation_revenue,
+        CAST(floor(CAST(nation_rev AS DOUBLE) * 1000000 /
+          CAST(total_rev AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0
+          AS mkt_share
+      FROM g ORDER BY o_year""",
 
     // d12's stage CTEs with `source` carried through, counted per stage.
     "d41_pipeline_funnel" -> (raw"""
