@@ -445,6 +445,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("WindowExec") && !p.contains("(\\d+) Window"), p)
   }
 
+  test("TPC-H Q5 shape: every dimension join broadcasts; only the two " +
+      "fact tables shuffle") {
+    val df = SparkEntry.queries("q99_local_supplier_volume")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // customer⋈orders and orders⋈lineitem may sort-merge or shuffle-hash;
+    // nation/region/supplier must NOT appear on a shuffled join side
+    val smj = """SortMergeJoin""".r.findAllIn(p).size
+    assert(smj <= 2, s"dimension join fell off broadcast:\n$p")
+  }
+
   test("personalized pagerank keeps the pageRank plan discipline: the " +
       "seed flag rides the node-sized rank join, no extra edge shuffle") {
     import spark.implicits._
