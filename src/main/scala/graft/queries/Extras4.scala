@@ -311,6 +311,37 @@ object Extras4 {
         .orderBy(col("m"))
     },
 
+    // Quality-vs-duplication calibration: t03 quality deciles (exact
+    // integer rank buckets, never ntile's engine-specific splits)
+    // crossed with near-dup cluster membership — the diagnostic that
+    // tells you whether the quality score and the dedup signal agree
+    // before gating on either.
+    "t54_quality_dup_calibration" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val q = TextAnalysis.withQuality(d)
+        .select(col("doc_id"), col("quality_score"))
+      val n = q.agg(count(lit(1)).as("n"))
+      val ranked = q.withColumn("rk",
+          row_number().over(Window.orderBy(col("quality_score"),
+            col("doc_id"))) - 1)
+        .crossJoin(broadcast(n))
+        // floor, not a bare int cast: the engines disagree on
+        // double→int rounding (truncate vs round-to-nearest)
+        .withColumn("decile",
+          floor(col("rk") * 10 / col("n")).cast("int"))
+      val inCluster = Dedup.minhashPairs(d)
+        .select(explode(array(col("a"), col("b"))).as("doc_id"))
+        .distinct().withColumn("dup", lit(1))
+      ranked.join(inCluster, Seq("doc_id"), "left")
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("dup")).as("n_duplicated"))
+        .withColumn("dup_rate",
+          floor(col("n_duplicated").cast("double") * 1000000 /
+            col("n_docs") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("decile"))
+    },
+
     // TPC-H Q5 shape (local supplier volume): revenue from orders where
     // customer AND supplier sit in the same ASIA nation, one year —
     // the 6-table join benchmark classic. Dimensions broadcast; the two
@@ -1641,6 +1672,35 @@ object Extras4 {
         max(d2) AS max_d2,
         count(DISTINCT code) AS n_codes_used
       FROM codes GROUP BY m ORDER BY m"""),
+
+    // d19's quality chain, integer decile buckets, pair-membership join.
+    "t54_quality_dup_calibration" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      qb AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+             FROM documents),
+      qm AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+          CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(w) AS stop_ratio,
+          CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_token_len
+        FROM qb),
+      qs AS (SELECT doc_id,
+          0.5 * (CAST(least(n_tokens, 200) AS DOUBLE) / 200.0)
+            + 0.3 * (1.0 - stop_ratio)
+            + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
+        FROM qm),
+      nn AS (SELECT count(*) AS n FROM qs),
+      rkd AS (SELECT doc_id, CAST(floor((row_number() OVER (
+            ORDER BY quality_score, doc_id) - 1) * 10 / n) AS INT)
+          AS decile
+        FROM qs, nn),
+      dup AS (SELECT DISTINCT doc_id FROM (
+          SELECT a AS doc_id FROM filt UNION ALL SELECT b FROM filt))
+      SELECT decile, count(*) AS n_docs,
+        count(dup.doc_id) AS n_duplicated,
+        CAST(floor(CAST(count(dup.doc_id) AS DOUBLE) * 1000000 /
+          count(*) + 0.5) AS BIGINT) / 1000000.0 AS dup_rate
+      FROM rkd LEFT JOIN dup ON dup.doc_id = rkd.doc_id
+      GROUP BY 1 ORDER BY 1""",
 
     "q99_local_supplier_volume" -> """
       SELECT n_name,
