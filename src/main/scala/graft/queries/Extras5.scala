@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators._
+
+/** Round-8 continuation: partitioning/layout tooling and late additions.
+  * Same oracle discipline as [[Extras4]].
+  */
+object Extras5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Equi-depth range-partition splits: the 7 cut points that divide
+    // the price distribution into 8 equal-count ranges — what a range
+    // partitioner / bucketing layout needs BEFORE writing a 100 TB
+    // sort. Computed exactly from the (distinct value → count)
+    // distribution: the cumulative window runs over distinct values,
+    // never the fact rows, and the rank test is an integer
+    // cross-compare (cum·8 ≥ i·total), no interpolation.
+    "q101_range_splits" -> { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(dec2).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = g.withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+      import s.implicits._
+      val idx = (1 to 7).toDF("split_idx")
+      cum.crossJoin(broadcast(idx))
+        .filter(col("cum") * 8 >= col("split_idx") * col("total"))
+        .groupBy(col("split_idx"))
+        .agg(min(col("v")).cast("double").as("split_value"))
+        .orderBy(col("split_idx"))
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    "q101_range_splits" -> """
+      WITH g AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+          count(*) AS c FROM lineitem GROUP BY 1),
+      cum AS (SELECT v, sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          sum(c) OVER () AS total
+        FROM g),
+      idx AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5), (6), (7))
+        AS t(split_idx))
+      SELECT split_idx, CAST(min(v) AS DOUBLE) AS split_value
+      FROM cum CROSS JOIN idx
+      WHERE cum * 8 >= split_idx * total
+      GROUP BY 1 ORDER BY 1""")
+}
