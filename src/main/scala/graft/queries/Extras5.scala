@@ -27,6 +27,28 @@ object Extras5 {
     // distribution: the cumulative window runs over distinct values,
     // never the fact rows, and the rank test is an integer
     // cross-compare (cum·8 ≥ i·total), no interpolation.
+    // Join-key skew scan: the pre-flight that decides whether a join
+    // needs salting (Skew.scala) — per hot key: frequency, share of the
+    // fact table, and the ratio to the uniform expectation. Exact
+    // integers; one key aggregation + a key-dimension-sized ranking.
+    "q102_skew_detector" -> { (s, dir) =>
+      val g = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+      val tot = g.agg(sum(col("n")).as("total"),
+        count(lit(1)).as("n_keys"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("o_custkey"))))
+        .filter(col("rk") <= 10)
+        .select(col("rk").as("rank"), col("o_custkey"), col("n"),
+          (floor(col("n").cast("double") * 1000000 / col("total") + 0.5)
+            .cast("long") / lit(1000000.0)).as("share"),
+          (floor(col("n").cast("double") * col("n_keys") * 1000000 /
+            col("total") + 0.5).cast("long") / lit(1000000.0))
+            .as("ratio_to_uniform"))
+        .orderBy(col("rank"))
+    },
+
     "q101_range_splits" -> { (s, dir) =>
       val g = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast(dec2).as("v"))
@@ -45,6 +67,19 @@ object Extras5 {
     })
 
   val oracles: Map[String, String] = Map(
+
+    "q102_skew_detector" -> """
+      WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+          count(*) AS n_keys FROM g),
+      r AS (SELECT *, row_number() OVER (ORDER BY n DESC, o_custkey)
+          AS rk FROM g, tot)
+      SELECT rk AS "rank", o_custkey, n,
+        CAST(floor(CAST(n AS DOUBLE) * 1000000 / total + 0.5) AS BIGINT)
+          / 1000000.0 AS share,
+        CAST(floor(CAST(n AS DOUBLE) * n_keys * 1000000 / total + 0.5)
+          AS BIGINT) / 1000000.0 AS ratio_to_uniform
+      FROM r WHERE rk <= 10 ORDER BY rk""",
 
     "q101_range_splits" -> """
       WITH g AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
