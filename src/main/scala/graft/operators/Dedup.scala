@@ -185,7 +185,10 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 16, bands: Int = 4,
-      minJaccardPct: Int = 50, maxBucket: Int = 200): DataFrame = {
+      minJaccardPct: Int = 50, maxBucket: Int = 200,
+      // observe() names must be unique per query; a plan composing
+      // several minhashPairs calls (e.g. a cap sweep) overrides this
+      capMetricName: String = "minhash_bands_cap"): DataFrame = {
     // Repartition before the (expensive, map-only) signature stage: a
     // single-file source otherwise pins all hashing onto one task. The
     // three downstream uses share one computation via ReuseExchange on
@@ -193,7 +196,7 @@ object Dedup {
     val sigs = minhashSignatures(
       df.repartition(col(idCol)), idCol, textCol, k)
     val bandedL = capBucket(minhashBands(sigs, k, bands),
-        Seq("band_idx", "band_val"), idCol, maxBucket, "minhash_bands_cap")
+        Seq("band_idx", "band_val"), idCol, maxBucket, capMetricName)
       .select(col(idCol).as("a"), col("band_idx"), col("band_val"))
     val bandedR = bandedL
       .select(col("a").as("b"), col("band_idx"), col("band_val"))

@@ -27,6 +27,24 @@ object Extras5 {
     // distribution: the cumulative window runs over distinct values,
     // never the fact rows, and the rank test is an integer
     // cross-compare (cum·8 ≥ i·total), no interpolation.
+    // Bucket-cap tuning curve: the LSH candidate and confirmed-pair
+    // counts at maxBucket ∈ {50, 100, 200} — the cap is the knob that
+    // bounds a hot boilerplate bucket's quadratic blowup, and this is
+    // the table that shows what recall it buys/costs BEFORE a 100 TB
+    // run commits to one. Three runs of the certified pair chain.
+    "d42_cap_sweep" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val rows = Seq(50, 100, 200).map { cap =>
+        Dedup.minhashPairs(d, maxBucket = cap,
+            capMetricName = s"minhash_bands_cap_$cap")
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("max_bucket", lit(cap))
+      }
+      rows.reduce(_ unionByName _)
+        .select(col("max_bucket"), col("n_pairs"))
+        .orderBy(col("max_bucket"))
+    },
+
     // Join-key skew scan: the pre-flight that decides whether a join
     // needs salting (Skew.scala) — per hot key: frequency, share of the
     // fact table, and the ratio to the uniform expectation. Exact
@@ -67,6 +85,43 @@ object Extras5 {
     })
 
   val oracles: Map[String, String] = Map(
+
+    // bands0/sig from the shared chain; three cap variants of the same
+    // candidate + confirm stages.
+    "d42_cap_sweep" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      b50 AS (SELECT doc_id, b, bv FROM (
+          SELECT doc_id, b, bv, row_number()
+            OVER (PARTITION BY b, bv ORDER BY doc_id) AS bp FROM bands0)
+        WHERE bp <= 50),
+      c50 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM b50 x JOIN b50 y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      p50 AS (SELECT count(*) AS n_pairs FROM c50
+        JOIN sig sa ON sa.doc_id = c50.a
+        JOIN sig sb ON sb.doc_id = c50.b
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT)
+          * 100 >= 800),
+      b100 AS (SELECT doc_id, b, bv FROM (
+          SELECT doc_id, b, bv, row_number()
+            OVER (PARTITION BY b, bv ORDER BY doc_id) AS bp FROM bands0)
+        WHERE bp <= 100),
+      c100 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM b100 x JOIN b100 y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      p100 AS (SELECT count(*) AS n_pairs FROM c100
+        JOIN sig sa ON sa.doc_id = c100.a
+        JOIN sig sb ON sb.doc_id = c100.b
+        WHERE CAST(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+          p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) AS INT)
+          * 100 >= 800),
+      p200 AS (SELECT count(*) AS n_pairs FROM pairs
+        WHERE n_eq * 100 >= 800)
+      SELECT 50 AS max_bucket, n_pairs FROM p50
+      UNION ALL SELECT 100, n_pairs FROM p100
+      UNION ALL SELECT 200, n_pairs FROM p200
+      ORDER BY 1""",
 
     "q102_skew_detector" -> """
       WITH g AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
