@@ -168,6 +168,28 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("bucket"), col("key"), col("n"))
 
+  /** Windowed approximate distinct entities per event type: the
+    * cardinality stream (unique users per window) via HLL++ partials
+    * merged through the streaming state store — constant state per
+    * (window, type) regardless of user volume, the 100 TB-day shape.
+    * The estimator is Spark's own on both the streaming and batch
+    * paths, so the batch twin is an exact-equality gate (same sketch,
+    * same merges up to merge order — asserted in StreamingSpec).
+    */
+  def windowedDistinctUsers(events: DataFrame,
+      timeCol: String = "ts", keyCol: String = "event_type",
+      entityCol: String = "user_id", windowLen: String = "1 day",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      // watermarks require TIMESTAMP; NTZ→LTZ is value-preserving under
+      // the UTC session (the Tables.load convention)
+      .withColumn(timeCol, col(timeCol).cast("timestamp"))
+      .withWatermark(timeCol, lateness)
+      .groupBy(window(col(timeCol), windowLen).as("win"), col(keyCol))
+      .agg(approx_count_distinct(col(entityCol)).as("approx_users"))
+      .select(col("win.start").as("bucket"), col(keyCol),
+        col("approx_users"))
+
   /** Streaming exact dedup bounded by the watermark — duplicate keys seen
     * within the lateness horizon are dropped; state is GC'd past it.
     */
