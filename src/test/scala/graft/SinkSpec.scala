@@ -357,6 +357,34 @@ class SinkSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(n1 > 0 && n2 < n1) // error rows exist and views re-query
   }
+
+  test("zone-map manifest: pruned read opens a strict file subset and " +
+      "returns exactly the full-scan filter result; an out-of-range " +
+      "predicate reads zero files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest").toString + "/orders"
+    val o = Tables.load(spark, sf, "orders")
+    Sinks.writeWithManifest(o, dir, Seq("o_orderkey"), numFiles = 8)
+    val manifest = spark.read.parquet(dir + "_manifest")
+    assert(manifest.count() === 8)
+    val keys = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+      .collect()(0)
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) +
+      (keys.getLong(1) - keys.getLong(0)) / 10)
+    val pruned = Sinks.readPruned(spark, dir, "o_orderkey", lo, hi)
+    // the narrow range must touch fewer files than the table has
+    val filesTouched = pruned.select(input_file_name()).distinct().count()
+    assert(filesTouched < 8, s"no pruning: $filesTouched files")
+    val want = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    assert(pruned.count() === want.count())
+    assert(pruned.agg(sum(col("o_orderkey"))).collect()(0).getLong(0) ===
+      want.agg(sum(col("o_orderkey"))).collect()(0).getLong(0))
+    // fully out-of-range → empty without opening data files
+    assert(Sinks.readPruned(spark, dir, "o_orderkey",
+      keys.getLong(1) + 1, keys.getLong(1) + 2).count() === 0)
+  }
 }
 
 /** Row shape of the gaps memory table. */
