@@ -27,6 +27,29 @@ object Extras5 {
     // distribution: the cumulative window runs over distinct values,
     // never the fact rows, and the rank test is an integer
     // cross-compare (cum·8 ≥ i·total), no interpolation.
+    // Multi-grain time rollup in ONE pass: day/week/month aggregates via
+    // GROUPING SETS over pre-derived truncations, grain identified
+    // structurally by grouping() (q95's discipline) — the BI-extract
+    // pattern that replaces three scans with one.
+    "q103_multi_grain" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH e AS (SELECT
+            CAST(date_trunc('day', ts) AS TIMESTAMP_NTZ) AS day,
+            CAST(date_trunc('week', ts) AS TIMESTAMP_NTZ) AS week,
+            CAST(date_trunc('month', ts) AS TIMESTAMP_NTZ) AS month,
+            value
+          FROM events)
+        SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                    WHEN grouping(week) = 0 THEN 'week'
+                    ELSE 'month' END AS grain,
+          coalesce(day, week, month) AS bucket,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM e GROUP BY GROUPING SETS ((day), (week), (month))
+        ORDER BY grain, bucket""")
+    },
+
     // Bucket-cap tuning curve: the LSH candidate and confirmed-pair
     // counts at maxBucket ∈ {50, 100, 200} — the cap is the knob that
     // bounds a hot boilerplate bucket's quadratic blowup, and this is
@@ -85,6 +108,22 @@ object Extras5 {
     })
 
   val oracles: Map[String, String] = Map(
+
+    "q103_multi_grain" -> """
+      WITH e AS (SELECT
+          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+          CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+          CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+          value
+        FROM events)
+      SELECT CASE WHEN grouping(day) = 0 THEN 'day'
+                  WHEN grouping(week) = 0 THEN 'week'
+                  ELSE 'month' END AS grain,
+        coalesce(day, week, month) AS bucket,
+        count(*) AS n,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM e GROUP BY GROUPING SETS ((day), (week), (month))
+      ORDER BY grain, bucket""",
 
     // bands0/sig from the shared chain; three cap variants of the same
     // candidate + confirm stages.
