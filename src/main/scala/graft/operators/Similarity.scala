@@ -273,6 +273,67 @@ object Similarity {
           .cast("long") / lit(1000000.0)).as("mean_sil"))
   }
 
+  /** Deterministic power iteration: the corpus's top principal direction
+    * (dominant eigenvector of the centered second-moment matrix) by
+    * repeated v ← normalize(Σ_x (x-µ·v)(x-µ)) — PCA's first component,
+    * computed WITHOUT any linear-algebra runtime and bit-reproducibly:
+    * per-vector contributions integerize to micro-units before the
+    * component sums (order-free exact folds), the norm is a fixed
+    * index-ordered fold over the 64 components, and every loading is
+    * round(…, 6). µ comes from the [[chunkedOrderedSum]] fold.
+    *
+    * Scale: each iteration is one map pass over the corpus (v and µ ride
+    * ONE broadcast row) plus a dim-sized aggregation; iterations is a
+    * fixed parameter the oracle unrolls. Output: (i, loading, raynorm) —
+    * raynorm = ‖Σ…‖/N, the Rayleigh-quotient scale of the eigenvalue.
+    */
+  def powerIteration(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", iterations: Int = 3,
+      chunkSize: Int = 256): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val exploded = emb.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
+    val mean = chunkedOrderedSum(exploded, Seq("idx"), "id", "comp",
+        chunkSize)
+      .agg(transform(array_sort(collect_list(struct(col("idx"),
+          (col("s") / col("cnt")).as("m")))),
+        e => e.getField("m")).as("mu"))
+    val centered = emb
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+      .crossJoin(broadcast(mean))
+      .withColumn("xc", zip_with(col("x"), col("mu"), (a, b) => a - b))
+      .select(col("id"), col("xc"))
+    val n = emb.count()
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    var v: DataFrame = centered.sparkSession.range(1)
+      .select(transform(sequence(lit(0), lit(dim - 1)),
+        _ => lit(1.0) / math.sqrt(dim.toDouble)).as("varr"),
+        lit(0.0).as("raynorm"))
+    for (_ <- 1 to iterations) {
+      val sums = centered.crossJoin(broadcast(v.select(col("varr"))))
+        .withColumn("d", dot(col("xc"), col("varr")))
+        .select(col("id"), col("d"),
+          posexplode(col("xc")).as(Seq("i", "xi")))
+        .withColumn("cm",
+          floor(col("d") * col("xi") * 1000000 + 0.5).cast("long"))
+        .groupBy(col("i")).agg(sum(col("cm")).as("w"))
+      v = sums
+        .agg(transform(array_sort(collect_list(struct(col("i"),
+            (col("w").cast("double") / 1000000.0).as("wv")))),
+          e => e.getField("wv")).as("warr"))
+        .select(col("warr"),
+          sqrt(aggregate(transform(col("warr"), x => x * x),
+            lit(0.0), (a, x) => a + x)).as("nrm"))
+        .select(transform(col("warr"),
+            x => round(x / col("nrm"), 6)).as("varr"),
+          round(col("nrm") / n, 6).as("raynorm"))
+        .localCheckpoint(false)
+    }
+    v.select(posexplode(col("varr")).as(Seq("i", "loading")),
+      col("raynorm"))
+  }
+
   /** Lloyd's k-means refinement of the deterministic sample centroids —
     * the production replacement for [[sampleCentroids]] as the IVF index
     * quality knob. Each iteration: map-side fold assignment (no corpus

@@ -27,6 +27,16 @@ object Extras5 {
     // distribution: the cumulative window runs over distinct values,
     // never the fact rows, and the rank test is an integer
     // cross-compare (cum·8 ≥ i·total), no interpolation.
+    // Top principal component by deterministic power iteration: PCA's
+    // first direction computed on Catalyst alone — micro-integerized
+    // contribution sums (order-free), fixed-order norm folds, three
+    // unrolled iterations in the oracle. The embedding-drift /
+    // whitening primitive without any linear-algebra runtime.
+    "s39_power_iteration" -> { (s, dir) =>
+      Similarity.powerIteration(t(s, dir, "embeddings"))
+        .orderBy(col("i"))
+    },
+
     // Multi-grain time rollup in ONE pass: day/week/month aggregates via
     // GROUPING SETS over pre-derived truncations, grain identified
     // structurally by grouping() (q95's discipline) — the BI-extract
@@ -108,6 +118,71 @@ object Extras5 {
     })
 
   val oracles: Map[String, String] = Map(
+
+    // Label-free s05 mean chain, then three unrolled v ← normalize(Σ
+    // (xc·v)·xc) iterations, micro-integer sums, fixed-order norm folds.
+    "s39_power_iteration" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      x AS (SELECT vec_id, t.i, v[t.i] AS comp
+            FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      p AS (SELECT i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b)
+                AS ps, count(*) AS cnt
+            FROM x GROUP BY i, chunk),
+      m AS (SELECT i,
+              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+                / CAST(sum(cnt) AS BIGINT) AS mean
+            FROM p GROUP BY i),
+      mu AS (SELECT list(mean ORDER BY i) AS mu FROM m),
+      xc AS (SELECT vec_id,
+          list_transform(list_zip(v, mu), q -> q[1] - q[2]) AS xc
+        FROM e, mu),
+      nv AS (SELECT count(*) AS n FROM e),
+      v0 AS (SELECT list_transform(generate_series(1, 64),
+          i -> 0.125) AS varr),
+      d1 AS (SELECT xc.vec_id, list_dot_product(xc.xc, v0.varr) AS d,
+          xc.xc FROM xc, v0),
+      c1 AS (SELECT t.i,
+          CAST(floor(d * xc[t.i] * 1000000 + 0.5) AS BIGINT) AS cm
+        FROM d1, unnest(generate_series(1, 64)) AS t(i)),
+      s1 AS (SELECT i, CAST(sum(cm) AS BIGINT) AS w FROM c1 GROUP BY i),
+      w1 AS (SELECT list(CAST(w AS DOUBLE) / 1000000.0 ORDER BY i)
+          AS warr FROM s1),
+      n1 AS (SELECT warr, sqrt(list_reduce(list_prepend(0.0,
+          list_transform(warr, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM w1),
+      v1 AS (SELECT list_transform(warr, x -> round(x / nrm, 6)) AS varr,
+          round(nrm / n, 6) AS raynorm FROM n1, nv),
+      d2 AS (SELECT xc.vec_id, list_dot_product(xc.xc, v1.varr) AS d,
+          xc.xc FROM xc, v1),
+      c2 AS (SELECT t.i,
+          CAST(floor(d * xc[t.i] * 1000000 + 0.5) AS BIGINT) AS cm
+        FROM d2, unnest(generate_series(1, 64)) AS t(i)),
+      s2 AS (SELECT i, CAST(sum(cm) AS BIGINT) AS w FROM c2 GROUP BY i),
+      w2 AS (SELECT list(CAST(w AS DOUBLE) / 1000000.0 ORDER BY i)
+          AS warr FROM s2),
+      n2 AS (SELECT warr, sqrt(list_reduce(list_prepend(0.0,
+          list_transform(warr, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM w2),
+      v2 AS (SELECT list_transform(warr, x -> round(x / nrm, 6)) AS varr,
+          round(nrm / n, 6) AS raynorm FROM n2, nv),
+      d3 AS (SELECT xc.vec_id, list_dot_product(xc.xc, v2.varr) AS d,
+          xc.xc FROM xc, v2),
+      c3 AS (SELECT t.i,
+          CAST(floor(d * xc[t.i] * 1000000 + 0.5) AS BIGINT) AS cm
+        FROM d3, unnest(generate_series(1, 64)) AS t(i)),
+      s3 AS (SELECT i, CAST(sum(cm) AS BIGINT) AS w FROM c3 GROUP BY i),
+      w3 AS (SELECT list(CAST(w AS DOUBLE) / 1000000.0 ORDER BY i)
+          AS warr FROM s3),
+      n3 AS (SELECT warr, sqrt(list_reduce(list_prepend(0.0,
+          list_transform(warr, x -> x * x)), (a, b) -> a + b)) AS nrm
+        FROM w3),
+      v3 AS (SELECT list_transform(warr, x -> round(x / nrm, 6)) AS varr,
+          round(nrm / n, 6) AS raynorm FROM n3, nv)
+      SELECT CAST(t.i - 1 AS INT) AS i, varr[t.i] AS loading, raynorm
+      FROM v3, unnest(generate_series(1, 64)) AS t(i)
+      ORDER BY i""",
 
     "q103_multi_grain" -> """
       WITH e AS (SELECT

@@ -603,6 +603,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size === qs.count())
   }
 
+  test("power iteration: recovers a planted dominant axis (|loading| " +
+      "≈ 1 on it, ≈ 0 elsewhere), raynorm approximates its variance, " +
+      "and the fold is partitioning-invariant") {
+    import spark.implicits._
+    // variance 100x larger along axis 1 than axis 0
+    val rows = (0 until 40).map { k =>
+      (k.toLong, Array(((k % 5) * 0.01).toFloat, (k * 1.0 - 19.5).toFloat,
+        0.0f, 0.0f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.powerIteration(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(got(1)._1) > 0.99, s"axis-1 loading: ${got(1)._1}")
+    assert(math.abs(got(0)._1) < 0.1 && math.abs(got(2)._1) < 0.01,
+      s"off-axis loadings: ${got(0)._1}, ${got(2)._1}")
+    // raynorm ≈ variance along axis 1 (uniform -19.5..19.5 step 1)
+    val varAxis1 = (0 until 40).map(k => math.pow(k - 19.5, 2)).sum / 40
+    assert(math.abs(got(1)._2 - varAxis1) < 0.05 * varAxis1,
+      s"raynorm ${got(1)._2} vs variance $varAxis1")
+    def run(p: Int) = Similarity.powerIteration(rows.repartition(p))
+      .collect().map(r => (r.getInt(0),
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
+    assert(run(2) === run(13))
+  }
+
   test("silhouette: tight well-separated labels score near 1, a label " +
       "interleaved into another's region scores poorly, and the fold is " +
       "partitioning-invariant") {
