@@ -20,13 +20,34 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Equi-depth range-partition splits: the 7 cut points that divide
-    // the price distribution into 8 equal-count ranges — what a range
-    // partitioner / bucketing layout needs BEFORE writing a 100 TB
-    // sort. Computed exactly from the (distinct value → count)
-    // distribution: the cumulative window runs over distinct values,
-    // never the fact rows, and the rank test is an integer
-    // cross-compare (cum·8 ≥ i·total), no interpolation.
+    // Variance explained by the top component: s39's Rayleigh scale over
+    // the total variance (per-dimension centered second moments summed
+    // as exact micro-integers) — the one number that says whether the
+    // embedding space is effectively low-rank (anisotropy collapse, a
+    // known failure of contrastive training runs).
+    "s40_variance_explained" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val lambda = Similarity.powerIteration(emb)
+        .agg(max(col("raynorm")).as("lambda"))
+      val exploded = emb.select(col("vec_id").as("id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("idx", "comp")))
+      val mean = Similarity
+        .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
+        .select(col("idx"), (col("s") / col("cnt")).as("m"))
+      val n = emb.count()
+      val tot = exploded.join(broadcast(mean), "idx")
+        .withColumn("sq",
+          floor((col("comp") - col("m")) * (col("comp") - col("m")) *
+            1000000 + 0.5).cast("long"))
+        .agg((floor(sum(col("sq")).cast("double") / n + 0.5).cast("long")
+          / lit(1000000.0)).as("total_var"))
+      lambda.crossJoin(broadcast(tot))
+        .select(col("lambda"), col("total_var"),
+          (floor(col("lambda") * 1000000 / col("total_var") + 0.5)
+            .cast("long") / lit(1000000.0)).as("explained_ratio"))
+    },
+
     // Top principal component by deterministic power iteration: PCA's
     // first direction computed on Catalyst alone — micro-integerized
     // contribution sums (order-free), fixed-order norm folds, three
@@ -100,6 +121,13 @@ object Extras5 {
         .orderBy(col("rank"))
     },
 
+    // Equi-depth range-partition splits: the 7 cut points that divide
+    // the price distribution into 8 equal-count ranges — what a range
+    // partitioner / bucketing layout needs BEFORE writing a 100 TB
+    // sort. Computed exactly from the (distinct value → count)
+    // distribution: the cumulative window runs over distinct values,
+    // never the fact rows, and the rank test is an integer
+    // cross-compare (cum·8 ≥ i·total), no interpolation.
     "q101_range_splits" -> { (s, dir) =>
       val g = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast(dec2).as("v"))
@@ -117,11 +145,10 @@ object Extras5 {
         .orderBy(col("split_idx"))
     })
 
-  val oracles: Map[String, String] = Map(
-
-    // Label-free s05 mean chain, then three unrolled v ← normalize(Σ
-    // (xc·v)·xc) iterations, micro-integer sums, fixed-order norm folds.
-    "s39_power_iteration" -> """
+  /** Shared by s39/s40: the centered power-iteration chain through v3
+    * (label-free s05 mean fold, three unrolled iterations, micro-integer
+    * contribution sums, fixed-order norm folds). */
+  private[queries] val PowerCtes: String = """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                  FROM embeddings),
       x AS (SELECT vec_id, t.i, v[t.i] AS comp
@@ -179,10 +206,27 @@ object Extras5 {
           list_transform(warr, x -> x * x)), (a, b) -> a + b)) AS nrm
         FROM w3),
       v3 AS (SELECT list_transform(warr, x -> round(x / nrm, 6)) AS varr,
-          round(nrm / n, 6) AS raynorm FROM n3, nv)
+          round(nrm / n, 6) AS raynorm FROM n3, nv)"""
+
+  val oracles: Map[String, String] = Map(
+
+    "s40_variance_explained" -> (Extras5.PowerCtes + """,
+      sq AS (SELECT CAST(floor((x.comp - m.mean) * (x.comp - m.mean)
+          * 1000000 + 0.5) AS BIGINT) AS sq
+        FROM x JOIN m USING (i)),
+      tv AS (SELECT CAST(floor(CAST(sum(sq) AS DOUBLE) / max(n) + 0.5)
+          AS BIGINT) / 1000000.0 AS total_var FROM sq, nv)
+      SELECT v3.raynorm AS lambda, total_var,
+        CAST(floor(raynorm * 1000000 / total_var + 0.5) AS BIGINT)
+          / 1000000.0 AS explained_ratio
+      FROM v3, tv"""),
+
+    // Label-free s05 mean chain, then three unrolled v ← normalize(Σ
+    // (xc·v)·xc) iterations, micro-integer sums, fixed-order norm folds.
+    "s39_power_iteration" -> (Extras5.PowerCtes + """
       SELECT CAST(t.i - 1 AS INT) AS i, varr[t.i] AS loading, raynorm
       FROM v3, unnest(generate_series(1, 64)) AS t(i)
-      ORDER BY i""",
+      ORDER BY i"""),
 
     "q103_multi_grain" -> """
       WITH e AS (SELECT
