@@ -20,6 +20,34 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Candidate-pair forensics: WHICH LSH bands matched each confirmed
+    // near-dup pair — the drill-down that explains a surprising match
+    // (one-band hits are borderline; four-band hits are exact-ish
+    // duplicates). Top pairs by signature agreement; the band list is a
+    // deterministic sorted csv.
+    "d43_pair_explain" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d)
+      val sigs = Dedup.minhashSignatures(d.repartition(col("doc_id")))
+      val bandsL = Dedup.minhashBands(sigs)
+        .select(col("doc_id").as("a"), col("band_idx"), col("band_val"))
+      val bandsR = bandsL.select(col("a").as("b"),
+        col("band_idx"), col("band_val"))
+      val matched = bandsL.join(bandsR, Seq("band_idx", "band_val"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(concat_ws(",", array_sort(collect_set(col("band_idx"))))
+          .as("bands_matched"),
+          count(lit(1)).as("n_bands"))
+      pairs.join(matched, Seq("a", "b"))
+        .withColumn("rk", row_number().over(Window
+          .orderBy(col("n_eq").desc, col("a"), col("b"))))
+        .filter(col("rk") <= 20)
+        .select(col("rk").as("rank"), col("a"), col("b"), col("n_eq"),
+          col("n_bands"), col("bands_matched"))
+        .orderBy(col("rank"))
+    },
+
     // Variance explained by the top component: s39's Rayleigh scale over
     // the total variance (per-dimension centered second moments summed
     // as exact micro-integers) — the one number that says whether the
@@ -209,6 +237,23 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "d43_pair_explain" -> s"""
+      WITH ${NorthStar.MinhashCtes},
+      fw AS (SELECT a, b, n_eq FROM pairs WHERE n_eq * 100 >= 800),
+      mb AS (SELECT x.doc_id AS a, y.doc_id AS b, x.b AS bi
+        FROM bands0 x JOIN bands0 y
+          ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      mg AS (SELECT a, b,
+          array_to_string(list_sort(list(DISTINCT bi)), ',')
+            AS bands_matched,
+          count(DISTINCT bi) AS n_bands
+        FROM mb GROUP BY 1, 2),
+      j AS (SELECT fw.a, fw.b, n_eq, n_bands, bands_matched,
+          row_number() OVER (ORDER BY n_eq DESC, fw.a, fw.b) AS rk
+        FROM fw JOIN mg ON mg.a = fw.a AND mg.b = fw.b)
+      SELECT rk AS "rank", a, b, n_eq, n_bands, bands_matched
+      FROM j WHERE rk <= 20 ORDER BY rk""",
 
     "s40_variance_explained" -> (Extras5.PowerCtes + """,
       sq AS (SELECT CAST(floor((x.comp - m.mean) * (x.comp - m.mean)
