@@ -20,6 +20,25 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // k-anonymity audit over quasi-identifiers: cells of the
+    // (source, lang, length-bucket) cross-tab with fewer than k=5
+    // members re-identify their documents — the pre-release privacy
+    // check a dataset card should quote. Exact integer cell counts.
+    "t55_k_anonymity" -> { (s, dir) =>
+      val cells = t(s, dir, "documents")
+        .withColumn("len_bucket",
+          floor(col("n_chars") / 100).cast("long"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("n"))
+      cells.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_cells"),
+          count(when(col("n") < 5, 1)).as("n_risky_cells"),
+          coalesce(sum(when(col("n") < 5, col("n"))), lit(0L))
+            .as("n_docs_at_risk"),
+          min(col("n")).as("min_cell_size"))
+        .orderBy(col("lang"))
+    },
+
     // Candidate-pair forensics: WHICH LSH bands matched each confirmed
     // near-dup pair — the drill-down that explains a surprising match
     // (one-band hits are borderline; four-band hits are exact-ish
@@ -237,6 +256,18 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "t55_k_anonymity" -> """
+      WITH cells AS (SELECT lang, source,
+          CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+          count(*) AS n
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT lang, count(*) AS n_cells,
+        count(*) FILTER (WHERE n < 5) AS n_risky_cells,
+        CAST(coalesce(sum(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+          AS n_docs_at_risk,
+        min(n) AS min_cell_size
+      FROM cells GROUP BY 1 ORDER BY 1""",
 
     "d43_pair_explain" -> s"""
       WITH ${NorthStar.MinhashCtes},
