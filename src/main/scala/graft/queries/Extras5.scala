@@ -20,6 +20,32 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Consumer-assignment planning: the topic's 8 partitions mapped to 3
+    // consumers under BOTH standard strategies — range (contiguous
+    // blocks, floor(p·C/P)) and round-robin (p mod C) — with per-
+    // consumer message loads and the ratio to uniform. The report that
+    // picks the assignor before a consumer group deploys.
+    "k16_consumer_assignment" -> { (s, dir) =>
+      import s.implicits._
+      val load = graft.sources.KafkaSource
+        .replay(t(s, dir, "events"))
+        .groupBy(col("partition")).agg(count(lit(1)).as("n_msgs"))
+      val strategies = Seq("range", "round_robin").toDF("strategy")
+      load.crossJoin(broadcast(strategies))
+        .withColumn("consumer",
+          when(col("strategy") === "range",
+            floor(col("partition") * 3 / 8).cast("int"))
+            .otherwise((col("partition") % 3).cast("int")))
+        .groupBy(col("strategy"), col("consumer"))
+        .agg(count(lit(1)).as("n_partitions"),
+          sum(col("n_msgs")).as("n_msgs"))
+        .withColumn("ratio_to_uniform",
+          floor(col("n_msgs").cast("double") * 3000000 /
+            sum(col("n_msgs")).over(Window.partitionBy(col("strategy")))
+            + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("strategy"), col("consumer"))
+    },
+
     // k-anonymity audit over quasi-identifiers: cells of the
     // (source, lang, length-bucket) cross-tab with fewer than k=5
     // members re-identify their documents — the pre-release privacy
@@ -256,6 +282,25 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "k16_consumer_assignment" -> s"""
+      WITH r AS (${KafkaParity.replaySql}),
+      ld AS (SELECT "partition", count(*) AS n_msgs FROM r GROUP BY 1),
+      st AS (SELECT * FROM (VALUES ('range'), ('round_robin'))
+        AS t(strategy)),
+      asg AS (SELECT strategy, "partition", n_msgs,
+          CASE WHEN strategy = 'range'
+            THEN CAST(floor("partition" * 3 / 8) AS INT)
+            ELSE CAST("partition" % 3 AS INT) END AS consumer
+        FROM ld CROSS JOIN st),
+      g AS (SELECT strategy, consumer, count(*) AS n_partitions,
+          CAST(sum(n_msgs) AS BIGINT) AS n_msgs
+        FROM asg GROUP BY 1, 2)
+      SELECT strategy, consumer, n_partitions, n_msgs,
+        CAST(floor(CAST(n_msgs AS DOUBLE) * 3000000 /
+          CAST(sum(n_msgs) OVER (PARTITION BY strategy) AS BIGINT)
+          + 0.5) AS BIGINT) / 1000000.0 AS ratio_to_uniform
+      FROM g ORDER BY strategy, consumer""",
 
     "t55_k_anonymity" -> """
       WITH cells AS (SELECT lang, source,
