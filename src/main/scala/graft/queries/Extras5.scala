@@ -20,6 +20,25 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Inference batch shaping for media payloads: the t17 two-level
+    // prefix-sum scan applied to payload BYTES — each payload's batch is
+    // floor(running_bytes / 4096), so batches hold ~4 KB regardless of
+    // payload size mix (the GPU-feeding shape for a decode fleet). No
+    // global window; blocks scan via Packing.exclusivePrefixSum.
+    "m21_batch_shaping" -> { (s, dir) =>
+      val p = t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("nb"))
+      Packing.exclusivePrefixSum(p, "doc_id", "nb")
+        .withColumn("batch_idx", floor(col("start") / 4096).cast("long"))
+        .groupBy(col("batch_idx"))
+        .agg(count(lit(1)).as("n_payloads"), sum(col("nb")).as("n_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("batch_idx"))
+    },
+
     // Consumer-assignment planning: the topic's 8 partitions mapped to 3
     // consumers under BOTH standard strategies — range (contiguous
     // blocks, floor(p·C/P)) and round-robin (p mod C) — with per-
@@ -282,6 +301,20 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "m21_batch_shaping" -> """
+      WITH p AS (SELECT doc_id,
+          CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        FROM documents),
+      c AS (SELECT doc_id, nb,
+          coalesce(sum(nb) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS start
+        FROM p)
+      SELECT CAST(floor(start / 4096) AS BIGINT) AS batch_idx,
+        count(*) AS n_payloads, CAST(sum(nb) AS BIGINT) AS n_bytes,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1 ORDER BY 1""",
 
     "k16_consumer_assignment" -> s"""
       WITH r AS (${KafkaParity.replaySql}),
