@@ -20,6 +20,36 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Chi-square independence test: market segment × order priority —
+    // observed vs expected from exact integer margins, χ² as one closed
+    // double formula summed in micro-units (order-free), plus degrees of
+    // freedom. The categorical-dependence screen of the stats battery.
+    "q104_chi_square" -> { (s, dir) =>
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val obs = j.groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("o"))
+      val rm = obs.groupBy(col("c_mktsegment")).agg(sum(col("o")).as("rt"))
+      val cm = obs.groupBy(col("o_orderpriority"))
+        .agg(sum(col("o")).as("ct"))
+      val tot = obs.agg(sum(col("o")).as("n"))
+      val cells = obs.join(broadcast(rm), "c_mktsegment")
+        .join(broadcast(cm), "o_orderpriority")
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("chim",
+          floor((col("o") - col("e")) * (col("o") - col("e")) / col("e") *
+            1000000 + 0.5).cast("long"))
+      cells.agg(count(lit(1)).as("n_cells"),
+          sum(col("chim")).as("sm"),
+          countDistinct(col("c_mktsegment")).as("nr"),
+          countDistinct(col("o_orderpriority")).as("nc"))
+        .select(col("n_cells"),
+          ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+          (col("sm").cast("double") / lit(1000000.0)).as("chi_square"))
+    },
+
     // Inference batch shaping for media payloads: the t17 two-level
     // prefix-sum scan applied to payload BYTES — each payload's batch is
     // floor(running_bytes / 4096), so batches hold ~4 KB regardless of
@@ -301,6 +331,26 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "q104_chi_square" -> """
+      WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS o
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      rm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) AS rt FROM obs
+             GROUP BY 1),
+      cm AS (SELECT o_orderpriority, CAST(sum(o) AS BIGINT) AS ct
+             FROM obs GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+      cells AS (SELECT obs.*, CAST(rt AS DOUBLE) * ct / n AS e
+        FROM obs JOIN rm USING (c_mktsegment)
+                 JOIN cm USING (o_orderpriority), tot),
+      cm2 AS (SELECT *, CAST(floor((o - e) * (o - e) / e * 1000000 + 0.5)
+          AS BIGINT) AS chim FROM cells)
+      SELECT count(*) AS n_cells,
+        (count(DISTINCT c_mktsegment) - 1) *
+          (count(DISTINCT o_orderpriority) - 1) AS dof,
+        CAST(sum(chim) AS DOUBLE) / 1000000.0 AS chi_square
+      FROM cm2""",
 
     "m21_batch_shaping" -> """
       WITH p AS (SELECT doc_id,
