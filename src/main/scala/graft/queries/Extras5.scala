@@ -20,6 +20,42 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Metric agreement audit: Spearman rank correlation between the
+    // cosine and euclidean orderings of the full corpus per query —
+    // exact integer rank diffs, one closed formula. Near 1 means the
+    // cheaper metric can serve; divergence flags un-normalized vectors
+    // (read with s32's norm histogram).
+    "s41_metric_rank_corr" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val qn = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("vq"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("vc"))
+      val scored = c.crossJoin(broadcast(qn))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", round(Similarity.dot(col("vq"), col("vc")) /
+          (sqrt(Similarity.dot(col("vq"), col("vq"))) *
+            sqrt(Similarity.dot(col("vc"), col("vc")))), 6))
+        .withColumn("d2", round(Similarity.dist2(col("vq"), col("vc")), 6))
+      val wc = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val wd = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      scored.withColumn("rc", row_number().over(wc))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ranked"),
+          sum((col("rc") - col("rd")).cast("long") *
+            (col("rc") - col("rd"))).as("sd2"))
+        .select(col("query_id"), col("n_ranked"),
+          (floor((lit(1.0) - (col("sd2") * 6).cast("double") /
+            (col("n_ranked").cast("double") *
+              (col("n_ranked") * col("n_ranked") - 1))) * 1000000 + 0.5)
+            .cast("long") / lit(1000000.0)).as("spearman_rho"))
+        .orderBy(col("query_id"))
+    },
+
     // Chi-square independence test: market segment × order priority —
     // observed vs expected from exact integer margins, χ² as one closed
     // double formula summed in micro-units (order-free), plus degrees of
@@ -331,6 +367,34 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "s41_metric_rank_corr" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+          round(list_reduce(list_transform(list_zip(q.v, c.v),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b), 6)
+            AS d2
+        FROM q, n c WHERE c.vec_id != q.vec_id),
+      rk AS (SELECT query_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rc,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, neighbor_id) AS rd
+        FROM sc),
+      g AS (SELECT query_id, count(*) AS n_ranked,
+          CAST(sum(CAST(rc - rd AS BIGINT) * (rc - rd)) AS BIGINT)
+            AS sd2
+        FROM rk GROUP BY 1)
+      SELECT query_id, n_ranked,
+        CAST(floor((1.0 - CAST(sd2 * 6 AS DOUBLE) /
+          (CAST(n_ranked AS DOUBLE) * (n_ranked * n_ranked - 1)))
+          * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS spearman_rho
+      FROM g ORDER BY query_id""",
 
     "q104_chi_square" -> """
       WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS o
