@@ -20,6 +20,58 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Reach summary per seed: the g07 BFS levels rolled up — farthest
+    // level reached, total nodes reached, and saturation (share of the
+    // whole graph) — the small-world check that tells you how many hops
+    // an influence/contamination walk actually needs.
+    "g18_reach_summary" -> { (s, dir) =>
+      val cs = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+        .distinct()
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      val nNodes = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct()
+        .agg(count(lit(1)).as("n_graph"))
+      Graph.kHopCounts(e, seeds, k = 3)
+        .groupBy(col("seed"))
+        .agg(max(when(col("n_nodes") > 0, col("dist"))).as("max_dist"),
+          sum(col("n_nodes")).as("n_reached"))
+        .crossJoin(broadcast(nNodes))
+        .select(col("seed"), col("max_dist"), col("n_reached"),
+          (floor(col("n_reached").cast("double") * 1000000 /
+            col("n_graph") + 0.5).cast("long") / lit(1000000.0))
+            .as("saturation"))
+        .orderBy(col("seed"))
+    },
+
+    // Cluster language purity: per near-dup cluster, how many languages
+    // its members span and the majority-language share — d38's matrix
+    // collapsed to the cluster grain (a pure cluster is template reuse;
+    // a mixed one is translation).
+    "t56_cluster_lang_purity" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val cl = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+      val j = cl.join(d.select(col("doc_id"), col("lang")), "doc_id")
+      val lc = j.groupBy(col("cluster_id"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      lc.groupBy(col("cluster_id"))
+        .agg(sum(col("nl")).as("n_members"),
+          count(lit(1)).as("n_langs"),
+          max(col("nl")).as("n_majority"))
+        .withColumn("purity",
+          floor(col("n_majority").cast("double") * 1000000 /
+            col("n_members") + 0.5).cast("long") / lit(1000000.0))
+        .orderBy(col("n_members").desc, col("cluster_id"))
+    },
+
     // Metric agreement audit: Spearman rank correlation between the
     // cosine and euclidean orderings of the full corpus per query —
     // exact integer rank diffs, one closed formula. Near 1 means the
@@ -367,6 +419,63 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    // g07's BFS chain rolled up, plus the graph-size CTE.
+    "g18_reach_summary" -> """
+      WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS (SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM cs
+          UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
+      seeds AS (SELECT DISTINCT src AS seed FROM e
+        WHERE src < 1000000 AND src % 100 = 0),
+      v0 AS (SELECT seed, seed AS node FROM seeds),
+      f1 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM v0 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v0),
+      v1 AS (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f1 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v1),
+      v2 AS (SELECT * FROM v1 UNION SELECT * FROM f2),
+      f3 AS (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f2 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v2),
+      lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1
+          GROUP BY seed
+        UNION ALL SELECT seed, 2, count(*) FROM f2 GROUP BY seed
+        UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY seed),
+      ng AS (SELECT count(*) AS n_graph FROM (
+          SELECT src AS id FROM e UNION SELECT dst FROM e)),
+      g AS (SELECT seed,
+          max(CASE WHEN n_nodes > 0 THEN dist END) AS max_dist,
+          CAST(sum(n_nodes) AS BIGINT) AS n_reached
+        FROM lv GROUP BY 1)
+      SELECT seed, CAST(max_dist AS INT) AS max_dist, n_reached,
+        CAST(floor(CAST(n_reached AS DOUBLE) * 1000000 / n_graph + 0.5)
+          AS BIGINT) / 1000000.0 AS saturation
+      FROM g, ng ORDER BY seed""",
+
+    "t56_cluster_lang_purity" -> s"""
+      WITH RECURSIVE ${NorthStar.MinhashCtes},
+      filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
+      edges(src, dst) AS (
+        SELECT a, b FROM filt UNION SELECT b, a FROM filt),
+      reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             FROM reach GROUP BY src),
+      lc AS (SELECT cluster_id, lang, count(*) AS nl
+        FROM cl JOIN documents USING (doc_id) GROUP BY 1, 2),
+      g AS (SELECT cluster_id, CAST(sum(nl) AS BIGINT) AS n_members,
+          count(*) AS n_langs, CAST(max(nl) AS BIGINT) AS n_majority
+        FROM lc GROUP BY 1)
+      SELECT cluster_id, n_members, n_langs, n_majority,
+        CAST(floor(CAST(n_majority AS DOUBLE) * 1000000 / n_members
+          + 0.5) AS BIGINT) / 1000000.0 AS purity
+      FROM g ORDER BY n_members DESC, cluster_id""",
 
     "s41_metric_rank_corr" -> """
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
