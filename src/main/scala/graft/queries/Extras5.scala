@@ -20,6 +20,27 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Gini coefficient of customer revenue concentration: the classic
+    // inequality statistic from exact decimal sums and integer ranks —
+    // G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over the customer dimension.
+    // The "whale risk" number for any revenue (or token-contribution)
+    // distribution; one closed double formula, micro-floored.
+    "q105_revenue_gini" -> { (s, dir) =>
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec2)).as("x"))
+      val ranked = per.withColumn("rn", row_number().over(
+        Window.orderBy(col("x"), col("o_custkey"))))
+      ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("rn")).as("srx"))
+        .select(col("n"),
+          col("sx").cast("double").as("total_revenue"),
+          (floor((lit(2.0) * col("srx").cast("double") /
+            (col("n") * col("sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n")) * 1000000 + 0.5)
+            .cast("long") / lit(1000000.0)).as("gini"))
+    },
+
     // Reach summary per seed: the g07 BFS levels rolled up — farthest
     // level reached, total nodes reached, and saturation (share of the
     // whole graph) — the small-world check that tells you how many hops
@@ -419,6 +440,21 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "q105_revenue_gini" -> """
+      WITH per AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY 1),
+      r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn
+        FROM per),
+      g AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * rn) AS srx
+        FROM r)
+      SELECT n, CAST(sx AS DOUBLE) AS total_revenue,
+        CAST(floor((2.0 * CAST(srx AS DOUBLE) /
+          (n * CAST(sx AS DOUBLE)) -
+          CAST(n + 1 AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+          / 1000000.0 AS gini
+      FROM g""",
 
     // g07's BFS chain rolled up, plus the graph-size CTE.
     "g18_reach_summary" -> """
