@@ -20,6 +20,30 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Per-dimension variance profile: each embedding dimension's
+    // centered second moment (micro-exact integer sums) — which
+    // dimensions carry signal and which are dead weight; the
+    // dimension-level complement of s40's one-number summary, and the
+    // input to any truncation decision (s22's matryoshka cascade).
+    "s42_dim_variance" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val exploded = emb.select(col("vec_id").as("id"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("idx", "comp")))
+      val mean = Similarity
+        .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
+        .select(col("idx"), (col("s") / col("cnt")).as("m"))
+      val n = emb.count()
+      exploded.join(broadcast(mean), "idx")
+        .withColumn("sq",
+          floor((col("comp") - col("m")) * (col("comp") - col("m")) *
+            1000000 + 0.5).cast("long"))
+        .groupBy(col("idx"))
+        .agg((floor(sum(col("sq")).cast("double") / n + 0.5).cast("long")
+          / lit(1000000.0)).as("variance"))
+        .orderBy(col("idx"))
+    },
+
     // Gini coefficient of customer revenue concentration: the classic
     // inequality statistic from exact decimal sums and integer ranks —
     // G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over the customer dimension.
@@ -440,6 +464,30 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    // The s40 moment chain at dimension grain (mean chain from PowerCtes
+    // shapes, sq per (vec, i), micro mean per i).
+    "s42_dim_variance" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      x AS (SELECT vec_id, t.i, v[t.i] AS comp
+            FROM e, unnest(generate_series(1, len(v))) AS t(i)),
+      p AS (SELECT i, vec_id // 256 AS chunk,
+              list_reduce(list(comp ORDER BY vec_id), (a, b) -> a + b)
+                AS ps, count(*) AS cnt
+            FROM x GROUP BY i, chunk),
+      m AS (SELECT i,
+              list_reduce(list(ps ORDER BY chunk), (a, b) -> a + b)
+                / CAST(sum(cnt) AS BIGINT) AS mean
+            FROM p GROUP BY i),
+      nv AS (SELECT count(*) AS n FROM e),
+      sq AS (SELECT x.i, CAST(floor((x.comp - m.mean) * (x.comp - m.mean)
+          * 1000000 + 0.5) AS BIGINT) AS sq
+        FROM x JOIN m USING (i))
+      SELECT CAST(i - 1 AS INT) AS idx,
+        CAST(floor(CAST(sum(sq) AS DOUBLE) / max(n) + 0.5) AS BIGINT)
+          / 1000000.0 AS variance
+      FROM sq, nv GROUP BY i ORDER BY idx""",
 
     "q105_revenue_gini" -> """
       WITH per AS (SELECT o_custkey,
