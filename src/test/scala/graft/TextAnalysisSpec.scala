@@ -720,6 +720,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("FIM transform: cut invariants hold on every fixture doc " +
+      "(0 <= c1 <= c2 <= n) and the rendering is partitioning-invariant") {
+    val d = Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.fimTransform(d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, c1, c2) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("cut1"),
+        r.getAs[Long]("cut2"))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n,
+        s"doc ${r.get(0)}: n=$n c1=$c1 c2=$c2")
+    }
+    // all three segment-boundary cases occur across the fixture
+    assert(got.exists(r => r.getAs[Long]("cut1") == 0) ||
+      got.exists(r => r.getAs[Long]("cut2") == r.getAs[Long]("n_tokens")) ||
+      got.exists(r => r.getAs[Long]("cut1") == r.getAs[Long]("cut2")))
+    def run(p: Int) = TextAnalysis.fimTransform(d.repartition(p))
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSeq.sorted
+    assert(run(2) === run(9))
+  }
+
   test("span corruption: maskPct=0 is the identity (masked == original " +
       "token stream, zero spans); maskPct=100 collapses each doc to one " +
       "sentinel; sentinel/target structure is consistent and " +
