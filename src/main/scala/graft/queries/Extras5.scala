@@ -20,6 +20,33 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Lorenz curve at decile grain: cumulative revenue share of the
+    // bottom-k/10 customers — q105's Gini drawn out as the curve an
+    // analyst actually reads. Integer decile buckets (floor, never
+    // ntile), exact decimal cumulative sums, micro-floored shares.
+    "q106_lorenz_curve" -> { (s, dir) =>
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast(dec2)).as("x"))
+      val n = per.agg(count(lit(1)).as("n"))
+      val ranked = per.withColumn("rn", row_number().over(
+          Window.orderBy(col("x"), col("o_custkey"))) - 1)
+        .crossJoin(broadcast(n))
+        .withColumn("decile", floor(col("rn") * 10 / col("n")).cast("int"))
+      val g = ranked.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("rev"))
+      g.withColumn("cum_rev", sum(col("rev")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+        .select(col("decile"), col("n_customers"),
+          col("rev").cast("double").as("decile_revenue"),
+          (floor(col("cum_rev").cast("double") * 1000000 /
+            col("tot").cast("double") + 0.5).cast("long") /
+            lit(1000000.0)).as("cum_share"))
+        .orderBy(col("decile"))
+    },
+
     // Per-dimension variance profile: each embedding dimension's
     // centered second moment (micro-exact integer sums) — which
     // dimensions carry signal and which are dead weight; the
@@ -464,6 +491,25 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "q106_lorenz_curve" -> """
+      WITH per AS (SELECT o_custkey,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY 1),
+      nn AS (SELECT count(*) AS n FROM per),
+      r AS (SELECT x, CAST(floor((row_number() OVER (
+            ORDER BY x, o_custkey) - 1) * 10 / n) AS INT) AS decile
+        FROM per, nn),
+      g AS (SELECT decile, count(*) AS n_customers, sum(x) AS rev
+        FROM r GROUP BY 1),
+      c AS (SELECT *, sum(rev) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+          sum(rev) OVER () AS tot
+        FROM g)
+      SELECT decile, n_customers, CAST(rev AS DOUBLE) AS decile_revenue,
+        CAST(floor(CAST(cum_rev AS DOUBLE) * 1000000 /
+          CAST(tot AS DOUBLE) + 0.5) AS BIGINT) / 1000000.0 AS cum_share
+      FROM c ORDER BY decile""",
 
     // The s40 moment chain at dimension grain (mean chain from PowerCtes
     // shapes, sq per (vec, i), micro mean per i).
