@@ -20,6 +20,27 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Backfill coverage matrix: per (partition, day), message counts
+    // ZERO-FILLED from a bounds-derived day spine × the partition set —
+    // the empty cells ARE the answer (where a replay/backfill must run).
+    // q78's spine discipline at partition grain; the spine is
+    // dimension-sized and broadcast.
+    "k17_backfill_matrix" -> { (s, dir) =>
+      val r = graft.sources.KafkaSource.replay(t(s, dir, "events"))
+        .withColumn("day", date_trunc("day", col("timestamp")))
+      val bounds = r.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      val parts = r.select(col("partition")).distinct()
+      val counts = r.groupBy(col("partition"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      spine.crossJoin(parts)
+        .join(counts, Seq("partition", "day"), "left")
+        .select(col("partition"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_msgs"))
+        .orderBy(col("partition"), col("day"))
+    },
+
     // Lorenz curve at decile grain: cumulative revenue share of the
     // bottom-k/10 customers — q105's Gini drawn out as the curve an
     // analyst actually reads. Integer decile buckets (floor, never
@@ -491,6 +512,22 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    "k17_backfill_matrix" -> s"""
+      WITH r AS (SELECT *,
+          CAST(date_trunc('day', "timestamp") AS TIMESTAMP) AS day
+        FROM (${KafkaParity.replaySql})),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM r),
+      spine AS (SELECT unnest(generate_series(lo, hi,
+          INTERVAL 1 DAY)) AS day FROM b),
+      parts AS (SELECT DISTINCT "partition" FROM r),
+      c AS (SELECT "partition", day, count(*) AS n FROM r GROUP BY 1, 2)
+      SELECT parts."partition", spine.day,
+        CAST(coalesce(n, 0) AS BIGINT) AS n_msgs
+      FROM spine CROSS JOIN parts
+      LEFT JOIN c ON c."partition" = parts."partition"
+                 AND c.day = spine.day
+      ORDER BY parts."partition", spine.day""",
 
     "q106_lorenz_curve" -> """
       WITH per AS (SELECT o_custkey,
