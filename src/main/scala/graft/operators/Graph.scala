@@ -387,9 +387,11 @@ object Graph {
     * visited set — per-hop cost |frontier⋈edges|, the textbook
     * level-synchronous formulation. The visited/frontier tables are
     * localCheckpoint'ed each hop so the k-deep lineage never re-executes
-    * and the planner sees node-sized leaf tables. At cluster scale,
-    * pre-partition `edges` by src once (`repartition($"src")` + persist)
-    * and every hop's join reuses the exchange.
+    * and the planner sees node-sized leaf tables. The edge set is
+    * repartitioned by `src` ONCE before its cut — localCheckpoint
+    * preserves physical partitioning, so each hop's frontier⋈edges join
+    * shuffles only the node-sized frontier, never the edge table: k hops
+    * cost one edge shuffle instead of k.
     *
     * Output: (seed, dist, n_nodes), dist in 1..k, rows only where
     * n_nodes > 0. The seed itself (dist 0) is not emitted.
@@ -397,8 +399,13 @@ object Graph {
   def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // one cut for the (possibly join-derived) edge set — every hop joins
-    // it, and the final union references every hop
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // it on src, and the final union references every hop
+    // repartition BEFORE distinct: HashPartitioning(src) satisfies the
+    // dedup's (src, dst) clustering requirement (same key → same
+    // partition), so dedup + src layout cost ONE shuffle total, and the
+    // partial aggregate still collapses duplicates map-side first.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
       .localCheckpoint(false)
     var visited = seeds.select(col("seed"), col("seed").as("node"))
       .distinct().localCheckpoint(false)
