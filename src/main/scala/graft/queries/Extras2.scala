@@ -39,7 +39,10 @@ object Extras2 {
           "o_custkey", "c_custkey", expectedKeys = 1L << 16)
         .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(dec2)).cast(dec2).as("revenue"))
+          // exact DECIMAL sum internally; DOUBLE final (driver's hash
+          // is type-sensitive and DECIMAL outputs render differently
+          // across engines)
+          sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"))
         .orderBy(col("month"))
     },
 
@@ -220,7 +223,9 @@ object Extras2 {
         .join(daily, Seq("event_type", "day"), "left")
         .select(col("event_type"), col("day"),
           coalesce(col("n"), lit(0L)).as("n"),
-          coalesce(col("v"), lit(0).cast(dec2)).as("v"))
+          // DOUBLE final over the exact DECIMAL daily sum (type-stable
+          // vs the driver's hash)
+          coalesce(col("v").cast("double"), lit(0.0)).as("v"))
         .orderBy(col("event_type"), col("day"))
     },
 
@@ -243,6 +248,11 @@ object Extras2 {
         .withColumn("share", round(col("v").cast("double") /
           sum(col("v")).over(Window.partitionBy(col("event_type")))
             .cast("double"), 6))
+        // DOUBLE finals over the exact DECIMAL weekly sums (type-stable
+        // vs the driver's hash); ratios above already computed on the
+        // exact decimals
+        .withColumn("v", col("v").cast("double"))
+        .withColumn("prev", col("prev").cast("double"))
         .orderBy(col("event_type"), col("week"))
     },
 
@@ -359,7 +369,7 @@ object Extras2 {
     "q75_bloom_semi_join" -> """
       SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         count(*) AS n_orders,
-        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           AS revenue
       FROM orders
       WHERE o_custkey IN (SELECT c_custkey FROM customer
@@ -504,7 +514,7 @@ object Extras2 {
         FROM b, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS t(d)),
       ty AS (SELECT DISTINCT event_type FROM events)
       SELECT event_type, day, coalesce(n, 0) AS n,
-        coalesce(v, CAST(0 AS DECIMAL(18,2))) AS v
+        coalesce(CAST(v AS DOUBLE), CAST(0 AS DOUBLE)) AS v
       FROM ty CROSS JOIN days LEFT JOIN daily USING (event_type, day)
       ORDER BY 1, 2""",
 
@@ -516,7 +526,8 @@ object Extras2 {
       x AS (SELECT *,
           lag(v, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev,
           sum(v) OVER (PARTITION BY event_type) AS tot FROM m)
-      SELECT event_type, week, v, prev,
+      SELECT event_type, week, CAST(v AS DOUBLE) AS v,
+        CAST(prev AS DOUBLE) AS prev,
         CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
           round(CAST(v AS DOUBLE) / CAST(prev AS DOUBLE) -
             CAST(1 AS DOUBLE), 6) END AS wow_pct,

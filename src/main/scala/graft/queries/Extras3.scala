@@ -212,7 +212,9 @@ object Extras3 {
         .withColumn("seg_n", sum(col("n_customers")).over(segW))
         .withColumn("cum_rev", sum(col("revenue")).over(cumW).cast(dec2))
         .select(col("c_mktsegment"), col("decile").cast("int").as("decile"),
-          col("n_customers"), col("revenue"),
+          // DOUBLE final over the exact DECIMAL decile sum (the
+          // driver's hash is type-sensitive to DECIMAL renderings)
+          col("n_customers"), col("revenue").cast("double").as("revenue"),
           round(col("revenue").cast("double") / col("seg_rev"), 6)
             .as("share"),
           round(col("cum_rev").cast("double") / col("seg_rev"), 6)
@@ -323,7 +325,11 @@ object Extras3 {
         .groupBy(coalesce(col("touch_type"), lit("unattributed"))
           .as("channel"))
         .agg(count(lit(1)).as("n_conversions"),
-          sum(col("value").cast(dec2)).cast(dec2).as("revenue"))
+          // exact DECIMAL sum internally; DOUBLE final — output schemas
+          // avoid DECIMAL everywhere (driver-hash type discipline,
+          // gated by VerifySpec)
+          sum(col("value").cast(dec2)).cast(dec2).cast("double")
+            .as("revenue"))
         .orderBy(col("channel"))
     },
 
@@ -357,7 +363,10 @@ object Extras3 {
           col("fq").cast("string"), col("mq").cast("string")))
       coded.groupBy(col("c_mktsegment"), col("rfm_code"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("monetary")).cast(dec2).as("total_monetary"),
+          // exact DECIMAL sum internally; DOUBLE final (type-stable vs
+          // the driver's hash)
+          sum(col("monetary")).cast(dec2).cast("double")
+            .as("total_monetary"),
           round(sum(col("monetary")).cast("double") / count(lit(1)), 6)
             .as("avg_monetary"))
         .orderBy(col("c_mktsegment"), col("rfm_code"))
@@ -680,7 +689,7 @@ object Extras3 {
             CURRENT ROW) AS DECIMAL(18,2)) AS cum_rev
         FROM bd)
       SELECT c_mktsegment, CAST(decile AS INT) AS decile, n_customers,
-        revenue,
+        CAST(revenue AS DOUBLE) AS revenue,
         round(CAST(revenue AS DOUBLE) / seg_rev, 6) AS share,
         round(CAST(cum_rev AS DOUBLE) / seg_rev, 6) AS cum_share,
         round((CAST(revenue AS DOUBLE) / seg_rev) /
@@ -771,8 +780,8 @@ object Extras3 {
           ON conv.user_id = touch.t_user AND conv.ts >= touch.t_ts)
       SELECT coalesce(touch_type, 'unattributed') AS channel,
         count(*) AS n_conversions,
-        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
-          AS revenue
+        CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+          AS DOUBLE) AS revenue
       FROM j GROUP BY 1 ORDER BY 1""",
 
     "q86_rfm_segments" -> """
@@ -795,7 +804,8 @@ object Extras3 {
       SELECT c_mktsegment, CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR) ||
           CAST(mq AS VARCHAR) AS rfm_code,
         count(*) AS n_customers,
-        CAST(sum(monetary) AS DECIMAL(18,2)) AS total_monetary,
+        CAST(CAST(sum(monetary) AS DECIMAL(18,2)) AS DOUBLE)
+          AS total_monetary,
         round(CAST(sum(monetary) AS DOUBLE) / count(*), 6) AS avg_monetary
       FROM coded GROUP BY 1, 2 ORDER BY 1, 2""",
 

@@ -2216,11 +2216,11 @@ object NorthStar {
         GROUP BY bucket),
       pos AS (SELECT bucket, count(*) AS n_tokens FROM tf GROUP BY bucket)
       SELECT pos.bucket, pos.n_tokens,
-        sum(pos.n_tokens) OVER (ORDER BY pos.bucket
-          ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+        CAST(sum(pos.n_tokens) OVER (ORDER BY pos.bucket
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
         coalesce(newb.new_terms, 0) AS new_terms,
-        sum(coalesce(newb.new_terms, 0)) OVER (ORDER BY pos.bucket
-          ROWS UNBOUNDED PRECEDING) AS vocab_size
+        CAST(sum(coalesce(newb.new_terms, 0)) OVER (ORDER BY pos.bucket
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
       FROM pos LEFT JOIN newb ON newb.bucket = pos.bucket
       ORDER BY pos.bucket""",
 
@@ -3057,7 +3057,7 @@ object NorthStar {
             + 0.2 * least(avg_token_len / 10.0, 1.0) AS quality_score
         FROM m)
       SELECT source, count(*) AS n_docs,
-        sum(CAST(n_tokens AS BIGINT)) AS n_tokens,
+        CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens,
         count(DISTINCT fp60) AS n_distinct_fps,
         count(CASE WHEN lang_pred = 'en' THEN 1 END) AS n_en,
         round(CAST(sum(CAST(round(quality_score, 6) AS DECIMAL(18,6)))

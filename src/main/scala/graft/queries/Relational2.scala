@@ -207,13 +207,17 @@ object Relational2 {
     // RANGE-interval window frame: event-time sliding aggregates per key
     // (count/sum over the trailing hour) — the frame kind ROWS can't
     // express. Sums go through DECIMAL so the varying frame contents
-    // stay order-free and cross-engine exact.
+    // stay order-free and cross-engine exact; the FINAL cast to DOUBLE
+    // (both sides) pins the output type — Spark's window-sum DECIMAL
+    // widens to (28,2) vs DuckDB's (38,2), which the driver's
+    // type-sensitive hash flags even when values are bit-identical.
     "q37_range_frame" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
       s.sql("""
         SELECT event_id, user_id,
           count(*) OVER w AS n_prev_hour,
-          sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prev_hour
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            AS sum_prev_hour
         FROM events
         WHERE user_id < 50
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -224,13 +228,14 @@ object Relational2 {
     // Forward fill (LOCF imputation) via last_value IGNORE NULLS: carry
     // the previous non-null reading per key — the standard telemetry
     // gap-filler. No arithmetic on the carried value, so cross-engine
-    // exact by construction.
+    // exact by construction; DOUBLE outputs (both sides) keep the
+    // driver's type-sensitive hash away from DECIMAL renderings.
     "q38_forward_fill" -> { (s, dir) =>
       graft.Tables.registerAll(s, dir)
       s.sql("""
         WITH g AS (SELECT event_id, user_id, ts,
             CASE WHEN event_type = 'error' THEN NULL
-                 ELSE CAST(value AS DECIMAL(18,2)) END AS reading
+                 ELSE CAST(value AS DOUBLE) END AS reading
           FROM events WHERE user_id < 20)
         SELECT event_id, user_id, reading,
           last_value(reading) IGNORE NULLS OVER (PARTITION BY user_id
@@ -957,7 +962,8 @@ object Relational2 {
     "q37_range_frame" -> """
       SELECT event_id, user_id,
         count(*) OVER w AS n_prev_hour,
-        sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_prev_hour
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          AS sum_prev_hour
       FROM events
       WHERE user_id < 50
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -967,7 +973,7 @@ object Relational2 {
     "q38_forward_fill" -> """
       WITH g AS (SELECT event_id, user_id, ts,
           CASE WHEN event_type = 'error' THEN NULL
-               ELSE CAST(value AS DECIMAL(18,2)) END AS reading
+               ELSE CAST(value AS DOUBLE) END AS reading
         FROM events WHERE user_id < 20)
       SELECT event_id, user_id, reading,
         last_value(reading IGNORE NULLS) OVER (PARTITION BY user_id
