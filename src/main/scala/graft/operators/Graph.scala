@@ -387,11 +387,17 @@ object Graph {
     * visited set — per-hop cost |frontier⋈edges|, the textbook
     * level-synchronous formulation. The visited/frontier tables are
     * localCheckpoint'ed each hop so the k-deep lineage never re-executes
-    * and the planner sees node-sized leaf tables. The edge set is
-    * repartitioned by `src` ONCE before its cut — localCheckpoint
-    * preserves physical partitioning, so each hop's frontier⋈edges join
-    * shuffles only the node-sized frontier, never the edge table: k hops
-    * cost one edge shuffle instead of k.
+    * and the planner sees node-sized leaf tables.
+    *
+    * The edge set is deduped and cut ONCE, but each hop's join does
+    * re-shuffle it: with AQE enabled (the shipped config),
+    * localCheckpoint's LogicalRDD does NOT surface its partitioning to
+    * the adaptive planner, so pre-repartitioning by `src` buys nothing
+    * and costs an extra exchange (verified empirically on this Spark
+    * version; it also would pin hub-node skew into the materialized RDD
+    * where AQE's skew-join split can no longer reach it). If a future
+    * Spark propagates checkpoint partitioning under AQE, the k-hops-one-
+    * edge-shuffle layout becomes worth revisiting.
     *
     * Output: (seed, dist, n_nodes), dist in 1..k, rows only where
     * n_nodes > 0. The seed itself (dist 0) is not emitted.
@@ -399,13 +405,11 @@ object Graph {
   def kHopCounts(edges: DataFrame, seeds: DataFrame, k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // one cut for the (possibly join-derived) edge set — every hop joins
-    // it on src, and the final union references every hop
-    // repartition BEFORE distinct: HashPartitioning(src) satisfies the
-    // dedup's (src, dst) clustering requirement (same key → same
-    // partition), so dedup + src layout cost ONE shuffle total, and the
-    // partial aggregate still collapses duplicates map-side first.
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).distinct()
+    // it on src, and the final union references every hop; plain
+    // distinct() keeps the partial aggregate collapsing duplicates
+    // map-side before the one dedup shuffle (see scaladoc for why a
+    // src-repartition here is a net loss under AQE)
+    val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(false)
     var visited = seeds.select(col("seed"), col("seed").as("node"))
       .distinct().localCheckpoint(false)

@@ -78,6 +78,46 @@ object Packing {
       .drop("__blk", "__ob", "__boff")
   }
 
+  /** 0-based global row number over the `ordCols` order — the ranking
+    * twin of [[exclusivePrefixSum]] (prefix-count of ones, multi-column
+    * ordering). Replaces the canonical non-scalable plan `row_number()
+    * OVER (ORDER BY ...)` — one task ranking the whole frame — with the
+    * same two-level scan: range-partition on `ordCols` (blocks are
+    * contiguous key intervals in partition order), per-block counts,
+    * one window over the `numBlocks` summary rows, broadcast the block
+    * offsets back, rank within blocks only.
+    *
+    * Ranks equal the global window's for any `numBlocks` as long as
+    * `ordCols` is a total order (include a unique tie-breaker column);
+    * with a non-total order, ties get arbitrary-but-distinct
+    * consecutive ranks — exactly the global window's contract.
+    *
+    * localCheckpoint for the same reason as [[exclusivePrefixSum]]:
+    * multiple consumers must see ONE sampled range partitioning, not
+    * re-sampled boundaries per consumer.
+    */
+  def globalRowNumber(df: DataFrame, ordCols: Seq[String],
+      outCol: String = "rn", numBlocks: Int = 1024): DataFrame = {
+    require(ordCols.nonEmpty, "ordCols must be non-empty")
+    require(numBlocks > 0, "numBlocks must be positive")
+    val ords = ordCols.map(col)
+    val blk = df.repartitionByRange(numBlocks, ords: _*)
+      .withColumn("__blk", spark_partition_id())
+      .localCheckpoint(false)
+    val bcnt = blk.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    // The one ordered-global window: runs over exactly numBlocks rows.
+    val offW = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = bcnt
+      .withColumn("__boff", coalesce(sum(col("__bn")).over(offW), lit(0L)))
+      .select(col("__blk").as("__ob"), col("__boff"))
+    val inW = Window.partitionBy(col("__blk")).orderBy(ords: _*)
+    blk.join(broadcast(boffs), col("__blk") === col("__ob"))
+      .withColumn(outCol,
+        col("__boff") + row_number().over(inW).cast("long") - 1L)
+      .drop("__blk", "__ob", "__boff")
+  }
+
   /** GPT-style packing map: with documents concatenated in `idCol` order
     * and the stream cut into `seqLen`-token sequences, emit per document
     * its global `start_token` plus the first/last sequence index it

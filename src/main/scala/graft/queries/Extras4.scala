@@ -321,9 +321,12 @@ object Extras4 {
       val q = TextAnalysis.withQuality(d)
         .select(col("doc_id"), col("quality_score"))
       val n = q.agg(count(lit(1)).as("n"))
-      val ranked = q.withColumn("rk",
-          row_number().over(Window.orderBy(col("quality_score"),
-            col("doc_id"))) - 1)
+      // Corpus-grain rank via the two-level block scan (doc_id breaks
+      // quality-score ties, so ranks match the oracle's total order) —
+      // a global Window.orderBy would rank every doc in one task.
+      val ranked = Packing
+        .globalRowNumber(q, Seq("quality_score", "doc_id"), "rk",
+          numBlocks = 32)
         .crossJoin(broadcast(n))
         // floor, not a bare int cast: the engines disagree on
         // double→int rounding (truncate vs round-to-nearest)
@@ -487,8 +490,13 @@ object Extras4 {
         .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
         .select(col("doc_id").as("id"))
       val n = p.agg(count(lit(1)).as("n"))
-      val ranked = p
-        .withColumn("rn", row_number().over(Window.orderBy(col("id"))) - 1)
+      // Panel rank via the two-level block scan (ids are unique, so the
+      // order is total) — the global Window.orderBy it replaces would
+      // rank the whole paired-id panel in one task. localCheckpoint
+      // inside gives both consumers (anchor side and the neg_rank
+      // self-join side) the same materialized ranks.
+      val ranked = Packing.globalRowNumber(p, Seq("id"), "rn",
+          numBlocks = 32)
         .crossJoin(broadcast(n))
       val withNeg = ranked
         .withColumn("off", lit(1) +

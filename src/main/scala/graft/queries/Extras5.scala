@@ -50,8 +50,11 @@ object Extras5 {
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(dec2)).as("x"))
       val n = per.agg(count(lit(1)).as("n"))
-      val ranked = per.withColumn("rn", row_number().over(
-          Window.orderBy(col("x"), col("o_custkey"))) - 1)
+      // Customer-dimension rank via the two-level block scan — a global
+      // Window.orderBy here would rank ~1.5e9 customers in one task at
+      // the 100 TB scale point (Packing.globalRowNumber scaladoc).
+      val ranked = Packing
+        .globalRowNumber(per, Seq("x", "o_custkey"), "rn", numBlocks = 32)
         .crossJoin(broadcast(n))
         .withColumn("decile", floor(col("rn") * 10 / col("n")).cast("int"))
       val g = ranked.groupBy(col("decile"))
@@ -101,8 +104,11 @@ object Extras5 {
       val per = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(col("o_totalprice").cast(dec2)).as("x"))
-      val ranked = per.withColumn("rn", row_number().over(
-        Window.orderBy(col("x"), col("o_custkey"))))
+      // 1-based rank from the two-level block scan (see q106) — never a
+      // global window over the customer dimension.
+      val ranked = Packing
+        .globalRowNumber(per, Seq("x", "o_custkey"), "rn0", numBlocks = 32)
+        .withColumn("rn", col("rn0") + 1L)
       ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
           sum(col("x") * col("rn")).as("srx"))
         .select(col("n"),
@@ -411,10 +417,14 @@ object Extras5 {
         .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
       val tot = g.agg(sum(col("n")).as("total"),
         count(lit(1)).as("n_keys"))
-      g.crossJoin(broadcast(tot))
+      // Top-10 as sort+limit (TakeOrderedAndProject: per-partition
+      // top-k, merge on the driver) — never rank-all-then-filter, which
+      // ranks the whole key dimension in one task. The rank window then
+      // runs over the 10 surviving rows only.
+      g.orderBy(col("n").desc, col("o_custkey")).limit(10)
+        .crossJoin(broadcast(tot))
         .withColumn("rk", row_number().over(
           Window.orderBy(col("n").desc, col("o_custkey"))))
-        .filter(col("rk") <= 10)
         .select(col("rk").as("rank"), col("o_custkey"), col("n"),
           (floor(col("n").cast("double") * 1000000 / col("total") + 0.5)
             .cast("long") / lit(1000000.0)).as("share"),

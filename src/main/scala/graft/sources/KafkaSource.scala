@@ -146,10 +146,20 @@ object KafkaSource {
         "kafka.sasl.mechanism" -> mech,
         "kafka.sasl.jaas.config" ->
           (s"org.apache.kafka.common.security.${if (mech == "PLAIN") "plain.PlainLoginModule" else "scram.ScramLoginModule"} " +
-            s"""required username="${c.username}" password="${c.password}";"""))
+            s"""required username="${jaasEscape(c.username)}" """ +
+            s"""password="${jaasEscape(c.password)}";"""))
     }
     base ++ sec
   }
+
+  /** JAAS double-quoted string escaping: backslash and double-quote must
+    * be backslash-escaped or a credential containing either truncates /
+    * corrupts the login-module config line (the reference hands
+    * credentials straight to librdkafka properties, cpp:119-123, and has
+    * the same seam for its `;`-terminated config strings).
+    */
+  private[graft] def jaasEscape(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Project the Kafka connector's fixed schema onto the reference's 7
     * columns. `error` is synthesized NULL on the happy path (the Spark source
@@ -173,13 +183,23 @@ object KafkaSource {
   def stream(spark: SparkSession, brokers: String, topic: String,
       groupId: String, sasl: Option[SaslConfig] = None,
       maxOffsetsPerTrigger: Option[Long] = None,
-      partitions: Option[Seq[Int]] = None): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .options(kafkaOptions(brokers, topic, groupId, sasl, partitions))
-    project(maxOffsetsPerTrigger
-      .fold(reader)(n => reader.option("maxOffsetsPerTrigger", n.toString))
+      partitions: Option[Seq[Int]] = None): DataFrame =
+    project(spark.readStream.format("kafka")
+      .options(streamOptions(brokers, topic, groupId, sasl,
+        maxOffsetsPerTrigger, partitions))
       .load())
-  }
+
+  /** The exact option map [[stream]] hands the Kafka source — split out
+    * so specs can pin every connector option without a live broker
+    * (there is none in the build environment; this is the unit-level
+    * stand-in for the untestable live-subscribe path, cpp:125-129).
+    */
+  private[graft] def streamOptions(brokers: String, topic: String,
+      groupId: String, sasl: Option[SaslConfig] = None,
+      maxOffsetsPerTrigger: Option[Long] = None,
+      partitions: Option[Seq[Int]] = None): Map[String, String] =
+    kafkaOptions(brokers, topic, groupId, sasl, partitions) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
 
   /** Alias for [[stream]] under the name the reference README advertises
     * (`kafquack(...)`, README.md:13,19) even though its code registers
@@ -200,18 +220,28 @@ object KafkaSource {
       groupId: String, sasl: Option[SaslConfig] = None,
       partitions: Option[Seq[Int]] = None,
       startTs: Option[java.sql.Timestamp] = None,
-      endTs: Option[java.sql.Timestamp] = None): DataFrame = {
+      endTs: Option[java.sql.Timestamp] = None): DataFrame =
+    project(spark.read.format("kafka")
+      .options(readOptions(brokers, topic, groupId, sasl, partitions,
+        startTs, endTs))
+      .load())
+
+  /** The exact option map [[read]] hands the Kafka source (see
+    * [[streamOptions]] for why it is split out).
+    */
+  private[graft] def readOptions(brokers: String, topic: String,
+      groupId: String, sasl: Option[SaslConfig] = None,
+      partitions: Option[Seq[Int]] = None,
+      startTs: Option[java.sql.Timestamp] = None,
+      endTs: Option[java.sql.Timestamp] = None): Map[String, String] = {
     for (s <- startTs; e <- endTs) require(s.before(e),
       s"start_ts ($s) must precede end_ts ($e)")
-    val reader = spark.read.format("kafka")
-      .options(kafkaOptions(brokers, topic, groupId, sasl, partitions))
-    val withStart = startTs match {
-      case Some(t) => reader.option("startingTimestamp", t.getTime.toString)
-      case None => reader.option("startingOffsets", "earliest")
+    val start = startTs match {
+      case Some(t) => "startingTimestamp" -> t.getTime.toString
+      case None => "startingOffsets" -> "earliest"
     }
-    val withEnd = endTs.fold(withStart)(t =>
-      withStart.option("endingTimestamp", t.getTime.toString))
-    project(withEnd.load())
+    kafkaOptions(brokers, topic, groupId, sasl, partitions) + start ++
+      endTs.map(t => "endingTimestamp" -> t.getTime.toString)
   }
 
   /** Session conf: when set to a testdata directory, the SQL

@@ -40,6 +40,53 @@ class KafkaSourceSpec extends SparkSpec {
     KafkaSource.validate(None)
   }
 
+  // ---- pinned connector option maps (the unit-level stand-in for the
+  // live-broker path, which has no testable broker here; each row pins
+  // the exact string the DataSource receives against the reference's
+  // config block, cpp:112-123) ----
+
+  test("stream hands the connector the exact SASL_SSL/PLAIN option map") {
+    val opts = KafkaSource.streamOptions("b1:9092,b2:9092", "events", "g7",
+      Some(SaslConfig("SASL_SSL", "PLAIN", "user", "pw")),
+      maxOffsetsPerTrigger = Some(50000L))
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092", // cpp:113
+      "subscribe" -> "events",                        // cpp:126
+      "kafka.group.id" -> "g7",                       // cpp:115
+      "kafka.security.protocol" -> "SASL_SSL",        // cpp:118
+      "kafka.sasl.mechanism" -> "PLAIN",              // cpp:119
+      "kafka.sasl.jaas.config" ->
+        ("org.apache.kafka.common.security.plain.PlainLoginModule " +
+          """required username="user" password="pw";"""),
+      "maxOffsetsPerTrigger" -> "50000"))
+  }
+
+  test("jaas config escapes quotes and backslashes in credentials") {
+    val opts = KafkaSource.streamOptions("b:9092", "t", "g",
+      Some(SaslConfig("SASL_SSL", "SCRAM-SHA-256", """u"x""", """p\w"q""")))
+    // SCRAM mechanisms route to the Scram login module
+    assert(opts("kafka.sasl.jaas.config") ===
+      ("org.apache.kafka.common.security.scram.ScramLoginModule " +
+        "required username=\"u\\\"x\" password=\"p\\\\w\\\"q\";"))
+  }
+
+  test("batch read maps start_ts/end_ts to broker timestamp-index options") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-02 03:04:05")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-02 04:00:00")
+    val opts = KafkaSource.readOptions("b:9092", "events", "g",
+      partitions = Some(Seq(2, 5)), startTs = Some(t0), endTs = Some(t1))
+    assert(opts("assign") === """{"events":[2,5]}""")
+    assert(!opts.contains("subscribe"))
+    assert(opts("startingTimestamp") === t0.getTime.toString)
+    assert(opts("endingTimestamp") === t1.getTime.toString)
+    assert(!opts.contains("startingOffsets"))
+    // no range → whole-retention snapshot from earliest
+    val snap = KafkaSource.readOptions("b:9092", "events", "g")
+    assert(snap("startingOffsets") === "earliest")
+    assert(!snap.contains("startingTimestamp"))
+    assert(!snap.contains("endingTimestamp"))
+  }
+
   test("replay output holds the reference schema invariants") {
     val rec = KafkaSource.replay(Tables.load(spark, sf, "events")).cache()
     val n = rec.count()

@@ -26,6 +26,27 @@ class PackingSpec extends SparkSpec {
     assert(got === naive)
   }
 
+  test("globalRowNumber == global row_number window, multi-column order, " +
+      "any numBlocks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // duplicate primary keys force the tie-breaker column to matter
+    val rows = (0 until 1500).map(i =>
+      (rnd.nextInt(50).toDouble / 7, i.toLong * 3 + 1))
+    val df = rows.toDF("score", "id")
+    val naive = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("score"), col("id")))
+          .cast("long") - 1L)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    for (blocks <- Seq(1, 7, 64)) {
+      val got = Packing.globalRowNumber(df, Seq("score", "id"), "rn", blocks)
+        .collect().map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got === naive, s"numBlocks=$blocks")
+    }
+  }
+
   test("prefix sum stays correct when a rider column prunes the two " +
       "consumers differently (independent range-exchange regression)") {
     import spark.implicits._

@@ -195,6 +195,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(shard"), p)
   }
 
+  test("entity-grain ranks use the two-level block scan, never an " +
+      "unpartitioned window (q105/q106/t54/m20)") {
+    for (q <- Seq("q105_revenue_gini", "q106_lorenz_curve",
+        "t54_quality_dup_calibration", "m20_contrastive_pairs")) {
+      val p = plan(q)
+      // Packing.globalRowNumber ranks inside __blk partitions; the only
+      // unpartitioned window runs over the numBlocks summary rows. A
+      // global Window.orderBy over the entity frame would show a
+      // row_number window with no __blk partitioning instead.
+      assert(p.contains("hashpartitioning(__blk"), s"$q:\n$p")
+    }
+  }
+
+  test("skew detector top-10 is sort+limit, not rank-all-then-filter " +
+      "(q102)") {
+    val p = plan("q102_skew_detector")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("correlated LATERAL LIMIT decorrelates to a join, not per-row " +
       "re-execution (q39)") {
     val p = plan("q39_lateral_join")
