@@ -175,6 +175,45 @@ object TextKernels {
     }
     UTF8String.fromString(sb.toString)
   }
+
+  private val HEX = "0123456789ABCDEF".getBytes("US-ASCII")
+
+  /** Content-defined chunk END positions (1-based byte offsets, ascending,
+    * always terminated by the document length). Bit-compatible with the
+    * declarative formulation (and the DuckDB oracle): the text's UPPERCASE
+    * hex encoding is the hashed alphabet, a window of `window` bytes is a
+    * boundary iff the 16-bit integer at md5-hex digits 29..32 (= digest
+    * bytes 14..15) of its 2·window hex characters is ≡ 0 (mod `modulus`),
+    * and the boundary closes the chunk at the window's LAST byte.
+    */
+  def cdcEnds(text: UTF8String, window: Int, modulus: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val hx = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      hx(2 * i) = HEX(b >>> 4)
+      hx(2 * i + 1) = HEX(b & 0xF)
+      i += 1
+    }
+    val md = digest.get()
+    val ends = new java.util.ArrayList[Integer]()
+    var p = 0
+    while (p <= n - window) {
+      md.reset()
+      md.update(hx, 2 * p, 2 * window)
+      val d = md.digest()
+      val v = ((d(14) & 0xFF) << 8) | (d(15) & 0xFF)
+      if (v % modulus == 0) ends.add(p + window)
+      p += 1
+    }
+    if (ends.isEmpty || ends.get(ends.size - 1) != n) ends.add(n)
+    val out = new Array[Int](ends.size)
+    i = 0
+    while (i < out.length) { out(i) = ends.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Native MinHash signature: tokenize → w-word shingles → md5 → k linear
@@ -348,6 +387,32 @@ case class StripAccents(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** Native content-defined-chunking boundary scan (the Dedup.cdcChunks hot
+  * loop). Same promotion rationale as [[MinhashSignature]]: the
+  * declarative twin runs an interpreted lambda per byte position with a
+  * hex-substring allocation and a conv() string parse per window; this is
+  * one digest per position over a shared hex buffer inside whole-stage
+  * codegen. Output: ascending 1-based chunk end offsets, doc-end
+  * terminated — bit-identical to the transform/filter chain it replaces.
+  */
+case class CdcBoundaryEnds(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression {
+  require(window > 0 && modulus > 0)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundary_ends"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.cdcEnds(input.asInstanceOf[UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.cdcEnds($c, $window, $modulus)")
+
+  override protected def withNewChildInternal(c: Expression): CdcBoundaryEnds =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** MinHash signature column: array<long> of length k. */
   def minhash_signature(text: Column, k: Int = 16, w: Int = 3): Column =
@@ -380,4 +445,11 @@ object TextFunctions {
   /** Accent-stripped (NFD minus Mn) text column. */
   def strip_accents(text: Column): Column =
     Bridge.toColumn(StripAccents(Bridge.toExpression(text)))
+
+  /** Content-defined chunk end offsets column: array<int>, 1-based,
+    * ascending, doc-end terminated.
+    */
+  def cdc_boundary_ends(text: Column, window: Int, modulus: Int): Column =
+    Bridge.toColumn(
+      CdcBoundaryEnds(Bridge.toExpression(text), window, modulus))
 }

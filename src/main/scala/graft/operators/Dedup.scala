@@ -796,26 +796,18 @@ object Dedup {
       modulus: Int = 64): DataFrame = {
     require(window > 0, "window must be positive")
     require(modulus > 0, "modulus must be positive")
-    val prepared = docs.select(col(idCol),
+    // Boundary scan is the native CdcBoundaryEnds kernel: one md5 per
+    // position over a shared hex buffer inside whole-stage codegen —
+    // bit-identical to the declarative transform/filter chain it
+    // replaced (16-bit int at md5-hex digits 29..32 of the window's
+    // 2·window uppercase-hex chars, mod test, doc-end terminated; the
+    // oracle keeps `('0x'||right(md5,4))::BIGINT` on the DuckDB side).
+    val ends = docs.select(col(idCol),
         hex(encode(col(textCol), "UTF-8")).as("__hx"),
-        octet_length(encode(col(textCol), "UTF-8")).as("__ol"))
+        octet_length(encode(col(textCol), "UTF-8")).as("__ol"),
+        graft.functions.TextFunctions
+          .cdc_boundary_ends(col(textCol), window, modulus).as("__ends"))
       .filter(col("__ol") > 0)
-    // 4 hex digits of the window's md5 → integer → mod test. 16 bits is
-    // plenty for any practical modulus and parses exactly in both
-    // engines (('0x'||right(md5,4))::BIGINT on the DuckDB side).
-    val isBoundary = (w: Column) =>
-      conv(substring(md5(w), 29, 4), 16, 10).cast("long") % modulus === 0
-    val cand = when(col("__ol") >= window,
-        filter(transform(sequence(lit(1), col("__ol") - window + 1),
-            p => when(isBoundary(
-                col("__hx").substr((p - 1) * 2 + 1, lit(2 * window))),
-              p + window - 1)),
-          e => e.isNotNull))
-      .otherwise(array().cast("array<int>"))
-    // Ascending candidate ends + the document end; array_distinct keeps
-    // the first occurrence so a final-byte boundary doesn't double.
-    val ends = prepared.withColumn("__ends",
-      array_distinct(concat(cand, array(col("__ol")))))
     ends.select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__ends"))), i => {
           val e = element_at(col("__ends"), i)

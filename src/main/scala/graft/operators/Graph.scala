@@ -419,7 +419,11 @@ object Graph {
         .select(col("seed"), col("dst").as("node")).distinct()
         .join(visited, Seq("seed", "node"), "left_anti")
         .localCheckpoint(false)
-      visited = visited.unionByName(next).localCheckpoint(false)
+      // visited is a union of already-checkpointed frontiers — k cached
+      // leaf scans, constant lineage depth — so re-materializing the
+      // whole (growing) visited set each hop would only duplicate
+      // blocks already in the block manager
+      visited = visited.unionByName(next)
       frontier = next
       next.groupBy(col("seed"))
         .agg(count(lit(1)).as("n_nodes")).withColumn("dist", lit(d))

@@ -662,8 +662,12 @@ object Extras4 {
         .crossJoin(broadcast(tot))
         .select(col("community"), col("n_nodes"), col("d_sum"),
           coalesce(col("e_within"), lit(0L)).as("e_within"), col("m"),
-          round(coalesce(col("e_within"), lit(0L)).cast("double") /
-            col("m") - dd * dd, 6).as("q_contrib"))
+          // + 0.0 folds IEEE -0.0 to +0.0: a zero-edge community's
+          // -dd² rounds to negative zero in one engine and positive in
+          // the other (surfaced by the sf0.1 strict check; invisible at
+          // sf0.01). Same normalization on the oracle side.
+          (round(coalesce(col("e_within"), lit(0L)).cast("double") /
+            col("m") - dd * dd, 6) + lit(0.0)).as("q_contrib"))
         .orderBy(col("community"))
     },
 
@@ -2077,7 +2081,8 @@ object Extras4 {
         coalesce(e_within, 0) AS e_within, m,
         round(CAST(coalesce(e_within, 0) AS DOUBLE) / m -
           (CAST(d_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)) *
-          (CAST(d_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)), 6) AS q_contrib
+          (CAST(d_sum AS DOUBLE) / CAST(m * 2 AS DOUBLE)), 6) + 0.0
+          AS q_contrib
       FROM ds LEFT JOIN wi USING (community), tot
       ORDER BY community""",
 

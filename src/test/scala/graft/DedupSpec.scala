@@ -381,6 +381,38 @@ class DedupSpec extends SparkSpec {
     assert(bandCols.sorted === Seq("band_idx", "band_val"))
   }
 
+  test("native cdc_boundary_ends == declarative hex/md5/conv twin, " +
+      "bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val fixture = ((1 to 40).map(i => (i.toLong,
+        (1 to (rnd.nextInt(600) + 1))
+          .map(_ => ('a' + rnd.nextInt(27)).toChar).mkString)) :+
+      (41L, "tiny"))
+      .toDF("doc_id", "text")
+    val window = 16
+    val isBoundary = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 29, 4), 16, 10).cast("long") % 64 === 0
+    val declarative = fixture.select(col("doc_id"),
+        hex(encode(col("text"), "UTF-8")).as("hx"),
+        octet_length(encode(col("text"), "UTF-8")).as("ol"))
+      .select(col("doc_id"), array_distinct(concat(
+        when(col("ol") >= window,
+          filter(transform(sequence(lit(1), col("ol") - window + 1),
+              p => when(isBoundary(
+                  col("hx").substr((p - 1) * 2 + 1, lit(2 * window))),
+                p + window - 1)),
+            e => e.isNotNull))
+          .otherwise(array().cast("array<int>")),
+        array(col("ol")))).as("ends"))
+      .orderBy("doc_id").collect().map(r => r.getSeq[Int](1))
+    val native = fixture.select(col("doc_id"),
+        graft.functions.TextFunctions
+          .cdc_boundary_ends(col("text"), window, 64).as("ends"))
+      .orderBy("doc_id").collect().map(r => r.getSeq[Int](1))
+    assert(native.toSeq === declarative.toSeq)
+  }
+
   test("cdc chunks tile each doc and shared content chunks identically " +
       "at shifted offsets") {
     import spark.implicits._

@@ -121,6 +121,8 @@ class PlanSpec extends SparkSpec {
     assert(!Simhash60(lit).isInstanceOf[CodegenFallback])
     assert(!WordShingles(lit, 3).isInstanceOf[CodegenFallback])
     assert(!GramHashes(lit, 2).isInstanceOf[CodegenFallback])
+    assert(!graft.functions.CdcBoundaryEnds(lit, 16, 64)
+      .isInstanceOf[CodegenFallback])
     // the vector argmin kernels share the same static-forwarder pattern
     import graft.functions.{NearestEntry, NearestEntryInGroup}
     val arr = Literal.create(Seq(0.0), org.apache.spark.sql.types
