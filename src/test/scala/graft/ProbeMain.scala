@@ -28,6 +28,26 @@ object ProbeMain {
         println(df.queryExecution.explainString(FormattedMode))
       }
     }
+    // SPARK_GRAFT_PROBE=gwin: sweep EVERY query for unpartitioned logical
+    // windows (the single-task scale hazard) — each hit must be a
+    // bounded/summary-grain frame; entity-grain hits get the
+    // Packing.globalRowNumber treatment.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("gwin")) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.optimizedPlan
+          val hits = plan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty =>
+              w.windowExpressions.map(_.sql).mkString("; ").take(90)
+          }
+          if (hits.nonEmpty)
+            println(s"GWIN $name :: ${hits.mkString(" || ")}")
+        } catch {
+          case e: Throwable => println(s"GWIN-ERR $name ${e.getMessage}")
+        }
+      }
+    }
     spark.stop()
   }
 }
