@@ -36,7 +36,12 @@ object Graph {
   def pageRank(edges: DataFrame, iterations: Int = 3,
       damping: Double = 0.85, base: Double = 0.15): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // checkpoint the (possibly join-derived) edge set ONCE: every
+    // iteration joins it, and without the cut each round re-derives the
+    // upstream edge pipeline (the kCore lesson — its scaladoc has the
+    // 198s-vs-1s measurement)
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -81,7 +86,9 @@ object Graph {
       iterations: Int = 3, damping: Double = 0.85,
       restart: Double = 0.15): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    // one edge cut for all iterations (see pageRank)
     val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val flagged = nodes
@@ -127,6 +134,7 @@ object Graph {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val e = edges.select(col("src"), col("dst"), col("w").cast("long"))
       .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .localCheckpoint(false) // one edge cut for all iterations (see pageRank)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("sw"))
@@ -175,6 +183,7 @@ object Graph {
     val e = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false) // one edge cut for all rounds (see pageRank)
     val nodes = e.select(col("src").as("id")).distinct()
     var lbl: DataFrame = nodes.withColumn("lbl", col("id"))
     for (it <- 1 to iterations) {
