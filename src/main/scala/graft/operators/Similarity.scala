@@ -659,6 +659,82 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Pre-filter vs post-filter recall audit for attribute-constrained
+    * vector search — THE design decision of filtered ANN: post-filtering
+    * an unfiltered top-k silently loses results when the predicate is
+    * selective (matching neighbors rank below k and never surface),
+    * while pre-filtering keeps recall but must gate BEFORE the distance
+    * kernel to stay cheap. Per query: the exact pre-filtered truth set
+    * (attribute equality applied before any dot product), the
+    * [[ivfSearch]] top-k post-filtered by the same predicate, and the
+    * overlap — the table that says, per attribute value, whether the
+    * index needs attribute-partitioned cells or post-filtering suffices.
+    *
+    * Scale: the truth pass gates on the attribute equi-join FIRST (the
+    * distance kernel only ever sees same-attribute pairs — at 100 TB
+    * with a selective predicate that is the difference between scanning
+    * a slice and scanning the corpus); the query panel (with attributes)
+    * is broadcast; the post-filter pass enriches the |Q|·k IVF result by
+    * broadcasting IT into one corpus attribute scan. No corpus shuffle
+    * anywhere.
+    *
+    * Output: (query_id, attr, n_truth, n_post_kept, n_hits, recall),
+    * recall = hits/truth micro-floored, NULL when the predicate leaves
+    * no candidates at all.
+    */
+  def filteredSearchRecall(corpus: DataFrame, queries: DataFrame,
+      attrCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidModulus: Int = 50,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val attrs = corpus.select(col(idCol).as("__aid"),
+      col(attrCol).as("__attr"))
+    val qPanel = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .join(attrs.select(col("__aid").as("query_id"),
+        col("__attr").as("qa")), "query_id")
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .join(attrs.select(col("__aid").as("neighbor_id"),
+        col("__attr").as("ca")), "neighbor_id")
+    // pre-filtered exact truth: the attribute gate sits UNDER the
+    // distance kernel (broadcast-join on attr, then cosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val truth = c.join(broadcast(qPanel), col("ca") === col("qa") &&
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    // post-filter: the UNFILTERED ivf top-k, then the same gate; the
+    // |Q|·k result broadcasts into one scan of the corpus attributes
+    val ivf = ivfSearch(corpus, queries, idCol, vecCol, centroidModulus,
+        nprobe, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val post = attrs.join(broadcast(ivf),
+        col("__aid") === col("neighbor_id"))
+      .join(broadcast(qPanel.select(col("query_id"), col("qa"))),
+        "query_id")
+      .filter(col("__attr") === col("qa"))
+      .select(col("query_id"), col("neighbor_id"))
+    val tc = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    val pc = post.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_post_kept"))
+    val hits = truth.join(post, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    qPanel.select(col("query_id"), col("qa").as(attrCol))
+      .join(tc, Seq("query_id"), "left")
+      .join(pc, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col(attrCol),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_post_kept"), lit(0L)).as("n_post_kept"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(coalesce(col("n_truth"), lit(0L)) > 0,
+          floor(coalesce(col("n_hits"), lit(0L)).cast("double") * 1000000 /
+            col("n_truth") + 0.5).cast("long") / lit(1000000.0))
+          .as("recall"))
+  }
+
   /** Materialize the IVF index as a cell-partitioned parquet dataset:
     * one directory per cell carrying (id, v, nrm). This is the on-disk
     * shape the ivfSearch docstring promises for 100 TB — a query's

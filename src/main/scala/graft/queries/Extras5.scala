@@ -71,6 +71,18 @@ object Extras5 {
         .orderBy(col("decile"))
     },
 
+    // Filtered-ANN strategy audit: pre-filter exact truth vs the
+    // post-filtered IVF top-k, per query — quantifies the recall
+    // post-filtering silently loses when the attribute predicate is
+    // selective (the classic filtered-vector-search design decision).
+    // Predicate = same label as the query. One oracle certifies both
+    // paths and the overlap accounting.
+    "s43_filter_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredSearchRecall(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"))
+    },
+
     // Per-dimension variance profile: each embedding dimension's
     // centered second moment (micro-exact integer sums) — which
     // dimensions carry signal and which are dead weight; the
@@ -522,6 +534,72 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    // Both paths unrolled: the pre-filtered exact truth (label gate
+    // before the cosine), the s03-shaped IVF top-k post-filtered by the
+    // same gate, and the per-query overlap accounting.
+    "s43_filter_recall" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      ts AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+          round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 6)
+            AS cosine
+        FROM q JOIN n c2 ON c2.label = q.label
+        WHERE c2.vec_id != q.vec_id),
+      truth AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM ts)
+        WHERE rk <= 5),
+      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(q.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM q, c),
+      qp AS (SELECT query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
+      sc AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6)
+            AS cosine
+        FROM qp JOIN a ON a.cell = qp.cell
+                JOIN n cn ON cn.vec_id = a.vec_id
+                JOIN n qn ON qn.vec_id = qp.query_id
+        WHERE cn.vec_id != qp.query_id),
+      ivf AS (SELECT query_id, neighbor_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rk FROM sc)
+        WHERE rk <= 5),
+      post AS (SELECT i.query_id, i.neighbor_id
+        FROM ivf i JOIN n cn ON cn.vec_id = i.neighbor_id
+                   JOIN n qn ON qn.vec_id = i.query_id
+        WHERE cn.label = qn.label),
+      tc AS (SELECT query_id, count(*) AS n_truth FROM truth GROUP BY 1),
+      pc AS (SELECT query_id, count(*) AS n_post FROM post GROUP BY 1),
+      h AS (SELECT t.query_id, count(*) AS n_hits
+        FROM truth t JOIN post p ON p.query_id = t.query_id
+          AND p.neighbor_id = t.neighbor_id GROUP BY 1)
+      SELECT q.vec_id AS query_id, q.label,
+        CAST(coalesce(tc.n_truth, 0) AS BIGINT) AS n_truth,
+        CAST(coalesce(pc.n_post, 0) AS BIGINT) AS n_post_kept,
+        CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        CASE WHEN coalesce(tc.n_truth, 0) > 0 THEN
+          floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) * 1000000 /
+            tc.n_truth + 0.5) / 1000000.0 END AS recall
+      FROM q LEFT JOIN tc ON tc.query_id = q.vec_id
+             LEFT JOIN pc ON pc.query_id = q.vec_id
+             LEFT JOIN h ON h.query_id = q.vec_id
+      ORDER BY query_id""",
 
     "k17_backfill_matrix" -> s"""
       WITH r AS (SELECT *,
