@@ -735,6 +735,58 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Attribute-aware IVF search — the remedy [[filteredSearchRecall]]
+    * motivates: the predicate joins INSIDE the probe (cell ⋈ attr), so
+    * same-attribute candidates from the probed cells are ranked directly
+    * instead of post-filtering an unfiltered top-k (which keeps ~k/|attr|
+    * of the list). Cells, assignment and probes are identical to
+    * [[ivfSearch]]; only the scoring join adds the attribute equality —
+    * on a [[writeIvfIndex]]-style layout partitioned by (attr, cell)
+    * both predicates become partition filters and the scan touches only
+    * the query's own attribute slice. Output:
+    * (query_id, neighbor_id, cosine, rank), neighbors all same-attribute.
+    */
+  def filteredIvfSearch(corpus: DataFrame, queries: DataFrame,
+      attrCol: String = "label", idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidModulus: Int = 50,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
+    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
+    val attrs = corpus.select(col(idCol).as("__aid"),
+      col(attrCol).as("__attr"))
+    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
+      .join(attrs.select(col("__aid").as("query_id"),
+        col("__attr").as("qa")), "query_id")
+    val probes = {
+      val scored = q.crossJoin(broadcast(centroids))
+        .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("centroid_id"))
+      scored.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= nprobe)
+        .select(col("query_id"), col("vq"), col("nq"), col("qa"),
+          col("centroid_id").as("cell"))
+    }
+    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
+      .join(assign.select(col("id").as("neighbor_id"), col("cell")),
+        "neighbor_id")
+      .join(attrs.select(col("__aid").as("neighbor_id"),
+        col("__attr").as("ca")), "neighbor_id")
+    // the attribute gate rides the probe join — candidates outside the
+    // query's attribute never reach the cosine kernel
+    val scored = c.join(broadcast(probes),
+        c("cell") === probes("cell") && col("ca") === col("qa"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        round(dot(col("vq"), col("vc")) / (col("nq") * col("nc")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rank"))
+  }
+
   /** Materialize the IVF index as a cell-partitioned parquet dataset:
     * one directory per cell carrying (id, v, nrm). This is the on-disk
     * shape the ivfSearch docstring promises for 100 TB — a query's

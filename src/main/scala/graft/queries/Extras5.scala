@@ -83,6 +83,46 @@ object Extras5 {
         .orderBy(col("query_id"))
     },
 
+    // Attribute-aware IVF search — the remedy s43 motivates: the label
+    // gate joins INSIDE the probe, so the top-k is ranked among
+    // same-label candidates of the probed cells directly (vs s43's
+    // post-filter keeping ~k/|labels| of an unfiltered list).
+    "s44_filtered_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.filteredIvfSearch(e, e.filter(col("vec_id") % 100 === 0))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Point-in-time (PIT) join: every purchase fact picks the SCD2
+    // dimension version (d28's build) valid AT the fact's timestamp —
+    // the temporal-correctness join a feature store runs to avoid label
+    // leakage from future attribute states. SCD2 versions tile each
+    // key's timeline, so "covering interval" IS the backward as-of match
+    // on valid_from (AsOfJoin's union+window scan — one sort shuffle,
+    // never an interval product). Same-timestamp version churn collapses
+    // to the LAST version first (as-of right times must be unique per
+    // key — AsOfJoin scaladoc), mirrored in the oracle.
+    "q107_pit_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val dim = TimeSeries.scdIntervals(ev, "user_id", "ts",
+        Seq(col("ts"), col("event_id")), Seq("event_type"))
+      val vw = Window.partitionBy(col("user_id"), col("valid_from_us"))
+        .orderBy(col("version").desc)
+      val dimv = dim.withColumn("__rn", row_number().over(vw))
+        .filter(col("__rn") === 1)
+        .select(col("user_id").as("d_user"),
+          col("valid_from_us").as("vf"), col("version"),
+          col("event_type").as("state"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"))
+      AsOfJoin.leftAsOf(facts, dimv, "user_id", "t_us", "d_user", "vf",
+          Seq("version", "state"))
+        .select(col("event_id"), col("user_id"), col("version"),
+          col("state"))
+        .orderBy(col("event_id"))
+    },
+
     // Per-dimension variance profile: each embedding dimension's
     // centered second moment (micro-exact integer sums) — which
     // dimensions carry signal and which are dead weight; the
@@ -600,6 +640,65 @@ object Extras5 {
              LEFT JOIN pc ON pc.query_id = q.vec_id
              LEFT JOIN h ON h.query_id = q.vec_id
       ORDER BY query_id""",
+
+    // d28's SCD2 chain, same-valid_from churn collapsed to the last
+    // version, then DuckDB's inclusive ASOF picks the covering version.
+    "q107_pit_join" -> """
+      WITH s2_a AS (SELECT user_id, ts, event_id, event_type,
+          {'et': event_type} AS a FROM events),
+      s2_f AS (SELECT *, lag(a) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS pa FROM s2_a),
+      s2_c AS (SELECT user_id, ts, event_id, event_type FROM s2_f
+        WHERE a IS DISTINCT FROM pa),
+      s2_v AS (SELECT user_id, event_type,
+          CAST(row_number() OVER w AS INT) AS version,
+          epoch_us(ts) AS valid_from_us
+        FROM s2_c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      dimv AS (SELECT user_id, valid_from_us, version,
+          event_type AS state FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, valid_from_us
+            ORDER BY version DESC) AS rn FROM s2_v) WHERE rn = 1),
+      f AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+            WHERE event_type = 'purchase')
+      SELECT f.event_id, f.user_id, d.version, d.state
+      FROM f ASOF LEFT JOIN dimv d
+        ON f.user_id = d.user_id AND f.t_us >= d.valid_from_us
+      ORDER BY f.event_id""",
+
+    // s03's IVF shape with the label equality riding the scoring join.
+    "s44_filtered_ivf" -> """
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                 FROM embeddings),
+      c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+            WHERE vec_id % 50 = 0),
+      s AS (SELECT e.vec_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(e.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM e, c),
+      a AS (SELECT vec_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY d2, centroid_id) AS rn FROM s) WHERE rn = 1),
+      n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM e),
+      q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+      qs AS (SELECT q.vec_id AS query_id, c.centroid_id,
+          round(list_reduce(list_transform(list_zip(q.v, c.cv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y), 6) AS d2
+        FROM q, c),
+      qp AS (SELECT query_id, centroid_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, centroid_id) AS pr FROM qs) WHERE pr <= 2),
+      sc AS (SELECT qp.query_id, cn.vec_id AS neighbor_id,
+          round(list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm), 6)
+            AS cosine
+        FROM qp JOIN a ON a.cell = qp.cell
+                JOIN n cn ON cn.vec_id = a.vec_id
+                JOIN n qn ON qn.vec_id = qp.query_id
+        WHERE cn.vec_id != qp.query_id AND cn.label = qn.label),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id) AS "rank" FROM sc)
+      SELECT query_id, neighbor_id, cosine, CAST("rank" AS INT) AS "rank"
+      FROM r WHERE "rank" <= 5 ORDER BY query_id, "rank"""",
 
     "k17_backfill_matrix" -> s"""
       WITH r AS (SELECT *,
