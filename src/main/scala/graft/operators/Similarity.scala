@@ -719,12 +719,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_truth"))
     val pc = post.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_post_kept"))
-    val hits = truth.join(post, Seq("query_id", "neighbor_id"))
+    val hits = truth.join(broadcast(post), Seq("query_id", "neighbor_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     qPanel.select(col("query_id"), col("qa").as(attrCol))
-      .join(tc, Seq("query_id"), "left")
-      .join(pc, Seq("query_id"), "left")
-      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(tc), Seq("query_id"), "left")
+      .join(broadcast(pc), Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), col(attrCol),
         coalesce(col("n_truth"), lit(0L)).as("n_truth"),
         coalesce(col("n_post_kept"), lit(0L)).as("n_post_kept"),

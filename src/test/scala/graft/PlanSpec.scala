@@ -210,6 +210,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN gates attributes via broadcast joins, never a " +
+      "corpus product (s43/s44)") {
+    for (q <- Seq("s43_filter_recall", "s44_filtered_ivf")) {
+      val p = plan(q)
+      // the query panel (with attributes) broadcasts; the only Cross
+      // rows are the bounded query×centroid probe scoring
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q:\n$p")
+    }
+  }
+
+  test("PIT join resolves as the union+window as-of scan, not an " +
+      "interval join (q107)") {
+    val p = plan("q107_pit_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("skew detector top-10 is sort+limit, not rank-all-then-filter " +
       "(q102)") {
     val p = plan("q102_skew_detector")
