@@ -623,6 +623,25 @@ object Similarity {
             greatest(lit(-127.0),
               least(lit(127.0), floor(x / col("scale") + 0.5))))))
 
+  /** The shared probe-selection block of every IVF-family search: each
+    * query's `nprobe` nearest cells by round(d2, 6) with the
+    * (d2, centroid_id) tie-break. ONE definition on purpose — s43's
+    * audit (via [[ivfSearch]]) and s44's remedy ([[filteredIvfSearch]])
+    * only compare meaningfully if both probe identical cells. Rider
+    * columns on `q` (e.g. an attribute) pass through untouched.
+    */
+  private def probeCells(q: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val scored = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    scored.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .withColumn("cell", col("centroid_id"))
+      .drop("centroid_id", "cv", "d2", "pr")
+  }
+
   /** IVF search: each query probes its `nprobe` nearest cells and ranks
     * only vectors assigned there by exact cosine.
     * Output: (query_id, neighbor_id, cosine, rank) — top k per query.
@@ -634,16 +653,7 @@ object Similarity {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol)
 
     val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-    val probes = {
-      val scored = q.crossJoin(broadcast(centroids))
-        .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("centroid_id"))
-      scored.withColumn("pr", row_number().over(w))
-        .filter(col("pr") <= nprobe)
-        .select(col("query_id"), col("vq"), col("nq"),
-          col("centroid_id").as("cell"))
-    }
+    val probes = probeCells(q, centroids, nprobe)
 
     val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
       .join(assign.select(col("id").as("neighbor_id"), col("cell")),
@@ -688,9 +698,12 @@ object Similarity {
       nprobe: Int = 2, k: Int = 5): DataFrame = {
     val attrs = corpus.select(col(idCol).as("__aid"),
       col(attrCol).as("__attr"))
+    // query attributes come from the QUERIES side — an external query
+    // vector absent from the corpus still audits (a corpus-side lookup
+    // would silently drop it from the report)
     val qPanel = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(attrs.select(col("__aid").as("query_id"),
-        col("__attr").as("qa")), "query_id")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(attrCol).as("qa")), "query_id")
     val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
       .join(attrs.select(col("__aid").as("neighbor_id"),
         col("__attr").as("ca")), "neighbor_id")
@@ -754,19 +767,13 @@ object Similarity {
     val assign = ivfAssign(corpus, centroids, idCol, vecCol)
     val attrs = corpus.select(col(idCol).as("__aid"),
       col(attrCol).as("__attr"))
+    // query attribute from the QUERIES side (see filteredSearchRecall);
+    // probes come from the one shared probeCells definition so s43 and
+    // s44 always probe identical cells
     val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(attrs.select(col("__aid").as("query_id"),
-        col("__attr").as("qa")), "query_id")
-    val probes = {
-      val scored = q.crossJoin(broadcast(centroids))
-        .withColumn("d2", round(dist2(col("vq"), col("cv")), 6))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("d2"), col("centroid_id"))
-      scored.withColumn("pr", row_number().over(w))
-        .filter(col("pr") <= nprobe)
-        .select(col("query_id"), col("vq"), col("nq"), col("qa"),
-          col("centroid_id").as("cell"))
-    }
+      .join(queries.select(col(idCol).as("query_id"),
+        col(attrCol).as("qa")), "query_id")
+    val probes = probeCells(q, centroids, nprobe)
     val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
       .join(assign.select(col("id").as("neighbor_id"), col("cell")),
         "neighbor_id")

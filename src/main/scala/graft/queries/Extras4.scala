@@ -490,11 +490,12 @@ object Extras4 {
         .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
         .select(col("doc_id").as("id"))
       val n = p.agg(count(lit(1)).as("n"))
-      // Panel rank via the two-level block scan (ids are unique, so the
-      // order is total) — the global Window.orderBy it replaces would
-      // rank the whole paired-id panel in one task. localCheckpoint
-      // inside gives both consumers (anchor side and the neg_rank
-      // self-join side) the same materialized ranks.
+      // Panel rank via the two-level block scan — the global
+      // Window.orderBy it replaces would rank the whole paired-id panel
+      // in one task. The anchor side and the neg_rank self-join side
+      // agree on ranks because ids are UNIQUE (a total order — ranks are
+      // a pure function of the data); the checkpoint inside only pins
+      // the block layout, it does not arbitrate ties.
       val ranked = Packing.globalRowNumber(p, Seq("id"), "rn",
           numBlocks = 32)
         .crossJoin(broadcast(n))

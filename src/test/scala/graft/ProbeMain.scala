@@ -31,7 +31,10 @@ object ProbeMain {
     // SPARK_GRAFT_PROBE=gwin: sweep EVERY query for unpartitioned logical
     // windows (the single-task scale hazard) — each hit must be a
     // bounded/summary-grain frame; entity-grain hits get the
-    // Packing.globalRowNumber treatment.
+    // Packing.globalRowNumber treatment. The CI version of this sweep is
+    // OutputSchemaSpec's allowlist gate — keep the detection predicate
+    // (logical Window, empty partitionSpec) in lockstep with it; this
+    // probe additionally prints the window expressions for triage.
     if (sys.env.get("SPARK_GRAFT_PROBE").contains("gwin")) {
       import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

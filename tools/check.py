@@ -55,15 +55,9 @@ def canon_strict(v):
 
 
 def canon_loose(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, Decimal):
-        return repr(float(v))
-    if isinstance(v, float):
-        return "NULL" if math.isnan(v) else repr(v)
-    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
-        return repr(pd.Timestamp(v))
-    return repr(v)
+    # strict + Decimal->float coercion; delegate so the two modes can
+    # never drift on any other coercion rule
+    return canon_strict(float(v) if isinstance(v, Decimal) else v)
 
 
 def rows_of(df, canon):
