@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,7 +41,21 @@ object Packing {
     * id arithmetic).
     */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
-      outCol: String = "start", numBlocks: Int = 1024): DataFrame = {
+      outCol: String = "start", numBlocks: Int = 1024): DataFrame =
+    exclusivePrefixSumBy(df, Seq(col(ordCol)), valCol, outCol, numBlocks)
+
+  /** [[exclusivePrefixSum]] over an arbitrary composite sort order
+    * (e.g. `Seq(col("rev").desc, col("l_partkey"))` for a Pareto
+    * ranking). `ordExprs` must define a TOTAL order (include a unique
+    * tie-breaker column) — range partitioning and the in-block window
+    * both honor the full sort-expression list, so blocks stay contiguous
+    * intervals of the composite order and the two-level scan reproduces
+    * the single global window's values exactly for any `numBlocks`.
+    */
+  def exclusivePrefixSumBy(df: DataFrame, ordExprs: Seq[Column],
+      valCol: String, outCol: String = "start",
+      numBlocks: Int = 1024): DataFrame = {
+    require(ordExprs.nonEmpty, "ordExprs must be non-empty")
     require(numBlocks > 0, "numBlocks must be positive")
     // Range partitions are contiguous, disjoint ordCol intervals in
     // partition-index order, so spark_partition_id IS the block key: the
@@ -59,7 +73,7 @@ object Packing {
     // modality column breaks the plan-identity that had protected t17).
     // Checkpointing pins one materialized partitioning for every
     // consumer.
-    val blk = df.repartitionByRange(numBlocks, col(ordCol))
+    val blk = df.repartitionByRange(numBlocks, ordExprs: _*)
       .withColumn("__blk", spark_partition_id())
       .localCheckpoint(false)
     val bsums = blk.groupBy(col("__blk"))
@@ -70,7 +84,7 @@ object Packing {
     val boffs = bsums
       .withColumn("__boff", coalesce(sum(col("__bsum")).over(offW), lit(0L)))
       .select(col("__blk").as("__ob"), col("__boff"))
-    val inW = Window.partitionBy(col("__blk")).orderBy(col(ordCol))
+    val inW = Window.partitionBy(col("__blk")).orderBy(ordExprs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blk.join(broadcast(boffs), col("__blk") === col("__ob"))
       .withColumn(outCol,

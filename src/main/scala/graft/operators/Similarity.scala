@@ -145,11 +145,14 @@ object Similarity {
     * (the old crossJoin + row_number formulation shuffled N×C rows).
     * Output: (id, cell, d2).
     */
-  /** Shared map-side assignment core: (id, v) × broadcast centroid array →
-    * (id, v, cell, d2). sort_array orders the packed centroids by
-    * centroid_id (first struct field), so the strict `<` in the fold
-    * resolves distance ties to the lowest centroid id — same tie-break as
-    * ORDER BY d2, centroid_id.
+  /** Shared map-side assignment core: (id, v, riders...) × broadcast
+    * centroid array → input columns + (cell, d2). Rider columns (e.g. a
+    * filter attribute) pass through the one corpus scan untouched — the
+    * point is that NO caller ever needs a corpus self-join on id to
+    * re-attach per-vector metadata to the assignment. sort_array orders
+    * the packed centroids by centroid_id (first struct field), so the
+    * strict `<` in the fold resolves distance ties to the lowest
+    * centroid id — same tie-break as ORDER BY d2, centroid_id.
     */
   private def assignCells(c: DataFrame, centroids: DataFrame): DataFrame = {
     // Fail loudly on an empty centroid set: the fold below would otherwise
@@ -179,8 +182,9 @@ object Similarity {
     c.crossJoin(broadcast(packed))
       .withColumn("best", graft.functions.VectorFunctions
         .nearest_entry(col("v"), col("cents")))
-      .select(col("id"), col("v"), col("best").getField("id").as("cell"),
-        col("best").getField("d2").as("d2"))
+      .withColumn("cell", col("best").getField("id"))
+      .withColumn("d2", col("best").getField("d2"))
+      .drop("best", "cents")
   }
 
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
@@ -222,7 +226,45 @@ object Similarity {
         sum(col("__cnt")).as("cnt"))
   }
 
-  /** Per-label simplified silhouette over the [[chunkedOrderedSum]]
+  /** Vector-valued twin of [[chunkedOrderedSum]]: the same two-stage
+    * fixed-addition-tree fold, but over WHOLE vectors (`vecCol`:
+    * array<double>) instead of one exploded component per row —
+    * component i of the output equals [[chunkedOrderedSum]] run on the
+    * posexploded (keys :+ idx) formulation bit-for-bit (zip_with adds
+    * position-wise in the same id-then-chunk order; the null-seed branch
+    * reproduces the scalar fold's `0.0 + x` first step). What changes is
+    * the PLAN: the corpus shuffles one row per vector (dim doubles
+    * packed in an array) instead of dim exploded rows of ~5× the bytes,
+    * and the second stage groups `numChunks` partials per key instead of
+    * `numChunks × dim` rows — the fix for the k-means/centroid folds
+    * that dominated the bench (s06's corpus×dim explode was the suite's
+    * most spill-prone shuffle). Buffers stay bounded: stage 1 holds at
+    * most `chunkSize` (id, vector) structs, stage 2 `groupSize /
+    * chunkSize` partial vectors.
+    * Output: `keys` ++ (s: array<double>, cnt: long).
+    */
+  def chunkedVectorSum(df: DataFrame, keys: Seq[String], ordCol: String,
+      vecCol: String, chunkSize: Int = 1024): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val keyCols = keys.map(col)
+    def foldVecs(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(null).cast("array<double>"),
+        (a, x) => when(a.isNull, transform(x, p => lit(0.0) + p))
+          .otherwise(zip_with(a, x, (p, q) => p + q)))
+    df.withColumn("__chunk", expr(s"$ordCol div $chunkSize"))
+      .groupBy(keyCols :+ col("__chunk"): _*)
+      .agg(foldVecs(transform(
+          array_sort(collect_list(struct(col(ordCol), col(vecCol)))),
+          e => e.getField(vecCol))).as("__ps"),
+        count(lit(1)).as("__cnt"))
+      .groupBy(keyCols: _*)
+      .agg(foldVecs(transform(
+          array_sort(collect_list(struct(col("__chunk"), col("__ps")))),
+          e => e.getField("__ps"))).as("s"),
+        sum(col("__cnt")).as("cnt"))
+  }
+
+  /** Per-label simplified silhouette over the [[chunkedVectorSum]]
     * centroid fold: for each vector, a = d² to its own label's centroid,
     * b = min d² to any OTHER label's centroid, sil = (b-a)/max(a,b); the
     * output is each label's mean silhouette — the cluster-quality gate
@@ -242,15 +284,12 @@ object Similarity {
   def silhouetteByLabel(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       chunkSize: Int = 256): DataFrame = {
-    val exploded = emb.select(col(labelCol).as("label"),
-      col(idCol).as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
-    val cents = chunkedOrderedSum(exploded, Seq("label", "idx"), "id",
-        "comp", chunkSize)
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"),
-          (col("s") / col("cnt")).as("m")))),
-        e => e.getField("m")).as("ccv"))
+    val cents = chunkedVectorSum(
+        emb.select(col(labelCol).as("label"), col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v")),
+        Seq("label"), "id", "v", chunkSize)
+      .select(col("label"),
+        transform(col("s"), x => x / col("cnt")).as("ccv"))
     val allCents = cents.agg(collect_list(struct(
       col("label").as("clabel"), col("ccv"))).as("all_cents"))
     emb.select(col(idCol).as("id"), col(labelCol).as("label"),
@@ -280,7 +319,11 @@ object Similarity {
     * per-vector contributions integerize to micro-units before the
     * component sums (order-free exact folds), the norm is a fixed
     * index-ordered fold over the 64 components, and every loading is
-    * round(…, 6). µ comes from the [[chunkedOrderedSum]] fold.
+    * round(…, 6). µ comes from the [[chunkedVectorSum]] fold, checkpointed
+    * ONCE (a 1-row frame) so the per-iteration re-execution of `centered`
+    * re-runs only the corpus map pass, never the mean aggregation; N and
+    * dim ride that same row instead of standalone count()/first() driver
+    * actions (the round-7 stray-action cleanup).
     *
     * Scale: each iteration is one map pass over the corpus (v and µ ride
     * ONE broadcast row) plus a dim-sized aggregation; iterations is a
@@ -291,24 +334,23 @@ object Similarity {
       vecCol: String = "embedding", iterations: Int = 3,
       chunkSize: Int = 256): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val exploded = emb.select(col(idCol).as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
-    val mean = chunkedOrderedSum(exploded, Seq("idx"), "id", "comp",
-        chunkSize)
-      .agg(transform(array_sort(collect_list(struct(col("idx"),
-          (col("s") / col("cnt")).as("m")))),
-        e => e.getField("m")).as("mu"))
+    val mean = chunkedVectorSum(
+        emb.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("x")),
+        Seq.empty, "id", "x", chunkSize)
+      .select(transform(col("s"), p => p / col("cnt")).as("mu"),
+        col("cnt").as("__n"))
+      .localCheckpoint(false)
     val centered = emb
       .select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("x"))
-      .crossJoin(broadcast(mean))
+      .crossJoin(broadcast(mean.select(col("mu"))))
       .withColumn("xc", zip_with(col("x"), col("mu"), (a, b) => a - b))
       .select(col("id"), col("xc"))
-    val n = emb.count()
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
-    var v: DataFrame = centered.sparkSession.range(1)
-      .select(transform(sequence(lit(0), lit(dim - 1)),
-        _ => lit(1.0) / math.sqrt(dim.toDouble)).as("varr"),
+    val nDf = mean.select(col("__n"))
+    var v: DataFrame = mean
+      .select(transform(col("mu"),
+        _ => lit(1.0) / sqrt(size(col("mu")).cast("double"))).as("varr"),
         lit(0.0).as("raynorm"))
     for (_ <- 1 to iterations) {
       val sums = centered.crossJoin(broadcast(v.select(col("varr"))))
@@ -325,9 +367,10 @@ object Similarity {
         .select(col("warr"),
           sqrt(aggregate(transform(col("warr"), x => x * x),
             lit(0.0), (a, x) => a + x)).as("nrm"))
+        .crossJoin(broadcast(nDf))
         .select(transform(col("warr"),
             x => round(x / col("nrm"), 6)).as("varr"),
-          round(col("nrm") / n, 6).as("raynorm"))
+          round(col("nrm") / col("__n"), 6).as("raynorm"))
         .localCheckpoint(false)
     }
     v.select(posexplode(col("varr")).as(Seq("i", "loading")),
@@ -337,18 +380,23 @@ object Similarity {
   /** Lloyd's k-means refinement of the deterministic sample centroids —
     * the production replacement for [[sampleCentroids]] as the IVF index
     * quality knob. Each iteration: map-side fold assignment (no corpus
-    * shuffle, see [[assignCells]]) + one bounded-buffer (cell, idx)
-    * aggregation for the new means via [[chunkedOrderedSum]] — the double
-    * addition tree is fixed, so the whole trainer is bit-reproducible and
-    * DuckDB-oracle-checkable (s06) while a hot cell stays within
-    * max(chunkSize, members/chunkSize) buffer elements. Each iteration's
-    * centroids are materialized with an eager localCheckpoint: it cuts the
-    * lineage (plans would otherwise nest per round and re-run prior
-    * iterations for every action) and makes the single up-front emptiness
-    * guard sufficient for the trusted per-round assignment. Cells that
-    * lose all members drop out (standard Lloyd degeneracy; k shrinks) —
-    * but never all at once: every corpus vector is assigned somewhere, so
-    * a non-empty corpus keeps ≥ 1 cell alive.
+    * shuffle, see [[assignCells]]) + one bounded-buffer per-cell mean via
+    * [[chunkedVectorSum]] — the double addition tree is fixed (identical
+    * per component to the exploded (cell, idx) fold it replaced, so the
+    * s06 oracle hash is unchanged), the trainer is bit-reproducible and
+    * DuckDB-oracle-checkable, and a hot cell stays within
+    * max(chunkSize, members/chunkSize) buffered VECTORS. The vector form
+    * shuffles one row per corpus vector instead of dim exploded rows —
+    * the round-7 fix for the bench's most spill-prone plan. Each
+    * iteration's centroids are materialized with an eager
+    * localCheckpoint: it cuts the lineage (plans would otherwise nest
+    * per round and re-run prior iterations for every action) and makes
+    * the single up-front emptiness guard sufficient for the trusted
+    * per-round assignment; the checkpointed frame is centroid-sized
+    * (k × dim doubles), never corpus-sized. Cells that lose all members
+    * drop out (standard Lloyd degeneracy; k shrinks) — but never all at
+    * once: every corpus vector is assigned somewhere, so a non-empty
+    * corpus keeps ≥ 1 cell alive.
     * Output: (centroid_id, cv, n_members) after `nIter` iterations.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String = "vec_id",
@@ -362,18 +410,13 @@ object Similarity {
       "centroid sample is empty; cannot seed k-means")
     var i = 0
     while (i < nIter) {
-      val exploded = assignCellsTrusted(c,
+      val assigned = assignCellsTrusted(c,
           cents.select(col("centroid_id"), col("cv")))
-        .select(col("cell"), col("id"),
-          posexplode(col("v")).as(Seq("idx", "comp")))
-      cents = chunkedOrderedSum(exploded, Seq("cell", "idx"), "id", "comp",
-          chunkSize)
-        .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("idx"),
-            (col("s") / col("cnt")).as("m")))),
-            e => e.getField("m")).as("cv"),
-          min(col("cnt")).as("n_members"))
-        .select(col("cell").as("centroid_id"), col("cv"), col("n_members"))
+        .select(col("cell"), col("id"), col("v"))
+      cents = chunkedVectorSum(assigned, Seq("cell"), "id", "v", chunkSize)
+        .select(col("cell").as("centroid_id"),
+          transform(col("s"), x => x / col("cnt")).as("cv"),
+          col("cnt").as("n_members"))
         .localCheckpoint(true)
       i += 1
     }
@@ -384,7 +427,7 @@ object Similarity {
     * farthest from that label's mean embedding — the mislabeled/noisy-
     * example detector a curation pipeline runs over classifier or
     * clustering labels. Centroids come from the same bounded-buffer
-    * bit-reproducible chunked fold as s05 ([[chunkedOrderedSum]]), packed
+    * bit-reproducible chunked fold as s05 ([[chunkedVectorSum]]), packed
     * per label (≤ labels·dim rows) and broadcast; the distance pass is
     * map-side; the only corpus exchange is the per-label window for
     * top-k (WindowGroupLimit-pruned). Output: (label, id, d2, rank).
@@ -392,17 +435,12 @@ object Similarity {
   def centroidOutliers(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", labelCol: String = "label",
       k: Int = 3, chunkSize: Int = 256): DataFrame = {
-    val exploded = emb.select(col(labelCol).as("label"),
-      col(idCol).as("id"),
-      posexplode(col(vecCol).cast("array<double>")).as(Seq("idx", "comp")))
-    val cents = chunkedOrderedSum(exploded, Seq("label", "idx"), "id",
-        "comp", chunkSize)
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("idx"),
-          (col("s") / col("cnt")).as("m")))),
-          e => e.getField("m")).as("cv"))
     val c = emb.select(col(idCol).as("id"), col(labelCol).as("label"),
       col(vecCol).cast("array<double>").as("v"))
+    val cents = chunkedVectorSum(c.select(col("label"), col("id"),
+        col("v")), Seq("label"), "id", "v", chunkSize)
+      .select(col("label"),
+        transform(col("s"), x => x / col("cnt")).as("cv"))
     val scored = c.join(broadcast(cents), "label")
       .withColumn("d2", round(dist2(col("v"), col("cv")), 6))
     val w = Window.partitionBy(col("label"))
@@ -643,21 +681,23 @@ object Similarity {
   }
 
   /** IVF search: each query probes its `nprobe` nearest cells and ranks
-    * only vectors assigned there by exact cosine.
+    * only vectors assigned there by exact cosine. The corpus side is ONE
+    * scan — [[assignCells]] carries the vector through, so the norm and
+    * the cell come off the same pass with no corpus self-join on id.
     * Output: (query_id, neighbor_id, cosine, rank) — top k per query.
     */
   def ivfSearch(corpus: DataFrame, queries: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidModulus: Int = 50, nprobe: Int = 2, k: Int = 5): DataFrame = {
     val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
-    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
 
     val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
     val probes = probeCells(q, centroids, nprobe)
 
-    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
-      .join(assign.select(col("id").as("neighbor_id"), col("cell")),
-        "neighbor_id")
+    val c = assignCells(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), centroids)
+      .select(col("id").as("neighbor_id"), col("v").as("vc"), col("cell"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
     val scored = c.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine",
@@ -700,13 +740,18 @@ object Similarity {
       col(attrCol).as("__attr"))
     // query attributes come from the QUERIES side — an external query
     // vector absent from the corpus still audits (a corpus-side lookup
-    // would silently drop it from the report)
-    val qPanel = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(queries.select(col(idCol).as("query_id"),
-        col(attrCol).as("qa")), "query_id")
-    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
-      .join(attrs.select(col("__aid").as("neighbor_id"),
-        col("__attr").as("ca")), "neighbor_id")
+    // would silently drop it from the report); vector, norm and
+    // attribute all come off ONE scan of the panel
+    val qPanel = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("vq"), col(attrCol).as("qa"))
+      .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
+    // the corpus attribute rides the SAME single corpus scan as the
+    // vector and its norm — never a corpus self-join on id (that join
+    // only stayed broadcast-shaped because the test fixture fit the
+    // auto-broadcast threshold; at 100 TB it would be a corpus shuffle)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("vc"), col(attrCol).as("ca"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
     // pre-filtered exact truth: the attribute gate sits UNDER the
     // distance kernel (broadcast-join on attr, then cosine)
     val w = Window.partitionBy(col("query_id"))
@@ -764,21 +809,22 @@ object Similarity {
       vecCol: String = "embedding", centroidModulus: Int = 50,
       nprobe: Int = 2, k: Int = 5): DataFrame = {
     val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
-    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
-    val attrs = corpus.select(col(idCol).as("__aid"),
-      col(attrCol).as("__attr"))
     // query attribute from the QUERIES side (see filteredSearchRecall);
     // probes come from the one shared probeCells definition so s43 and
     // s44 always probe identical cells
-    val q = normed(queries, idCol, vecCol, "query_id", "vq", "nq")
-      .join(queries.select(col(idCol).as("query_id"),
-        col(attrCol).as("qa")), "query_id")
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("vq"), col(attrCol).as("qa"))
+      .withColumn("nq", sqrt(dot(col("vq"), col("vq"))))
     val probes = probeCells(q, centroids, nprobe)
-    val c = normed(corpus, idCol, vecCol, "neighbor_id", "vc", "nc")
-      .join(assign.select(col("id").as("neighbor_id"), col("cell")),
-        "neighbor_id")
-      .join(attrs.select(col("__aid").as("neighbor_id"),
-        col("__attr").as("ca")), "neighbor_id")
+    // ONE corpus scan: [[assignCells]] carries the vector AND the
+    // attribute as rider columns, so cell, norm and attr never need a
+    // corpus self-join on id
+    val c = assignCells(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col(attrCol).as("ca")), centroids)
+      .select(col("id").as("neighbor_id"), col("v").as("vc"),
+        col("ca"), col("cell"))
+      .withColumn("nc", sqrt(dot(col("vc"), col("vc"))))
     // the attribute gate rides the probe join — candidates outside the
     // query's attribute never reach the cosine kernel
     val scored = c.join(broadcast(probes),
@@ -806,10 +852,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidModulus: Int = 50): Unit = {
     val centroids = sampleCentroids(corpus, idCol, vecCol, centroidModulus)
-    val assign = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col("id"), col("cell"))
-    normed(corpus, idCol, vecCol, "id", "v", "nrm")
-      .join(assign, "id")
+    // one corpus scan: the assignment carries the vector through, the
+    // norm is computed on the same pass — no corpus self-join on id
+    assignCells(corpus.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")), centroids)
+      .select(col("id"), col("v"), sqrt(dot(col("v"), col("v"))).as("nrm"),
+        col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 

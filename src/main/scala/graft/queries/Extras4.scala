@@ -35,30 +35,37 @@ object Extras4 {
 
     // Pareto/ABC classification of parts by revenue: cumulative revenue
     // share cutoffs at 80% (A) and 95% (B), all comparisons as exact
-    // decimal cross-products (cum*100 <= tot*80) — no double enters the
-    // class decision. The global cumulative window runs over the PART
-    // dimension (|parts| ~ lineitem/30), aggregated first, so the
-    // single-task sort is dimension-sized — the inherent serial step of
-    // any Pareto ranking, never applied to the fact table itself.
+    // integer cross-products — no double enters the class decision. The
+    // part dimension grows linearly with SF (~lineitem/30), so the
+    // cumulative sum must NOT be one global window over it (a single
+    // task ranking 2×10^10 rows at the 100 TB point): it runs on
+    // Packing's two-level block scan ordered by (rev desc, partkey) —
+    // the DECIMAL(18,2) revenue rescales exactly to long cents, the
+    // block prefix sum is integer (associative, so block split never
+    // changes values), and the ABC cutoffs compare as 5·cum ≤ 4·tot /
+    // 20·cum ≤ 19·tot (⇔ cum/tot ≤ 0.8 / 0.95 exactly; max factor 20
+    // keeps 100 TB totals inside long range). The grand total rides a
+    // broadcast 1-row aggregate, not Window.partitionBy().
     "q88_abc_pareto" -> { (s, dir) =>
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(drev(col("l_extendedprice"), col("l_discount"))).as("rev"))
-      val wCum = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.partitionBy()
-      rev
-        .withColumn("cum", sum(col("rev")).over(wCum))
-        .withColumn("tot", sum(col("rev")).over(wAll))
+        .withColumn("cents", (col("rev") * 100).cast("long"))
+      val tot = rev.agg(sum(col("cents")).as("totc"),
+        sum(col("rev")).as("totrev"))
+      Packing.exclusivePrefixSumBy(rev,
+          Seq(col("rev").desc, col("l_partkey")), "cents", "excl")
+        .withColumn("cum", col("excl") + col("cents"))
+        .crossJoin(broadcast(tot))
         .withColumn("abc_class",
-          when(col("cum") * 100 <= col("tot") * 80, "A")
-            .when(col("cum") * 100 <= col("tot") * 95, "B")
+          when(col("cum") * 5 <= col("totc") * 4, "A")
+            .when(col("cum") * 20 <= col("totc") * 19, "B")
             .otherwise("C"))
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
           sum(col("rev")).cast("double").as("class_revenue"),
           round(sum(col("rev")).cast("double") /
-            max(col("tot")).cast("double"), 6).as("revenue_share"))
+            max(col("totrev")).cast("double"), 6).as("revenue_share"))
         .orderBy(col("abc_class"))
     },
 
@@ -893,15 +900,20 @@ object Extras4 {
     // tail means boilerplate; a dominant k=1 mass means the corpus is
     // already diverse). One gram-hash shuffle + a spectrum-sized agg.
     "t50_gram_spectrum" -> { (s, dir) =>
+      // The df-value histogram's support has no hard bound (it grows
+      // sublinearly with the corpus), so the share denominator is a
+      // broadcast 1-row aggregate, not a global window over it.
       val dfc = t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      dfc.groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+      val spec = dfc.groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+      spec.crossJoin(broadcast(spec.agg(sum(col("n_grams")).as("__tot"))))
         .withColumn("share",
           floor(col("n_grams").cast("double") * 1000000 /
-            sum(col("n_grams")).over(Window.partitionBy()) + 0.5)
+            col("__tot") + 0.5)
             .cast("long") / lit(1000000.0))
         .filter(col("df") <= 20)
+        .select(col("df"), col("n_grams"), col("share"))
         .orderBy(col("df"))
     },
 

@@ -133,17 +133,18 @@ object Extras5 {
       val exploded = emb.select(col("vec_id").as("id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("idx", "comp")))
+      // N rides the fold's own cnt (constant per idx) — no standalone
+      // count() action, no extra corpus scan
       val mean = Similarity
         .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
-        .select(col("idx"), (col("s") / col("cnt")).as("m"))
-      val n = emb.count()
+        .select(col("idx"), (col("s") / col("cnt")).as("m"), col("cnt"))
       exploded.join(broadcast(mean), "idx")
         .withColumn("sq",
           floor((col("comp") - col("m")) * (col("comp") - col("m")) *
             1000000 + 0.5).cast("long"))
         .groupBy(col("idx"))
-        .agg((floor(sum(col("sq")).cast("double") / n + 0.5).cast("long")
-          / lit(1000000.0)).as("variance"))
+        .agg((floor(sum(col("sq")).cast("double") / max(col("cnt")) + 0.5)
+          .cast("long") / lit(1000000.0)).as("variance"))
         .orderBy(col("idx"))
     },
 
@@ -393,16 +394,17 @@ object Extras5 {
       val exploded = emb.select(col("vec_id").as("id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("idx", "comp")))
+      // N rides the fold's own cnt (constant per idx) — no standalone
+      // count() action, no extra corpus scan
       val mean = Similarity
         .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
-        .select(col("idx"), (col("s") / col("cnt")).as("m"))
-      val n = emb.count()
+        .select(col("idx"), (col("s") / col("cnt")).as("m"), col("cnt"))
       val tot = exploded.join(broadcast(mean), "idx")
         .withColumn("sq",
           floor((col("comp") - col("m")) * (col("comp") - col("m")) *
             1000000 + 0.5).cast("long"))
-        .agg((floor(sum(col("sq")).cast("double") / n + 0.5).cast("long")
-          / lit(1000000.0)).as("total_var"))
+        .agg((floor(sum(col("sq")).cast("double") / max(col("cnt")) + 0.5)
+          .cast("long") / lit(1000000.0)).as("total_var"))
       lambda.crossJoin(broadcast(tot))
         .select(col("lambda"), col("total_var"),
           (floor(col("lambda") * 1000000 / col("total_var") + 0.5)
@@ -494,13 +496,17 @@ object Extras5 {
     // never the fact rows, and the rank test is an integer
     // cross-compare (cum·8 ≥ i·total), no interpolation.
     "q101_range_splits" -> { (s, dir) =>
+      // The cumulative count runs over DISTINCT price values — an
+      // SF-LINEAR frame (prices multiply with the part dimension), so
+      // like q88 it rides Packing's two-level block scan, never one
+      // global window; the grand total is a broadcast 1-row aggregate.
       val g = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast(dec2).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = g.withColumn("cum", sum(col("c")).over(wc))
-        .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+      val tot = g.agg(sum(col("c")).as("total"))
+      val cum = Packing.exclusivePrefixSumBy(g, Seq(col("v")), "c", "excl")
+        .withColumn("cum", col("excl") + col("c"))
+        .crossJoin(broadcast(tot))
       import s.implicits._
       val idx = (1 to 7).toDF("split_idx")
       cum.crossJoin(broadcast(idx))

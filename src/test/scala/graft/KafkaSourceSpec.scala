@@ -263,4 +263,35 @@ class KafkaSourceSpec extends SparkSpec {
           username => 'u', password => 'p')""").count() > 0)
     } finally spark.conf.unset(KafkaSource.ReplayConfKey)
   }
+
+  /** The live `format("kafka")` bind path (the reference subscribes at
+    * bind, cpp:125-129) as far as this sandbox allows. The spark-sql-kafka
+    * connector jar is NOT in /opt/spark/jars and there is no broker, so:
+    *  - when the connector is absent (this environment), assert that
+    *    [[KafkaSource.read]] carries its options all the way into Spark's
+    *    DataSource resolution — i.e. the failure is Spark's
+    *    "Failed to find data source: kafka", not anything in the graft
+    *    layer. That pins the seam at the exact external boundary.
+    *  - when a connector IS on the classpath (a real deployment running
+    *    this suite), the test is cancelled via assume() rather than
+    *    attempting a broker connection that would hang — the live
+    *    end-to-end still needs a broker no test container provides here.
+    */
+  test("live bind path reaches Spark's kafka DataSource resolution " +
+      "(connector-absent environment)") {
+    val connectorPresent =
+      try {
+        Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+        true
+      } catch { case _: ClassNotFoundException => false }
+    assume(!connectorPresent,
+      "kafka connector on classpath; live path needs a broker this " +
+        "sandbox does not provide")
+    val e = intercept[Exception] {
+      KafkaSource.read(spark, "localhost:9092", "t", "g").count()
+    }
+    val m = Option(e.getMessage).getOrElse("")
+    assert(m.toLowerCase.contains("kafka"),
+      s"expected the DataSource-resolution failure for 'kafka', got: $m")
+  }
 }

@@ -37,10 +37,15 @@ class OutputSchemaSpec extends SparkSpec {
     * the single-task scale hazard — must be on this list, and each entry
     * must rank/accumulate a BOUNDED frame only:
     *  - block-summary scans (numBlocks rows; Packing two-level pattern):
-    *    m08, m20, m21, q105, t17, t36, t54
-    *  - grand totals / cumulative over an aggregated dimension- or
-    *    report-sized frame (documented in each query's comment):
-    *    d35, d38, k14, m16, q101, q106, q88, q89, t30, t50
+    *    m08, m20, m21, q88, q101, q105, t17, t36, t54
+    *  - grand totals / cumulative over a genuinely BOUNDED frame — one
+    *    that does NOT grow with SF (nation/region/partition/format/
+    *    report-grain, or t30's documented bucketDocs knob; argued in
+    *    each query's comment). Part/customer/price-grain frames do NOT
+    *    qualify (SF-linear) — q88 and q101 were rewritten onto the block
+    *    scan, t50's unbounded-support histogram total onto a broadcast
+    *    aggregate, for exactly that reason:
+    *    d35, d38, k14, m16, q106, q89, t30
     *  - ranks over a model-sized table (PQ codebook m×256, broadcast
     *    query/probe panel): s04, s07, s10, s11, s14, s17, s37, d10, d31
     *  - ranks AFTER a top-k/limit or over a HAVING-thinned candidate
@@ -59,7 +64,7 @@ class OutputSchemaSpec extends SparkSpec {
     "s07_lsh_multiprobe", "s10_pq_search", "s11_ivf_pq_search",
     "s14_rerank", "s17_subseq_search", "s37_pq_recall",
     "t17_sequence_pack", "t18_repeated_ngrams", "t20_bm25",
-    "t30_vocab_growth", "t36_systematic_sample", "t50_gram_spectrum",
+    "t30_vocab_growth", "t36_systematic_sample",
     "t51_passage_retrieval", "t54_quality_dup_calibration")
 
   // One pass over every query: analyzed schema for the type gate,

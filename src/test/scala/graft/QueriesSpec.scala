@@ -28,19 +28,22 @@ class QueriesSpec extends SparkSpec {
 
   /** q26 is the one rows-only CORRECTNESS entry (Spark's HLL++ estimate
     * can't bit-match DuckDB's sketch) — this is its quantitative gate:
-    * relative error < 5% (the sketch's documented default rsd) against
-    * the exact q09 distinct counts at sf0.01. HLL++ is deterministic per
-    * input, so this is a stable assertion, not a flaky statistical one —
-    * an estimator regression (precision drop, wrong column, wrong
-    * rollup) shows up as a fixed reproducible violation.
+    * relative error < 10% (2× the sketch's documented default rsd of 5%)
+    * against the exact q09 distinct counts at sf0.01. HLL++ is
+    * deterministic per input, so this is a stable assertion, not a flaky
+    * statistical one — but rsd is a standard DEVIATION, not an error
+    * bound, so a 1× threshold would be fixture-pinned: a regenerated
+    * testdata set could legitimately land past 5% with a healthy
+    * estimator. 2× keeps the regression signal (precision drop, wrong
+    * column, wrong rollup all blow far past it) without that fragility.
     */
-  test("q26 approx distincts are within 5% of the exact counts (sf0.01)") {
+  test("q26 approx distincts are within 10% of the exact counts (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     val a = SparkEntry.queries("q26_approx_distinct")(spark, dir).collect()(0)
     val e = SparkEntry.queries("q09_distinct")(spark, dir).collect()(0)
     def check(approx: Long, exact: Long, what: String): Unit =
-      assert(math.abs(approx - exact) <= 0.05 * exact,
-        s"$what: approx $approx vs exact $exact exceeds 5% relative error")
+      assert(math.abs(approx - exact) <= 0.10 * exact,
+        s"$what: approx $approx vs exact $exact exceeds 10% relative error")
     check(a.getAs[Long]("approx_parts"), e.getAs[Long]("n_parts"), "parts")
     check(a.getAs[Long]("approx_orders"), e.getAs[Long]("n_orders"), "orders")
     // the in-query exact twin must agree with q09 exactly
