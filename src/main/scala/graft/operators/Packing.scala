@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sentinel default for `numBlocks`: resolve to 4× the cluster's
+    * default parallelism (floor 16) at plan time. Blocks then size like
+    * shuffle partitions — per-core block volume stays constant as the
+    * cluster grows, where any FIXED count either drowns a laptop in
+    * tasks or leaves a 1000-executor cluster with corpus-sized blocks.
+    * Pass an explicit positive value to pin the layout; the OUTPUT is
+    * numBlocks-invariant either way (PackingSpec proves it), only the
+    * plan changes.
+    */
+  val AdaptiveBlocks: Int = 0
+
+  private def resolveBlocks(df: DataFrame, numBlocks: Int): Int =
+    if (numBlocks > 0) numBlocks
+    else math.max(df.sparkSession.sparkContext.defaultParallelism * 4, 16)
+
   /** Exclusive prefix sum of `valCol` over the global `ordCol` order,
     * emitted as `outCol`. `ordCol` must be orderable, non-null and
     * unique per row (a doc_id); `valCol` must be integral. Identical to
@@ -41,7 +56,7 @@ object Packing {
     * id arithmetic).
     */
   def exclusivePrefixSum(df: DataFrame, ordCol: String, valCol: String,
-      outCol: String = "start", numBlocks: Int = 1024): DataFrame =
+      outCol: String = "start", numBlocks: Int = AdaptiveBlocks): DataFrame =
     exclusivePrefixSumBy(df, Seq(col(ordCol)), valCol, outCol, numBlocks)
 
   /** [[exclusivePrefixSum]] over an arbitrary composite sort order
@@ -51,12 +66,22 @@ object Packing {
     * both honor the full sort-expression list, so blocks stay contiguous
     * intervals of the composite order and the two-level scan reproduces
     * the single global window's values exactly for any `numBlocks`.
+    *
+    * `totCol`: when set, the GRAND TOTAL of `valCol` is emitted as that
+    * column on every row. It is computed on the numBlocks-row block
+    * summary inside the same single-partition window stage as the
+    * offsets, then rides the existing broadcast join back — callers that
+    * need cumulative/total ratios (Pareto cutoffs, equi-depth splits)
+    * get it for ZERO extra scans, where a separate `df.agg(sum)` would
+    * re-execute the whole upstream lineage once more.
     */
   def exclusivePrefixSumBy(df: DataFrame, ordExprs: Seq[Column],
       valCol: String, outCol: String = "start",
-      numBlocks: Int = 1024): DataFrame = {
+      numBlocks: Int = AdaptiveBlocks,
+      totCol: Option[String] = None): DataFrame = {
     require(ordExprs.nonEmpty, "ordExprs must be non-empty")
-    require(numBlocks > 0, "numBlocks must be positive")
+    require(numBlocks >= 0, "numBlocks must be positive (0 = adaptive)")
+    val nBlocks = resolveBlocks(df, numBlocks)
     // Range partitions are contiguous, disjoint ordCol intervals in
     // partition-index order, so spark_partition_id IS the block key: the
     // concatenation of blocks 0..n-1 each internally ordered by ordCol
@@ -73,7 +98,7 @@ object Packing {
     // modality column breaks the plan-identity that had protected t17).
     // Checkpointing pins one materialized partitioning for every
     // consumer.
-    val blk = df.repartitionByRange(numBlocks, ordExprs: _*)
+    val blk = df.repartitionByRange(nBlocks, ordExprs: _*)
       .withColumn("__blk", spark_partition_id())
       .localCheckpoint(false)
     val bsums = blk.groupBy(col("__blk"))
@@ -81,9 +106,12 @@ object Packing {
     // The one ordered-global window: runs over exactly numBlocks rows.
     val offW = Window.orderBy(col("__blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val boffs = bsums
       .withColumn("__boff", coalesce(sum(col("__bsum")).over(offW), lit(0L)))
-      .select(col("__blk").as("__ob"), col("__boff"))
+      .select(Seq(col("__blk").as("__ob"), col("__boff")) ++
+        totCol.map(t => sum(col("__bsum")).over(totW).as(t)): _*)
     val inW = Window.partitionBy(col("__blk")).orderBy(ordExprs: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     blk.join(broadcast(boffs), col("__blk") === col("__ob"))
@@ -111,11 +139,11 @@ object Packing {
     * re-sampled boundaries per consumer.
     */
   def globalRowNumber(df: DataFrame, ordCols: Seq[String],
-      outCol: String = "rn", numBlocks: Int = 1024): DataFrame = {
+      outCol: String = "rn", numBlocks: Int = AdaptiveBlocks): DataFrame = {
     require(ordCols.nonEmpty, "ordCols must be non-empty")
-    require(numBlocks > 0, "numBlocks must be positive")
+    require(numBlocks >= 0, "numBlocks must be positive (0 = adaptive)")
     val ords = ordCols.map(col)
-    val blk = df.repartitionByRange(numBlocks, ords: _*)
+    val blk = df.repartitionByRange(resolveBlocks(df, numBlocks), ords: _*)
       .withColumn("__blk", spark_partition_id())
       .localCheckpoint(false)
     val bcnt = blk.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
@@ -143,7 +171,7 @@ object Packing {
     * (n_seqs > 1) contribute a slice to each of their sequences.
     */
   def packSequences(df: DataFrame, idCol: String, nTokCol: String,
-      seqLen: Int, numBlocks: Int = 1024): DataFrame = {
+      seqLen: Int, numBlocks: Int = AdaptiveBlocks): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val n = col(nTokCol)
     exclusivePrefixSum(df, idCol, nTokCol, "start_token", numBlocks)

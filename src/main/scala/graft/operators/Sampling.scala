@@ -111,7 +111,7 @@ object Sampling {
     * mantissa long before they exceed a long.
     */
   def systematicSample(docs: DataFrame, ordCol: String, wCol: String,
-      stride: Long, numBlocks: Int = 1024): DataFrame = {
+      stride: Long, numBlocks: Int = Packing.AdaptiveBlocks): DataFrame = {
     require(stride > 0, "stride must be positive")
     val ps = Packing.exclusivePrefixSum(docs, ordCol, wCol, "cum_start",
       numBlocks)

@@ -47,16 +47,23 @@ object Extras4 {
     // keeps 100 TB totals inside long range). The grand total rides a
     // broadcast 1-row aggregate, not Window.partitionBy().
     "q88_abc_pareto" -> { (s, dir) =>
+      // localCheckpoint: the block scan's range-boundary sampling would
+      // otherwise re-execute the whole lineitem aggregation; the
+      // checkpointed frame is part-dimension-sized
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(drev(col("l_extendedprice"), col("l_discount"))).as("rev"))
         .withColumn("cents", (col("rev") * 100).cast("long"))
-      val tot = rev.agg(sum(col("cents")).as("totc"),
-        sum(col("rev")).as("totrev"))
+        .localCheckpoint(false)
+      // the grand total rides the block summary (totCol) — a separate
+      // rev.agg would re-run the whole lineitem aggregation; the share
+      // denominator reconstructs the decimal total from exact cents
+      // (cents < 2^53 cast exactly; /100.0 correctly rounds — the same
+      // double CAST(sum AS DOUBLE) yields)
       Packing.exclusivePrefixSumBy(rev,
-          Seq(col("rev").desc, col("l_partkey")), "cents", "excl")
+          Seq(col("rev").desc, col("l_partkey")), "cents", "excl",
+          totCol = Some("totc"))
         .withColumn("cum", col("excl") + col("cents"))
-        .crossJoin(broadcast(tot))
         .withColumn("abc_class",
           when(col("cum") * 5 <= col("totc") * 4, "A")
             .when(col("cum") * 20 <= col("totc") * 19, "B")
@@ -65,7 +72,8 @@ object Extras4 {
         .agg(count(lit(1)).as("n_parts"),
           sum(col("rev")).cast("double").as("class_revenue"),
           round(sum(col("rev")).cast("double") /
-            max(col("totrev")).cast("double"), 6).as("revenue_share"))
+            (max(col("totc")).cast("double") / 100.0), 6)
+            .as("revenue_share"))
         .orderBy(col("abc_class"))
     },
 

@@ -500,13 +500,17 @@ object Extras5 {
       // SF-LINEAR frame (prices multiply with the part dimension), so
       // like q88 it rides Packing's two-level block scan, never one
       // global window; the grand total is a broadcast 1-row aggregate.
+      // localCheckpoint: the block scan's range-boundary sampling would
+      // otherwise re-execute the distinct-value aggregation
       val g = t(s, dir, "lineitem")
         .select(col("l_extendedprice").cast(dec2).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val tot = g.agg(sum(col("c")).as("total"))
-      val cum = Packing.exclusivePrefixSumBy(g, Seq(col("v")), "c", "excl")
+        .localCheckpoint(false)
+      // grand total via totCol: it rides the block summary instead of a
+      // second full scan of the lineitem aggregation
+      val cum = Packing.exclusivePrefixSumBy(g, Seq(col("v")), "c", "excl",
+          totCol = Some("total"))
         .withColumn("cum", col("excl") + col("c"))
-        .crossJoin(broadcast(tot))
       import s.implicits._
       val idx = (1 to 7).toDF("split_idx")
       cum.crossJoin(broadcast(idx))
