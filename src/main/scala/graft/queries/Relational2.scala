@@ -555,8 +555,18 @@ object Relational2 {
       def tag(part: String, arr: Column): Column =
         transform(arr, (x, i) => struct(lit(part).as("part"),
           i.cast("long").as("idx"), x.as("val")))
+      // localCheckpoint after the selective filter (a literal-bounded
+      // ~200-row slice at ANY scale factor): it detaches the parquet
+      // scan stage from the HOF projection, whose expression-codegen
+      // (janino) compile of the 8-function lambda tree costs ~3.5 s PER
+      // INVOCATION (exprIds rename per plan, so the compile cache never
+      // hits) and dominated this tiny-data battery 17x; over the
+      // checkpointed slice the projection evaluates interpreted in
+      // ~0.2 s. Bisection: ScratchMain-era probe, round 7.
       t(s, dir, "lineitem")
         .filter(col("l_orderkey") < 50)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint(false)
         .select(col("l_orderkey"), col("l_linenumber"),
           aggregate(seq, lit(0L), (a, x) => a + x).as("sum_seq"),
           concat(

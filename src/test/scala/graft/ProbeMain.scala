@@ -14,6 +14,26 @@ object ProbeMain {
       if (timing) "/root/testdata/sf0.1" else "/root/testdata/sf0.01")
     val spark = GraftSession.create("probe",
       if (timing) "32" else "8")
+    // SPARK_GRAFT_PROBE=phase: split one invocation's wall-clock into
+    // build/analyze/optimize/physical-plan/execute — separates fixed
+    // driver-side planning cost (constant at any SF) from data cost.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("phase")) {
+      args.foreach { name =>
+        var t0 = System.nanoTime()
+        def lap(): Double = {
+          val d = (System.nanoTime() - t0) / 1e9; t0 = System.nanoTime(); d
+        }
+        val df = SparkEntry.queries(name)(spark, dir)
+        val build = lap()
+        df.queryExecution.analyzed; val an = lap()
+        df.queryExecution.optimizedPlan; val opt = lap()
+        df.queryExecution.executedPlan; val phys = lap()
+        df.count(); val exec = lap()
+        println(f"PHASE $name build=$build%.2f analyze=$an%.2f " +
+          f"optimize=$opt%.2f physical=$phys%.2f execute=$exec%.2f")
+      }
+      spark.stop(); return
+    }
     args.foreach { name =>
       println(s"==== $name ====")
       if (timing) {
