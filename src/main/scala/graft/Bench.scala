@@ -68,34 +68,40 @@ object Bench {
     // Streaming throughput: replay the events fixture through the
     // watermarked windowed-count aggregation (the canonical streaming
     // plan) under AvailableNow, into the noop sink — measures the
-    // source→state-store→agg path, no sink cost.
-    val cpDir = Files.createTempDirectory("graft-bench-stream")
-    val streamingRate: Double = try {
-      val rows = Tables.load(spark, sfDir, "events").count()
-      val t0 = System.nanoTime()
-      val q = graft.streaming.StreamOps.windowedCounts(
-          graft.streaming.StreamOps.replayStream(spark, sfDir))
-        .writeStream.format("noop")
-        .option("checkpointLocation", cpDir.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      rows / ((System.nanoTime() - t0) / 1e9)
-    } catch {
-      // NonFatal only: an OOM/VM error must crash the bench, not emit a
-      // plausible-looking line; the sentinel is for query-level failures.
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] streaming measurement failed: $e")
-        -1.0
-    } finally {
+    // source→state-store→agg path, no sink cost. Two passes, report the
+    // MAX rate (= min time, the query convention): a single streaming
+    // run proved the suite's noisiest measurement (16.9k vs 25.1k rows/s
+    // across the two round-7 baseline runs on the same code) because the
+    // state-store lifecycle amplifies any contention.
+    val streamingRate: Double = (1 to 2).map { _ =>
+      val cpDir = Files.createTempDirectory("graft-bench-stream")
       try {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(java.nio.file.Files.walk(cpDir)) { st =>
-          st.iterator().asScala.toSeq
-            .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+        val rows = Tables.load(spark, sfDir, "events").count()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamOps.windowedCounts(
+            graft.streaming.StreamOps.replayStream(spark, sfDir))
+          .writeStream.format("noop")
+          .option("checkpointLocation", cpDir.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        rows / ((System.nanoTime() - t0) / 1e9)
+      } catch {
+        // NonFatal only: an OOM/VM error must crash the bench, not emit a
+        // plausible-looking line; the sentinel is for query-level failures.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] streaming measurement failed: $e")
+          -1.0
+      } finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(java.nio.file.Files.walk(cpDir)) { st =>
+            st.iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.delete)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }.max
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma decimal separator would corrupt the JSON line.

@@ -115,4 +115,31 @@ class PackingSpec extends SparkSpec {
       case a: logical.Aggregate => a
     }.isDefined, s"global window runs over raw rows:\n$lp")
   }
+
+  test("exclusivePrefixSumBy: composite desc order with tie-breaker == " +
+      "the global window, and totCol == the grand total, any numBlocks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // duplicate scores force the tie-breaker; desc order is the Pareto
+    // shape (q88): rank by value descending, break ties by id
+    val rows = (0 until 1200).map(i =>
+      (rnd.nextInt(40).toLong, i.toLong * 3 + 1, rnd.nextInt(100).toLong))
+    val df = rows.toDF("score", "id", "n")
+    val w = Window.orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = df.withColumn("start",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val total = rows.map(_._3).sum
+    for (blocks <- Seq(1, 5, 48)) {
+      val got = Packing.exclusivePrefixSumBy(df,
+          Seq(col("score").desc, col("id")), "n", "start", blocks,
+          totCol = Some("tot")).collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("start"), r.getAs[Long]("tot")))).toMap
+      assert(got.view.mapValues(_._1).toMap === naive, s"numBlocks=$blocks")
+      assert(got.values.forall(_._2 == total),
+        s"totCol wrong at numBlocks=$blocks")
+    }
+  }
 }

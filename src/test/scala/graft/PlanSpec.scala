@@ -342,14 +342,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("array battery is map-only: one exchange (the output sort), " +
-      "no join, filter pushed to the scan (q53)") {
+      "no join, HOF projection detached from the parquet scan (q53)") {
     val p = plan("q53_array_battery")
     // one node-header occurrence (the formatted dump repeats each node in
     // its detail section)
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p)
-    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), " +
-      "LessThan(l_orderkey,50)]"), p)
+    // since round 7 the query localCheckpoints its literal-bounded slice
+    // before the 8-function HOF projection (whose per-invocation janino
+    // compile dominated the query 17x when fused with the scan stage) —
+    // the outer plan must therefore read the materialized RDD, and the
+    // scan-side pushdown now lives in the checkpoint's own (inner) plan
+    assert(p.contains("Scan ExistingRDD"), p)
+    // the pushdown is still asserted — on the slice the query checkpoints
+    val inner = graft.Tables.load(spark, sf, "lineitem")
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") < 50)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_linenumber"))
+      .queryExecution.explainString(FormattedMode)
+    assert(inner.contains("PushedFilters: [IsNotNull(l_orderkey), " +
+      "LessThan(l_orderkey,50)]"), inner)
   }
 
   test("link prediction never goes cartesian: wedge self-join is " +

@@ -132,6 +132,44 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("__chunk"), "expected the chunked first stage")
   }
 
+  test("chunkedVectorSum is bit-identical per component to the exploded " +
+      "chunkedOrderedSum fold (skewed groups, repartition-invariant)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 150).map { i =>
+      val label = if (i < 120) "hot" else s"cold${i % 3}"
+      (i.toLong * 5 + 1, label, Array.fill(7)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("id", "label", "v").repartition(13)
+    val vec = Similarity.chunkedVectorSum(df, Seq("label"), "id", "v",
+        chunkSize = 16)
+      .collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[collection.Seq[Double]]("s").toIndexedSeq,
+          r.getAs[Long]("cnt")))).toMap
+    val exploded = df.select(col("label"), col("id"),
+      posexplode(col("v")).as(Seq("idx", "comp")))
+    val scalar = Similarity.chunkedOrderedSum(exploded, Seq("label", "idx"),
+        "id", "comp", chunkSize = 16)
+      .collect()
+      .groupBy(_.getAs[String]("label"))
+      .map { case (lbl, rs) =>
+        lbl -> rs.sortBy(_.getAs[Int]("idx"))
+          .map(r => (r.getAs[Double]("s"), r.getAs[Long]("cnt")))
+      }
+    assert(vec.keySet === scalar.keySet)
+    vec.foreach { case (lbl, (sv, cnt)) =>
+      val sc = scalar(lbl)
+      assert(sv.length === sc.length, s"label $lbl dim")
+      sv.indices.foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(sv(i)) ===
+          java.lang.Double.doubleToLongBits(sc(i)._1),
+          s"label $lbl component $i")
+      }
+      assert(cnt === sc.head._2, s"label $lbl cnt")
+    }
+  }
+
   test("k-means refinement never increases inertia over the sampled seed") {
     def inertia(cents: org.apache.spark.sql.DataFrame): Double =
       Similarity.ivfAssign(emb, cents)
