@@ -72,18 +72,39 @@ object Bench {
       s""""queries":$qs,"partial_passes":$done,""" +
       s""""streaming_rows_per_sec":-1.000,"sf":"$sfDir"}"""
     }
-    var mins = Map.empty[String, Double]
+    // Failed samples must NOT become the reported minimum: a transient
+    // per-pass failure is usually much faster than the healthy run, and
+    // min-of-N would otherwise record a phantom speedup with no marker.
+    // A query's value is the min over its SUCCESSFUL samples; only a
+    // query that failed every pass falls back to its fastest
+    // time-to-failure, and every query with ≥1 failed sample is listed
+    // in the JSON's "failed" field.
+    var okMins = Map.empty[String, Double]
+    var anyMins = Map.empty[String, Double]
+    var failCounts = Map.empty[String, Int]
     (1 to 3).foreach { pass =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
-        mins = mins.updated(name,
-          math.min(mins.getOrElse(name, Double.MaxValue), t))
+        anyMins = anyMins.updated(name,
+          math.min(anyMins.getOrElse(name, Double.MaxValue), t))
+        if (ok) okMins = okMins.updated(name,
+          math.min(okMins.getOrElse(name, Double.MaxValue), t))
+        else failCounts = failCounts.updated(name,
+          failCounts.getOrElse(name, 0) + 1)
       }
-      Files.writeString(outPath, partialLine(mins, pass))
+      Files.writeString(outPath,
+        partialLine(ordered.map { case (n, _) =>
+          n -> okMins.getOrElse(n, anyMins(n))
+        }.toMap, pass))
     }
-    val results = ordered.map { case (name, _) => name -> mins(name) }
+    val results = ordered.map { case (name, _) =>
+      name -> okMins.getOrElse(name, anyMins(name))
+    }
+    val failedQueries = failCounts.keys.toSeq.sorted
     // Streaming throughput: replay the events fixture through the
     // watermarked windowed-count aggregation (the canonical streaming
     // plan) under AvailableNow, into the noop sink — measures the
@@ -150,8 +171,11 @@ object Bench {
       val sf = if (short) new java.io.File(sfDir).getName else sfDir
       val omitted = if (keep < results.size)
         s""""omitted":${results.size - keep},""" else ""
+      val failed = if (failedQueries.isEmpty) ""
+        else failedQueries.map("\"" + _ + "\"")
+          .mkString(""""failed":[""", ",", "],")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${qJson(short, decimals, keep)},$omitted""" +
+      s""""queries":${qJson(short, decimals, keep)},$omitted$failed""" +
       s""""streaming_rows_per_sec":${rN(streamingRate, if (short) 1 else 3)},""" +
       s""""load":[${rN(loadStart, 2)},${rN(loadEnd, 2)}],"procs":$procs,""" +
       s""""passes":3,"sf":"$sf"}"""

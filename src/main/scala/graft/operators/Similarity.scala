@@ -251,7 +251,15 @@ object Similarity {
       aggregate(arr, lit(null).cast("array<double>"),
         (a, x) => when(a.isNull, transform(x, p => lit(0.0) + p))
           .otherwise(zip_with(a, x, (p, q) => p + q)))
-    df.withColumn("__chunk", expr(s"$ordCol div $chunkSize"))
+    // NULL vectors contribute nothing, exactly like the posexplode
+    // formulation (which emits zero rows for them) — without this
+    // filter a null mid-fold would null the accumulator and the
+    // when(isNull) branch would silently RESTART the sum from the next
+    // vector. Vectors are assumed uniform-dimension (the repo's
+    // embedding contract); ragged inputs need the scalar per-(key, idx)
+    // [[chunkedOrderedSum]], which counts per component.
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__chunk", expr(s"$ordCol div $chunkSize"))
       .groupBy(keyCols :+ col("__chunk"): _*)
       .agg(foldVecs(transform(
           array_sort(collect_list(struct(col(ordCol), col(vecCol)))),

@@ -35,17 +35,19 @@ object Extras4 {
 
     // Pareto/ABC classification of parts by revenue: cumulative revenue
     // share cutoffs at 80% (A) and 95% (B), all comparisons as exact
-    // integer cross-products — no double enters the class decision. The
-    // part dimension grows linearly with SF (~lineitem/30), so the
-    // cumulative sum must NOT be one global window over it (a single
-    // task ranking 2×10^10 rows at the 100 TB point): it runs on
-    // Packing's two-level block scan ordered by (rev desc, partkey) —
-    // the DECIMAL(18,2) revenue rescales exactly to long cents, the
-    // block prefix sum is integer (associative, so block split never
-    // changes values), and the ABC cutoffs compare as 5·cum ≤ 4·tot /
-    // 20·cum ≤ 19·tot (⇔ cum/tot ≤ 0.8 / 0.95 exactly; max factor 20
-    // keeps 100 TB totals inside long range). The grand total rides a
-    // broadcast 1-row aggregate, not Window.partitionBy().
+    // DECIMAL cross-products (cum*100 ≤ tot*80) — no double or truncated
+    // rescaling enters the class decision (rev = price × (1−disc) is
+    // scale-4 decimal; an integer-cents rescale would silently truncate
+    // it and diverge from the oracle near the cutoffs, and cents·20
+    // overflows long at the 100 TB total). The part dimension grows
+    // linearly with SF (~lineitem/30), so the cumulative sum must NOT
+    // be one global window over it (a single task ranking 2×10^10 rows
+    // at the 100 TB point): it runs on Packing's two-level block scan
+    // ordered by (rev desc, partkey) — decimal addition is exact and
+    // associative, so the block split never changes values, and
+    // DECIMAL(38) holds 100 TB-scale cum·100 with >15 digits to spare.
+    // The grand total rides the block summary (totCol), not
+    // Window.partitionBy() and not a second scan.
     "q88_abc_pareto" -> { (s, dir) =>
       // localCheckpoint: the block scan's range-boundary sampling would
       // otherwise re-execute the whole lineitem aggregation; the
@@ -53,27 +55,20 @@ object Extras4 {
       val rev = t(s, dir, "lineitem")
         .groupBy(col("l_partkey"))
         .agg(sum(drev(col("l_extendedprice"), col("l_discount"))).as("rev"))
-        .withColumn("cents", (col("rev") * 100).cast("long"))
         .localCheckpoint(false)
-      // the grand total rides the block summary (totCol) — a separate
-      // rev.agg would re-run the whole lineitem aggregation; the share
-      // denominator reconstructs the decimal total from exact cents
-      // (cents < 2^53 cast exactly; /100.0 correctly rounds — the same
-      // double CAST(sum AS DOUBLE) yields)
       Packing.exclusivePrefixSumBy(rev,
-          Seq(col("rev").desc, col("l_partkey")), "cents", "excl",
-          totCol = Some("totc"))
-        .withColumn("cum", col("excl") + col("cents"))
+          Seq(col("rev").desc, col("l_partkey")), "rev", "excl",
+          totCol = Some("tot"))
+        .withColumn("cum", col("excl") + col("rev"))
         .withColumn("abc_class",
-          when(col("cum") * 5 <= col("totc") * 4, "A")
-            .when(col("cum") * 20 <= col("totc") * 19, "B")
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
             .otherwise("C"))
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"),
           sum(col("rev")).cast("double").as("class_revenue"),
           round(sum(col("rev")).cast("double") /
-            (max(col("totc")).cast("double") / 100.0), 6)
-            .as("revenue_share"))
+            max(col("tot")).cast("double"), 6).as("revenue_share"))
         .orderBy(col("abc_class"))
     },
 
@@ -914,7 +909,11 @@ object Extras4 {
       val dfc = t(s, dir, "documents")
         .select(explode(Dedup.shingles(col("text"), 3)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // localCheckpoint: the histogram is referenced twice (rows +
+      // grand total) and is tiny; without the pin the shingle pipeline
+      // would re-execute for the total whenever exchange reuse misses
       val spec = dfc.groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+        .localCheckpoint(false)
       spec.crossJoin(broadcast(spec.agg(sum(col("n_grams")).as("__tot"))))
         .withColumn("share",
           floor(col("n_grams").cast("double") * 1000000 /

@@ -133,8 +133,11 @@ object Extras5 {
       val exploded = emb.select(col("vec_id").as("id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("idx", "comp")))
-      // N rides the fold's own cnt (constant per idx) — no standalone
-      // count() action, no extra corpus scan
+      // N rides the fold's own cnt — no standalone count() action, no
+      // extra corpus scan. cnt is per-idx, which equals the oracle's
+      // global count(*) under the repo's embedding contract (uniform
+      // dimension, no null components); a ragged corpus would need the
+      // explicit global count back
       val mean = Similarity
         .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
         .select(col("idx"), (col("s") / col("cnt")).as("m"), col("cnt"))
@@ -394,8 +397,11 @@ object Extras5 {
       val exploded = emb.select(col("vec_id").as("id"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("idx", "comp")))
-      // N rides the fold's own cnt (constant per idx) — no standalone
-      // count() action, no extra corpus scan
+      // N rides the fold's own cnt — no standalone count() action, no
+      // extra corpus scan. cnt is per-idx, which equals the oracle's
+      // global count(*) under the repo's embedding contract (uniform
+      // dimension, no null components); a ragged corpus would need the
+      // explicit global count back
       val mean = Similarity
         .chunkedOrderedSum(exploded, Seq("idx"), "id", "comp", 256)
         .select(col("idx"), (col("s") / col("cnt")).as("m"), col("cnt"))

@@ -5,19 +5,44 @@ given runs — each run is itself a min over Bench's interleaved passes —
 and rewrites everything from the table header line to the end of the
 table, leaving the narrative above it untouched (edit that by hand).
 
-Usage: rebaseline.py <commit> <out.md-path> <bench.json> [bench.json ...]
+Refuses crash-partial bench files (partial_passes marker) and runs whose
+`sf` basename disagrees with the expected scale factor, unless
+--allow-partial / --sf <name> override them — a partial or wrong-scale
+run silently poisoning the baseline is exactly the failure mode the
+round-7 protocol exists to prevent.
+
+Usage: rebaseline.py [--allow-partial] [--sf sf0.1] <commit> <out.md>
+       <bench.json> [bench.json ...]
 """
 import json
+import os
 import sys
 
 
 def main() -> None:
-    commit, md_path, *runs = sys.argv[1:]
+    args = sys.argv[1:]
+    allow_partial = "--allow-partial" in args
+    args = [a for a in args if a != "--allow-partial"]
+    sf_expected = "sf0.1"
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_expected = args[i + 1]
+        del args[i:i + 2]
+    commit, md_path, *runs = args
+
     per = {}
     for path in runs:
         with open(path) as f:
-            queries = json.load(f)["queries"]
-        for name, sec in queries.items():
+            data = json.load(f)
+        if "partial_passes" in data and not allow_partial:
+            sys.exit(f"{path}: crash-partial run (partial_passes="
+                     f"{data['partial_passes']}); pass --allow-partial "
+                     "to use it anyway")
+        sf = os.path.basename(str(data.get("sf", "")))
+        if sf != sf_expected:
+            sys.exit(f"{path}: sf={sf!r} does not match expected "
+                     f"{sf_expected!r}; pass --sf to override")
+        for name, sec in data["queries"].items():
             per[name] = min(per.get(name, float("inf")), sec)
 
     with open(md_path) as f:
@@ -33,9 +58,10 @@ def main() -> None:
     while end < len(lines) and lines[end].startswith("|"):
         end += 1
 
+    sf_num = sf_expected.removeprefix("sf")
     conf = "local[32], shuffle=32, AQE on"
     rows = [header, "|---|---|---|---|---|\n"] + [
-        f"| {name} | 0.1 | {per[name]:.2f} | {conf} | {commit} |\n"
+        f"| {name} | {sf_num} | {per[name]:.2f} | {conf} | {commit} |\n"
         for name in sorted(per)
     ]
     with open(md_path, "w") as f:
