@@ -525,6 +525,29 @@ object Dedup {
       .parquet(s"$path/bands")
   }
 
+  /** Persist the certified near-dup pair set — [[minhashPairs]] output,
+    * (a, b, n_eq, est_jaccard) — as a parquet pair index. The pair set
+    * is the input of every downstream graph/cluster/split analysis
+    * (components, triangles, modularity, leak-free splits, …); at 100 TB
+    * it is computed ONCE per corpus snapshot and each analyzer reads the
+    * key-sized index (~pairs × 28 bytes, ~10^-5 of the corpus) instead
+    * of re-shingling a byte of text. Bit-exact roundtrip: longs/ints/
+    * doubles through parquet are lossless (DedupSpec certifies identity
+    * against a fresh [[minhashPairs]] run).
+    */
+  def writePairIndex(corpus: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4, minJaccardPct: Int = 50,
+      maxBucket: Int = 200): Unit =
+    minhashPairs(corpus, idCol, textCol, k, bands, minJaccardPct,
+        maxBucket, capMetricName = "pair_index_bands_cap")
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writePairIndex]] back. */
+  def pairsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** [[incrementalDedup]] against a [[writeDedupIndex]] on disk — same
     * output contract, bit-identical result (DedupSpec), corpus never
     * touched.

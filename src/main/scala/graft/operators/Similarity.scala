@@ -348,6 +348,14 @@ object Similarity {
         Seq.empty, "id", "x", chunkSize)
       .select(transform(col("s"), p => p / col("cnt")).as("mu"),
         col("cnt").as("__n"))
+      // Loud failure on an empty corpus (ADVICE r7): the global fold
+      // yields one row with null s/cnt there, which would silently
+      // propagate null loadings through every iteration. assert_true
+      // evaluates when the checkpointed row materializes — same failure
+      // point as the old first()-based dim probe, without its extra job.
+      .withColumn("__nonempty", assert_true(
+        col("__n").isNotNull && col("__n") > 0,
+        lit("powerIteration: empty embedding corpus (cnt=0)")))
       .localCheckpoint(false)
     val centered = emb
       .select(col(idCol).as("id"),

@@ -425,6 +425,16 @@ object TextAnalysis {
     * ([b,b,b,b] + (b,b) → [bb,bb]). Identical in the oracle's
     * replace(). Words containing U+0001 are excluded on both engines
     * (they would corrupt the encoding).
+    *
+    * BOUND: each merge is one vocabulary-sized Spark job plus a 1-row
+    * driver round-trip, SEQUENTIALLY — cost is O(nMerges) jobs, fine for
+    * the demo grain (nMerges=3) but a production tokenizer's ~30k merges
+    * would mean ~30k sequential jobs (hours of scheduler latency alone).
+    * Promoting tokenizer training beyond demo grain needs a batched
+    * top-m variant (take the top m pairs sharing no symbol with a
+    * higher-ranked pick per pass, ~nMerges/m rounds, slightly non-greedy
+    * order). Train ONCE per corpus and ship the merge table as a model
+    * artifact — the query layer shares one table via Shared.bpeMerges.
     */
   def bpeTrain(docs: DataFrame, nMerges: Int = 3,
       textCol: String = "text"): DataFrame = {

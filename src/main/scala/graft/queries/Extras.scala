@@ -135,17 +135,7 @@ object Extras {
     // k-hop reachability counts over the customer–supplier interaction
     // graph (same edge universe as g01/g02): frontier BFS, 3 levels.
     "g07_khop" -> { (s, dir) =>
-      val cs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000).as("supp"))
-      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
-        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
-        .distinct()
-      val seeds = e.select(col("src").as("seed")).distinct()
-        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
-      Graph.kHopCounts(e, seeds, k = 3)
+      Shared.khop3(s, dir)
         .orderBy(col("seed"), col("dist"))
     },
 
@@ -153,17 +143,7 @@ object Extras {
     // Σ n_d / d — the distance-discounted influence score, computed on
     // the same frontier BFS (no extra graph passes).
     "g08_harmonic" -> { (s, dir) =>
-      val cs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000).as("supp"))
-      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
-        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
-        .distinct()
-      val seeds = e.select(col("src").as("seed")).distinct()
-        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
-      Graph.kHopCounts(e, seeds, k = 3)
+      Shared.khop3(s, dir)
         .groupBy(col("seed"))
         .agg(
           sum(when(col("dist") === 1, col("n_nodes")).otherwise(0L))

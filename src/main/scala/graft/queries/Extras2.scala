@@ -127,7 +127,7 @@ object Extras2 {
     // community over exact integer edge/degree counts.
     "g09_source_modularity" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val e = Dedup.minhashPairs(docs).select(col("a"), col("b"))
+      val e = Shared.pairs(s, dir).select(col("a"), col("b"))
       val src = docs.select(col("doc_id"), col("source"))
       val tot = e.agg(count(lit(1)).as("m"))
       val deg = e.select(explode(array(col("a"), col("b"))).as("doc_id"))
@@ -263,7 +263,7 @@ object Extras2 {
     "d35_threshold_sweep" -> { (s, dir) =>
       val w = Window.orderBy(col("n_eq").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Dedup.minhashPairs(t(s, dir, "documents"))
+      Shared.pairs(s, dir)
         .groupBy(col("n_eq")).agg(count(lit(1)).as("n_pairs"))
         .withColumn("n_pairs_at_least", sum(col("n_pairs")).over(w))
         .withColumn("threshold_jaccard",
@@ -305,7 +305,7 @@ object Extras2 {
     // shape check (power law vs template blowup) run before any graph
     // algorithm is trusted.
     "g10_degree_hist" -> { (s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"))
+      Shared.pairs(s, dir)
         .select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))

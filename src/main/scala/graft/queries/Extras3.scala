@@ -252,7 +252,7 @@ object Extras3 {
     "g11_source_conductance" -> { (s, dir) =>
       val d = t(s, dir, "documents")
       val src = d.select(col("doc_id"), col("source"))
-      val edges = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val edges = Shared.pairs(s, dir).select(col("a"), col("b"))
         .join(src.select(col("doc_id").as("a"),
           col("source").as("sa")), Seq("a"))
         .join(src.select(col("doc_id").as("b"),
@@ -409,7 +409,7 @@ object Extras3 {
     // edge in the canonical (a<b) set. Same certified minhash pair
     // set as g01-g11.
     "g12_clustering_coeff" -> { (s, dir) =>
-      val edges = Dedup.minhashPairs(t(s, dir, "documents"))
+      val edges = Shared.pairs(s, dir)
         .select(col("a"), col("b"))
       val und = edges.select(col("a").as("v"), col("b").as("w"))
         .unionByName(edges.select(col("b").as("v"), col("a").as("w")))
@@ -466,7 +466,7 @@ object Extras3 {
     // Composes the certified cluster chain with one join to documents.
     "d36_dup_inflation" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val dropped = Dedup.connectedComponents(pairs)
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as("doc_id"), lit(true).as("is_dropped"))

@@ -283,7 +283,7 @@ object Extras4 {
     // whitespace token counts; one doc-keyed join + source-sized agg.
     "t49_token_yield" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val surv = Dedup.dropNearDuplicates(d, pairs)
         .select(col("doc_id"), lit(1).as("kept"))
       val tok = d.select(col("doc_id"), col("source"),
@@ -342,7 +342,7 @@ object Extras4 {
         // double→int rounding (truncate vs round-to-nearest)
         .withColumn("decile",
           floor(col("rk") * 10 / col("n")).cast("int"))
-      val inCluster = Dedup.minhashPairs(d)
+      val inCluster = Shared.pairs(s, dir)
         .select(explode(array(col("a"), col("b"))).as("doc_id"))
         .distinct().withColumn("dup", lit(1))
       ranked.join(inCluster, Seq("doc_id"), "left")
@@ -648,7 +648,7 @@ object Extras4 {
     // plurality partition actually concentrate edges, or did it shred a
     // real structure? Positive q_contrib per community = real cluster.
     "g17_community_modularity" -> { (s, dir) =>
-      val e = Dedup.minhashPairs(t(s, dir, "documents"))
+      val e = Shared.pairs(s, dir)
         .select(col("a"), col("b"))
       val labels = Graph.labelPropagation(
           e.select(col("a").as("src"), col("b").as("dst")),
@@ -888,7 +888,7 @@ object Extras4 {
     // borderline band matches — the centrality that finds the canonical
     // template of a boilerplate family.
     "g16_weighted_pagerank" -> { (s, dir) =>
-      val p = Dedup.minhashPairs(t(s, dir, "documents"))
+      val p = Shared.pairs(s, dir)
         .select(col("a"), col("b"), col("n_eq"))
       val edges = p.select(col("a").as("src"), col("b").as("dst"),
           col("n_eq").as("w"))
@@ -1090,7 +1090,7 @@ object Extras4 {
     // spoke boilerplate. Exact integer moments over the symmetrized
     // certified edge set; ONE closed double formula.
     "g14_assortativity" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(t(s, dir, "documents"))
+      val pairs = Shared.pairs(s, dir)
         .select(col("a"), col("b"))
       val edges = pairs.union(pairs.select(col("b").as("a"),
         col("a").as("b")))
@@ -1139,7 +1139,7 @@ object Extras4 {
     // dedup run never sees. Two doc joins + one lang²-sized aggregation.
     "d38_cross_lang_dup" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val la = d.select(col("doc_id").as("a"), col("lang").as("lang_a0"))
       val lb = d.select(col("doc_id").as("b"), col("lang").as("lang_b0"))
       val m = pairs.join(la, "a").join(lb, "b")
@@ -1178,7 +1178,7 @@ object Extras4 {
     // certifies the composition.
     "d39_ppr_curation" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val edges = pairs
         .select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst")))
@@ -1269,7 +1269,7 @@ object Extras4 {
     // whether duplication mass sits in dense template families (core)
     // or borderline chains (periphery).
     "g15_core_edge_split" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(t(s, dir, "documents"))
+      val pairs = Shared.pairs(s, dir)
         .select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
@@ -1303,7 +1303,7 @@ object Extras4 {
     // cluster-sized aggregations.
     "d37_cluster_density" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val cl = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       val members = cl.groupBy(col("cluster_id"))

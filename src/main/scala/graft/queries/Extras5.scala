@@ -20,6 +20,17 @@ object Extras5 {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Pair-index roundtrip certification: read the SESSION'S shared
+    // near-dup pair index (the parquet artifact every g/d/t-family
+    // consumer reads, Shared.pairs → Dedup.writePairIndex/pairsFromIndex)
+    // back and hash-match it against the same DuckDB minhash oracle that
+    // certifies d02's from-scratch computation — proof the
+    // persist-once/read-many path is value-identical to recomputing
+    // (the ivfSearchFromIndex identity discipline, VERDICT r7 item 3).
+    "g19_pair_index" -> { (s, dir) =>
+      Shared.pairs(s, dir).orderBy(col("a"), col("b"))
+    },
+
     // Backfill coverage matrix: per (partition, day), message counts
     // ZERO-FILLED from a bounds-derived day spine × the partition set —
     // the empty cells ARE the answer (where a replay/backfill must run).
@@ -180,20 +191,11 @@ object Extras5 {
     // whole graph) — the small-world check that tells you how many hops
     // an influence/contamination walk actually needs.
     "g18_reach_summary" -> { (s, dir) =>
-      val cs = t(s, dir, "orders")
-        .join(t(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-      val e = cs.select(col("cust").as("src"), col("supp").as("dst"))
-        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
-        .distinct()
-      val seeds = e.select(col("src").as("seed")).distinct()
-        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      val e = Shared.orderGraphEdges(s, dir)
       val nNodes = e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
         .agg(count(lit(1)).as("n_graph"))
-      Graph.kHopCounts(e, seeds, k = 3)
+      Shared.khop3(s, dir)
         .groupBy(col("seed"))
         .agg(max(when(col("n_nodes") > 0, col("dist"))).as("max_dist"),
           sum(col("n_nodes")).as("n_reached"))
@@ -211,7 +213,7 @@ object Extras5 {
     // a mixed one is translation).
     "t56_cluster_lang_purity" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val cl = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       val j = cl.join(d.select(col("doc_id"), col("lang")), "doc_id")
@@ -364,7 +366,7 @@ object Extras5 {
     // deterministic sorted csv.
     "d43_pair_explain" -> { (s, dir) =>
       val d = t(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d)
+      val pairs = Shared.pairs(s, dir)
       val sigs = Dedup.minhashSignatures(d.repartition(col("doc_id")))
       val bandsL = Dedup.minhashBands(sigs)
         .select(col("doc_id").as("a"), col("band_idx"), col("band_val"))
@@ -590,6 +592,13 @@ object Extras5 {
           round(nrm / n, 6) AS raynorm FROM n3, nv)"""
 
   val oracles: Map[String, String] = Map(
+
+    // Identical to d02's oracle by design: the roundtripped index must
+    // hash-match what recomputing from the corpus produces.
+    "g19_pair_index" -> s"""
+      WITH ${NorthStar.MinhashCtes}
+      SELECT a, b, n_eq, CAST(n_eq AS DOUBLE) / 16 AS est_jaccard
+      FROM pairs WHERE n_eq * 100 >= 800 ORDER BY a, b""",
 
     // Both paths unrolled: the pre-filtered exact truth (label gate
     // before the cosine), the s03-shaped IVF top-k post-filtered by the

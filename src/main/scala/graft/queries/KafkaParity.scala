@@ -149,6 +149,32 @@ object KafkaParity {
         .orderBy(col("partition"))
     },
 
+    // TRUE streaming execution under the oracle gate (VERDICT r7 item 2):
+    // the canonical streaming plan — AvailableNow replay of the events
+    // fixture → watermarked 5-minute tumbling counts per key → parquet
+    // sink — actually runs through MicroBatchExecution (source →
+    // state store → append-mode emission), and the files the sink wrote
+    // are the query result. Append mode only emits windows the final
+    // watermark (max event time − 10 min lateness) has closed, so the
+    // batch oracle applies the same cutoff; the fixture replays as ONE
+    // micro-batch (single file), so no row is ever late-dropped and the
+    // no-data flush batch finalizes everything below the watermark.
+    // Deterministic end-to-end — the rare CORRECTNESS row whose Spark
+    // side is a real streaming run.
+    "k18_streaming_counts" -> { (s, dir) =>
+      val out = java.nio.file.Files.createTempDirectory("graft-k18-out")
+      val cp = java.nio.file.Files.createTempDirectory("graft-k18-cp")
+      val q = graft.streaming.StreamOps.windowedCounts(
+          graft.streaming.StreamOps.replayStream(s, dir))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out.toString).orderBy(col("bucket"), col("key"))
+    },
+
     // Time-range-pruned scan: `start_ts`/`end_ts` named args — broker
     // timestamp-index offset resolution in production
     // (startingTimestamp/endingTimestamp), the second pushdown the
@@ -236,6 +262,18 @@ object KafkaParity {
       FROM wins, ov
       WHERE n_errors * n_total * 2 >= e_total * n * 3
       ORDER BY win_start""",
+
+    // Same cutoff the streaming run applies: append mode emits a window
+    // once the watermark (max event time − 10 min) reaches its END.
+    "k18_streaming_counts" -> s"""
+      WITH r AS ($replaySql),
+      m AS (SELECT max("timestamp") - INTERVAL 10 MINUTE AS wm FROM r),
+      w AS (SELECT time_bucket(INTERVAL 5 MINUTE, "timestamp") AS bucket,
+              "key", count(*) AS n
+            FROM r GROUP BY 1, 2)
+      SELECT bucket, "key", n FROM w, m
+      WHERE bucket + INTERVAL 5 MINUTE <= wm
+      ORDER BY bucket, "key"""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,

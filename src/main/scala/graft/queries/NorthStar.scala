@@ -91,7 +91,7 @@ object NorthStar {
     // Pairs → clusters: min-label propagation over the minhash pair graph
     // (each cluster labeled by its minimum doc_id, the canonical keeper).
     "d08_dup_clusters" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(docs(s, dir)).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
         .orderBy(col("doc_id"))
@@ -101,7 +101,7 @@ object NorthStar {
     // Output is corpus-level stats of the surviving documents.
     "d09_dedup_corpus" -> { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       Dedup.dropNearDuplicates(d, pairs)
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("sum_chars"),
@@ -117,7 +117,7 @@ object NorthStar {
     // cluster picks the canonical doc.
     "d19_cluster_canonical" -> { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       val clusters = Dedup.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
       val q = TextAnalysis.withQuality(d)
@@ -235,7 +235,7 @@ object NorthStar {
     // Triangle counts over the certified near-dup pair graph — dense
     // boilerplate clusters close triangles, borderline chains don't.
     "g02_triangles" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(docs(s, dir))
+      val pairs = Shared.pairs(s, dir)
         .select(col("a").as("src"), col("b").as("dst"))
       Graph.triangleCounts(pairs).orderBy(col("id"))
     },
@@ -245,7 +245,7 @@ object NorthStar {
     // connected components which merge through every borderline chain
     // edge. Node ids are numeric (the tie rule negates the label).
     "g03_label_prop" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(docs(s, dir))
+      val pairs = Shared.pairs(s, dir)
         .select(col("a").as("src"), col("b").as("dst"))
       Graph.labelPropagation(pairs, iterations = 3).orderBy(col("id"))
     },
@@ -255,7 +255,7 @@ object NorthStar {
     // borderline matches peel away. core_deg >= 3 on every row
     // certifies the bounded-round peel converged.
     "g05_kcore" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(docs(s, dir))
+      val pairs = Shared.pairs(s, dir)
         .select(col("a").as("src"), col("b").as("dst"))
       Graph.kCore(pairs, k = 3, rounds = 3).orderBy(col("id"))
     },
@@ -273,7 +273,7 @@ object NorthStar {
     },
 
     "g04_link_prediction" -> { (s, dir) =>
-      val pairs = Dedup.minhashPairs(docs(s, dir))
+      val pairs = Shared.pairs(s, dir)
         .select(col("a").as("src"), col("b").as("dst"))
       Graph.linkPrediction(pairs, maxCenterDegree = 200)
         .orderBy(col("a"), col("b"))
@@ -320,12 +320,12 @@ object NorthStar {
     // the depth bound is mirrored in the oracle. Rows per level are
     // bounded by the doc count — never path-enumeration explosion.
     "q49_recursive_cte" -> { (s, dir) =>
-      // Materialize the edge table: the recursion's working set joins
-      // this view EVERY level, and a lazy view would re-run the whole
-      // minhash pipeline once per UnionLoop iteration (measured 4x the
-      // query's total cost at sf0.1).
-      Dedup.minhashPairs(docs(s, dir)).select(col("a"), col("b"))
-        .localCheckpoint()
+      // The edge table must be materialized: the recursion's working set
+      // joins this view EVERY level, and a lazy minhash view would re-run
+      // the whole pipeline once per UnionLoop iteration (measured 4x the
+      // query's total cost at sf0.1). The shared pair index IS that
+      // materialization — each level re-scans the key-sized parquet.
+      Shared.pairs(s, dir).select(col("a"), col("b"))
         .createOrReplaceTempView("q49_pairs")
       s.sql("""
         WITH RECURSIVE succ AS (
@@ -494,7 +494,7 @@ object NorthStar {
     // content hash — the contamination-proof version of d07.
     "t29_leakfree_split" -> { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.minhashPairs(d).select(col("a"), col("b"))
+      val pairs = Shared.pairs(s, dir).select(col("a"), col("b"))
       Sampling.leakFreeSplit(d, pairs)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
@@ -967,7 +967,7 @@ object NorthStar {
     // BPE tokenizer training: 3 greedy most-frequent-pair merges from
     // character symbols over the word-frequency table.
     "t13_bpe_train" -> { (s, dir) =>
-      TextAnalysis.bpeTrain(docs(s, dir)).orderBy(col("merge_rank"))
+      Shared.bpeMerges(s, dir).orderBy(col("merge_rank"))
     },
 
     // BPE encoding with the merges trained by t13: the tiny merge table is
@@ -975,7 +975,7 @@ object NorthStar {
     // collect), then the corpus encode is one map-only scan.
     "t14_bpe_encode" -> { (s, dir) =>
       val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrain(d).orderBy(col("merge_rank"))
+      val merges = Shared.bpeMerges(s, dir).orderBy(col("merge_rank"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(d, merges).orderBy(col("doc_id"))
     },
@@ -987,7 +987,7 @@ object NorthStar {
     // aggregation of exact integer counts.
     "t40_fertility" -> { (s, dir) =>
       val d = docs(s, dir)
-      val merges = TextAnalysis.bpeTrain(d).orderBy(col("merge_rank"))
+      val merges = Shared.bpeMerges(s, dir).orderBy(col("merge_rank"))
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       TextAnalysis.bpeEncode(d, merges)
         .join(d.select(col("doc_id"), col("lang")), "doc_id")

@@ -1,0 +1,99 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Graph}
+
+/** Session-scoped shared analysis artifacts (VERDICT r7 item 3).
+  *
+  * The g/d/t-family queries all analyze the SAME two derived relations —
+  * the certified near-dup pair set over `documents` and the 3-hop BFS
+  * reach profile over the customer↔supplier order graph — and before
+  * this object each consumer rebuilt its relation from scratch (~1-2 s
+  * per query at sf0.1; the bulk of the g-family's 35 s). At 100 TB that
+  * is the difference between re-hashing the corpus 25 times and hashing
+  * it ONCE: the pair set is persisted as a key-sized parquet pair index
+  * ([[Dedup.writePairIndex]], the `writeDedupIndex`/`writeIvfIndex`
+  * discipline) and every later consumer only reads the index. The
+  * roundtrip itself is oracle-certified: `g19_pair_index` reads THIS
+  * session index back and must hash-match the same minhash-pairs oracle
+  * that certifies d02's from-scratch computation.
+  *
+  * Memoization is keyed by (SparkContext identity, corpus dir): a new
+  * context (or a different scale factor) rebuilds; entries of a stopped
+  * context are never hit again because its identity key dies with it.
+  */
+private[queries] object Shared {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+
+  private def memo(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    cache.computeIfAbsent(
+      (System.identityHashCode(s.sparkContext), dir, key), _ => build)
+
+  /** The certified near-dup pair set — [[Dedup.minhashPairs]] with its
+    * default parameters over the plain `documents` table — computed once
+    * per (session, dir), persisted as a parquet pair index, and read
+    * back for every consumer. Full (a, b, n_eq, est_jaccard) columns;
+    * parquet roundtrips longs/ints/doubles bit-exactly, so consumer
+    * hashes are unchanged vs recomputing (DedupSpec certifies identity,
+    * g19's oracle certifies it against DuckDB).
+    */
+  def pairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "minhash-pairs") {
+      val path = Files.createTempDirectory("graft-pair-index").toString
+      Dedup.writePairIndex(Tables.load(s, dir, "documents"), path)
+      Dedup.pairsFromIndex(s, path)
+    }
+
+  /** The trained BPE merge table (t13's output), trained once per
+    * (session, dir) and shared by every consumer — t13 certifies it,
+    * t14/t40 encode with it. Before sharing, each consumer re-ran the
+    * whole nMerges-step driver-serialized training chain (VERDICT r7
+    * item 4); a production tokenizer is trained once and shipped as a
+    * model artifact, which is exactly this shape.
+    */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "bpe-merges") {
+      graft.operators.TextAnalysis.bpeTrain(
+        Tables.load(s, dir, "documents")).localCheckpoint()
+    }
+
+  /** The customer↔supplier interaction graph of g01/g07: symmetrized
+    * DISTINCT edges of the orders⋈lineitem bipartite projection,
+    * localCheckpointed once per (session, dir) — the BFS family's edge
+    * universe.
+    */
+  def orderGraphEdges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "order-graph-edges") {
+      val cs = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+      cs.select(col("cust").as("src"), col("supp").as("dst"))
+        .union(cs.select(col("supp").as("src"), col("cust").as("dst")))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  /** The 3-hop reach profile (seed, dist, n_nodes) over
+    * [[orderGraphEdges]] from the canonical seed set (customers with
+    * key % 100 == 0) — g07 reports it directly, g08 and g18 roll it up;
+    * before sharing, each of the three re-ran the whole frontier BFS
+    * (~5 s each at sf0.1, the suite's three most expensive queries).
+    */
+  def khop3(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "khop3") {
+      val e = orderGraphEdges(s, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      Graph.kHopCounts(e, seeds, k = 3).localCheckpoint()
+    }
+}

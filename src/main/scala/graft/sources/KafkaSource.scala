@@ -176,6 +176,17 @@ object KafkaSource {
     col("value").cast("string").as("value"),
     lit(null).cast("string").as("error"))
 
+  /** The connector format [[stream]]/[[read]] resolve: `kafka` (the
+    * spark-sql-kafka connector) unless `graft.kafka.format` overrides it
+    * with another TableProvider class honoring the same option surface —
+    * the integration seam that lets a broker-less environment drive the
+    * FULL option map through real DataSourceV2 resolution (KafkaSourceSpec
+    * does exactly that with a fake in-JVM source), and a production
+    * deployment swap in a patched connector build without code changes.
+    */
+  private[graft] def connectorFormat(spark: SparkSession): String =
+    spark.conf.get("graft.kafka.format", "kafka")
+
   /** Streaming scan — the `SELECT * FROM kafka_consumer(...)` equivalent.
     * Partition-parallel; offsets tracked in the query checkpoint, not broker
     * group commits (delivery-semantics upgrade over cpp:199-203).
@@ -184,7 +195,7 @@ object KafkaSource {
       groupId: String, sasl: Option[SaslConfig] = None,
       maxOffsetsPerTrigger: Option[Long] = None,
       partitions: Option[Seq[Int]] = None): DataFrame =
-    project(spark.readStream.format("kafka")
+    project(spark.readStream.format(connectorFormat(spark))
       .options(streamOptions(brokers, topic, groupId, sasl,
         maxOffsetsPerTrigger, partitions))
       .load())
@@ -221,7 +232,7 @@ object KafkaSource {
       partitions: Option[Seq[Int]] = None,
       startTs: Option[java.sql.Timestamp] = None,
       endTs: Option[java.sql.Timestamp] = None): DataFrame =
-    project(spark.read.format("kafka")
+    project(spark.read.format(connectorFormat(spark))
       .options(readOptions(brokers, topic, groupId, sasl, partitions,
         startTs, endTs))
       .load())

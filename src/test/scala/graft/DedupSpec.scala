@@ -463,4 +463,25 @@ class DedupSpec extends SparkSpec {
     assert(led.map(_._5).sum < led.map(_._3).sum)
     assert(led.map(_._3).sum === 450 + 493 + 5)
   }
+
+  test("pair index roundtrip is value-identical to a fresh minhashPairs " +
+      "run (the Shared.pairs persistence contract)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("pair_idx").toString
+    Dedup.writePairIndex(docs, idx)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val fresh = Dedup.minhashPairs(docs).orderBy("a", "b")
+      .collect().map(key)
+    val fromDisk = Dedup.pairsFromIndex(spark, idx).orderBy("a", "b")
+      .collect().map(key)
+    assert(fromDisk.toSeq === fresh.toSeq)
+    // names AND types must survive the roundtrip too — the driver hash
+    // is type-sensitive (nullability may legitimately widen on read)
+    assert(
+      Dedup.pairsFromIndex(spark, idx).schema
+        .map(f => (f.name, f.dataType)) ===
+      Dedup.minhashPairs(docs).schema
+        .map(f => (f.name, f.dataType)))
+  }
 }
