@@ -663,6 +663,14 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0),
         java.lang.Double.doubleToLongBits(r.getDouble(1)))).toSeq.sorted
     assert(run(2) === run(13))
+    // empty corpus fails LOUDLY (ADVICE r7): the global fold yields a
+    // null-cnt row there, which must not become silent null loadings
+    val e = intercept[Exception] {
+      Similarity.powerIteration(rows.limit(0)).collect()
+    }
+    assert(Option(e.getMessage).getOrElse(e.toString)
+        .contains("empty embedding corpus"),
+      s"expected the empty-corpus guard, got: $e")
   }
 
   test("silhouette: tight well-separated labels score near 1, a label " +
