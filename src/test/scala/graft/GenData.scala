@@ -63,6 +63,12 @@ object GenData {
     val Array(outDir, sfStr) = args.take(2)
     val sf = sfStr.toDouble
     val spark = GraftSession.create("graft-gendata")
+    // Small row groups (4 MB vs the 128 MB default): row groups are the
+    // scan-parallelism unit of a parquet FILE, and the one-file-per-table
+    // layout would otherwise serialize every sf1 table scan onto a single
+    // task — no real large dataset is one row group.
+    spark.sparkContext.hadoopConfiguration
+      .setInt("parquet.block.size", 4 * 1024 * 1024)
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
     val id = col("id")
