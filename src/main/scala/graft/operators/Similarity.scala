@@ -1260,10 +1260,16 @@ object Similarity {
       .filter(col("t") =!= "")
     val counts = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("n_total"))
+    // floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the weight (and the
+    // final value below) are exact rationals that can land precisely on a
+    // .5 tie at the 6th decimal, where Spark's round (HALF_UP on the exact
+    // binary expansion of the double) and DuckDB's (multiply-then-round)
+    // disagree — observed at sf1 (11 of 800k SIF values). The floor form
+    // is pure IEEE double arithmetic, bit-identical in any engine.
     val weights = counts.crossJoin(broadcast(total))
       .select(col("t"),
-        round(lit(a) / (lit(a) +
-          col("c").cast("double") / col("n_total")), 6)
+        (floor(lit(a) / (lit(a) +
+          col("c").cast("double") / col("n_total")) * 1e6 + 0.5) / 1e6)
           .cast("decimal(10,6)").as("w"),
         transform(sequence(lit(0), lit(dim - 1)), d =>
           (md5Long(concat(col("t"), lit(":"), d.cast("string")))
@@ -1283,7 +1289,8 @@ object Similarity {
       .select(col("doc_id"), col("dim"),
         // + 0.0 folds IEEE -0.0 (a negative sum rounding to zero) into
         // +0.0 — engines disagree on the sign bit's survival otherwise
-        (round(col("s").cast("double") / (col("n_tokens") * 1000.0), 6)
+        (floor(col("s").cast("double") / (col("n_tokens") * 1000.0)
+            * 1e6 + 0.5) / 1e6
           + lit(0.0)).as("value"))
   }
 

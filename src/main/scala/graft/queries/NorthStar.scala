@@ -1247,7 +1247,8 @@ object NorthStar {
       cnt AS (SELECT t, count(*) AS c FROM tf GROUP BY t),
       tot AS (SELECT count(*) AS n_total FROM tf),
       wts AS (SELECT t,
-          CAST(round(0.001 / (0.001 + CAST(c AS DOUBLE) / n_total), 6)
+          CAST(floor(0.001 / (0.001 + CAST(c AS DOUBLE) / n_total)
+              * 1000000.0 + 0.5) / 1000000.0
             AS DECIMAL(10,6)) AS w
         FROM cnt, tot),
       ntk AS (SELECT doc_id, count(*) AS n_tokens FROM tf GROUP BY doc_id),
@@ -1257,7 +1258,12 @@ object NorthStar {
       sagg AS (SELECT doc_id, dim, sum(wc) AS s
                FROM comp GROUP BY doc_id, dim),
       sif AS (SELECT sagg.doc_id, sagg.dim,
-          round(CAST(s AS DOUBLE) / (n_tokens * 1000.0), 6) + 0.0 AS value
+          -- floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): mirrors the Spark
+          -- side's tie-proof convention (see Similarity.sifEmbeddings) —
+          -- pure IEEE double ops, bit-identical across engines even when
+          -- the exact rational lands on a .5 tie at the 6th decimal.
+          floor(CAST(s AS DOUBLE) / (n_tokens * 1000.0)
+            * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS value
         FROM sagg JOIN ntk ON ntk.doc_id = sagg.doc_id)"""
 
   /** The s15 projection-matrix entry R(i,j) as DuckDB SQL over fold vars
