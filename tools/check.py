@@ -36,6 +36,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a disk spill path: several
+    # sf1 oracles (token-position CTEs over the 500k-doc corpus) build
+    # >100 GB intermediates and the unbounded default gets OOM-killed
+    # (exit 137) instead of spilling. Overridable for small hosts.
+    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
+    tmp = os.environ.get("CHECK_TMP", "/tmp/graft-duckdb-spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
