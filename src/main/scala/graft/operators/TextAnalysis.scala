@@ -578,9 +578,14 @@ object TextAnalysis {
       .join(c2, Seq("w1", "w2"), "left")
       .join(broadcast(c1), Seq("w1"), "left")
       .crossJoin(broadcast(vsz))
-      .withColumn("lp", round(log(
+      // floor(x·1e6 + 0.5)/1e6, not round(x, 6): rounds identically in
+      // any engine (the SIF convention — Spark's HALF_UP on the exact
+      // binary expansion and DuckDB's multiply-then-round disagree on
+      // .5 ties at the 6th decimal; observed at sf1 in this chain).
+      .withColumn("lp", (floor(log(
           (coalesce(col("c2"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("c1"), lit(0L)) + col("vsz"))), 6).cast(dec))
+            (coalesce(col("c1"), lit(0L)) + col("vsz"))) * 1e6 + 0.5) / 1e6)
+        .cast(dec))
       .groupBy(col(idCol))
       .agg(sum(col("n")).as("n_bigrams"),
         sum(col("lp") * col("n")).as("slp"))
@@ -588,9 +593,10 @@ object TextAnalysis {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(coalesce(col("slp"), lit(0)).cast("double") /
+        (floor(coalesce(col("slp"), lit(0)).cast("double") /
           when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(1L))
-            .otherwise(col("n_bigrams")), 6).as("avg_logp"))
+            .otherwise(col("n_bigrams")) * 1e6 + 0.5) / 1e6
+          + lit(0.0)).as("avg_logp"))
   }
 
   /** Exact corpus heavy hitters with bounded memory everywhere — the

@@ -613,21 +613,21 @@ object Extras {
     "g07_khop" -> """
       WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      e AS (SELECT DISTINCT src, dst FROM (
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
           SELECT cust AS src, supp AS dst FROM cs
           UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
       seeds AS (SELECT DISTINCT src AS seed FROM e
         WHERE src < 1000000 AND src % 100 = 0),
       v0 AS (SELECT seed, seed AS node FROM seeds),
-      f1 AS (SELECT DISTINCT s.seed, e.dst AS node
+      f1 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM v0 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v0),
-      v1 AS (SELECT * FROM v0 UNION SELECT * FROM f1),
-      f2 AS (SELECT DISTINCT s.seed, e.dst AS node
+      v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM f1 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v1),
-      v2 AS (SELECT * FROM v1 UNION SELECT * FROM f2),
-      f3 AS (SELECT DISTINCT s.seed, e.dst AS node
+      v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM f2),
+      f3 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM f2 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v2),
       lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1
@@ -863,21 +863,21 @@ object Extras {
     "g08_harmonic" -> """
       WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      e AS (SELECT DISTINCT src, dst FROM (
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
           SELECT cust AS src, supp AS dst FROM cs
           UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
       seeds AS (SELECT DISTINCT src AS seed FROM e
         WHERE src < 1000000 AND src % 100 = 0),
       v0 AS (SELECT seed, seed AS node FROM seeds),
-      f1 AS (SELECT DISTINCT s.seed, e.dst AS node
+      f1 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM v0 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v0),
-      v1 AS (SELECT * FROM v0 UNION SELECT * FROM f1),
-      f2 AS (SELECT DISTINCT s.seed, e.dst AS node
+      v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM f1 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v1),
-      v2 AS (SELECT * FROM v1 UNION SELECT * FROM f2),
-      f3 AS (SELECT DISTINCT s.seed, e.dst AS node
+      v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM f2),
+      f3 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM f2 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v2),
       lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1

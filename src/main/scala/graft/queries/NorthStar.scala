@@ -1227,17 +1227,20 @@ object NorthStar {
              unnest(generate_series(1, len(w) - 1)) AS t(i)
              WHERE w[i] <> '' AND w[i+1] <> '' GROUP BY 1, 2, 3),
       sc AS (SELECT doc_id, n,
-              CAST(round(ln((coalesce(c2.c2, 0) + 1.0) /
-                            (coalesce(c1.c1, 0) + (SELECT vsz FROM v))), 6)
+              -- floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): mirrors the Spark
+              -- side's portable half-up round (the SIF convention)
+              CAST(floor(ln((coalesce(c2.c2, 0) + 1.0) /
+                            (coalesce(c1.c1, 0) + (SELECT vsz FROM v)))
+                         * 1e6 + 0.5) / 1e6
                    AS DECIMAL(18,6)) AS lp
              FROM db LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)),
       agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
               sum(lp * n) AS slp FROM sc GROUP BY doc_id),
       blm AS (SELECT d.doc_id,
         CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        round(CAST(coalesce(slp, 0) AS DOUBLE) /
-              CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END,
-              6) AS avg_logp
+        floor(CAST(coalesce(slp, 0) AS DOUBLE) /
+              CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 1 ELSE n_bigrams END
+              * 1e6 + 0.5) / 1e6 + 0.0 AS avg_logp
         FROM documents d LEFT JOIN agg USING (doc_id))"""
 
   private lazy val SifCtes = s"""tok AS (
@@ -1597,9 +1600,9 @@ object NorthStar {
     // stage's own certified oracle.
     "d17_modern_pipeline" -> raw"""
       WITH
-      wt0 AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      wt0 AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\s+') AS w
               FROM documents),
-      pos0 AS (SELECT doc_id, i AS pos,
+      pos0 AS MATERIALIZED (SELECT doc_id, i AS pos,
           ${h("array_to_string(w[i:i+7], ' ')")} AS gh
         FROM wt0, unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8),
@@ -1619,9 +1622,12 @@ object NorthStar {
         FROM sp0 GROUP BY doc_id, span_idx),
       tok0 AS (SELECT doc_id, i AS pos, w[i] AS tk
         FROM wt0, unnest(generate_series(1, len(w))) AS t(i)),
+      -- covered-position expansion + hash anti-join (see the d16 oracle:
+      -- the correlated NOT EXISTS range predicate blows up at sf1)
+      cov0 AS (SELECT doc_id, s + j AS pos
+        FROM spans0, unnest(generate_series(0, e - s)) AS u(j)),
       kept0 AS (SELECT t.doc_id, t.pos, t.tk FROM tok0 t
-        WHERE NOT EXISTS (SELECT 1 FROM spans0 s
-          WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+        ANTI JOIN cov0 c ON t.doc_id = c.doc_id AND t.pos = c.pos),
       clean AS (SELECT d.doc_id, coalesce(r.ct, '') AS clean_text
         FROM documents d LEFT JOIN (SELECT doc_id,
             array_to_string(list(tk ORDER BY pos), ' ') AS ct
@@ -1701,9 +1707,9 @@ object NorthStar {
       FROM sp GROUP BY doc_id, span_idx ORDER BY doc_id, span_idx""",
 
     "d16_remove_dup_spans" -> raw"""
-      WITH wt AS (SELECT doc_id, string_split_regex(text, '\s+') AS w
+      WITH wt AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\s+') AS w
                   FROM documents),
-      pos AS (SELECT doc_id, i AS pos,
+      pos AS MATERIALIZED (SELECT doc_id, i AS pos,
           ${h("array_to_string(w[i:i+7], ' ')")} AS gh
         FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8),
@@ -1723,9 +1729,13 @@ object NorthStar {
         FROM sp GROUP BY doc_id, span_idx),
       tok AS (SELECT doc_id, i AS pos, w[i] AS tk
         FROM wt, unnest(generate_series(1, len(w))) AS t(i)),
+      -- expand the (disjoint) spans to covered positions and hash-anti-join:
+      -- the correlated NOT EXISTS range predicate planned as a blowup
+      -- (>120 GB at sf1) where this is linear in covered tokens
+      cov AS (SELECT doc_id, s + j AS pos
+        FROM spans, unnest(generate_series(0, e - s)) AS u(j)),
       kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
-        WHERE NOT EXISTS (SELECT 1 FROM spans s
-          WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+        ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
       reb AS (SELECT doc_id,
           array_to_string(list(tk ORDER BY pos), ' ') AS clean_text,
           count(*) AS n_kept FROM kept GROUP BY doc_id)
@@ -1834,9 +1844,9 @@ object NorthStar {
     // minhashCtes("keep2") — each fragment mirrors its own oracle.
     "d21_curation_pipeline" -> s"""
       WITH RECURSIVE
-      wt0 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
+      wt0 AS MATERIALIZED (SELECT doc_id, string_split_regex(text, '\\s+') AS w
               FROM documents),
-      pos0 AS (SELECT doc_id, i AS pos,
+      pos0 AS MATERIALIZED (SELECT doc_id, i AS pos,
           ${h("array_to_string(w[i:i+7], ' ')")} AS gh
         FROM wt0, unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8),
@@ -1844,12 +1854,12 @@ object NorthStar {
       nov AS (SELECT doc_id, count(*) AS n_grams,
           sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup
         FROM pos0 JOIN cnt0 USING (gh) GROUP BY doc_id),
-      keep1 AS (SELECT d.* FROM documents d JOIN nov USING (doc_id)
+      keep1 AS MATERIALIZED (SELECT d.* FROM documents d JOIN nov USING (doc_id)
         WHERE n_grams > 0
           AND round(1.0 - n_dup / CAST(n_grams AS DOUBLE), 6) >= 0.3),
       wt2 AS (SELECT doc_id, string_split_regex(text, '\\s+') AS w
               FROM keep1),
-      sgl2 AS (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      sgl2 AS MATERIALIZED (SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
           THEN list_transform(generate_series(1, len(w) - 2),
             i -> array_to_string(w[i:i+2], ' '))
           ELSE [array_to_string(w, ' ')] END) AS sh FROM wt2),
@@ -1869,7 +1879,7 @@ object NorthStar {
       drops AS (SELECT DISTINCT a AS doc_id FROM conf2
         WHERE n_inter * 100 >= n_a * 90
           AND (n_b > n_a OR (n_b = n_a AND b < a))),
-      keep2 AS (SELECT * FROM keep1
+      keep2 AS MATERIALIZED (SELECT * FROM keep1
                 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
       ${minhashCtes("keep2")},
       filt AS (SELECT a, b FROM pairs WHERE n_eq * 100 >= 800),
