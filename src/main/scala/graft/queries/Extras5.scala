@@ -816,14 +816,24 @@ object Extras5 {
       f2 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
           FROM f1 s JOIN e ON s.node = e.src
         EXCEPT SELECT * FROM v1),
-      v2 AS MATERIALIZED (SELECT * FROM v1 UNION SELECT * FROM f2),
-      f3 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
-          FROM f2 s JOIN e ON s.node = e.src
-        EXCEPT SELECT * FROM v2),
+      -- dist-3 via per-seed supplier bitmaps: the row form (DISTINCT of
+      -- the ~1e9-row f2-edge join, then EXCEPT) spilled >75 GB at sf1,
+      -- while bitstring_agg streams the join into 128 KB of state per
+      -- seed. dst - 999999 = s_suppkey + 1 (keys are 0-based); the 1048576
+      -- bound covers s_suppkey up to ~SF100. b3 & ~b1 = f3 exactly (v2's only
+      -- supplier-typed members are f1's; v0/f2 are customers).
+      b1 AS MATERIALIZED (SELECT seed,
+          bitstring_agg(node - 999999, 1, 1048576) AS bs
+        FROM f1 GROUP BY seed),
+      b3 AS MATERIALIZED (SELECT s.seed,
+          bitstring_agg(e.dst - 999999, 1, 1048576) AS bs
+        FROM f2 s JOIN e ON s.node = e.src GROUP BY s.seed),
       lv AS (SELECT seed, 1 AS dist, count(*) AS n_nodes FROM f1
           GROUP BY seed
         UNION ALL SELECT seed, 2, count(*) FROM f2 GROUP BY seed
-        UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY seed),
+        UNION ALL SELECT b3.seed, 3, bit_count(b3.bs & ~b1.bs)
+          FROM b3 JOIN b1 USING (seed)
+          WHERE bit_count(b3.bs & ~b1.bs) > 0),
       ng AS (SELECT count(*) AS n_graph FROM (
           SELECT src AS id FROM e UNION SELECT dst FROM e)),
       g AS (SELECT seed,

@@ -1606,10 +1606,12 @@ object NorthStar {
           ${h("array_to_string(w[i:i+7], ' ')")} AS gh
         FROM wt0, unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8),
-      dup0 AS (SELECT gh, min({'d': doc_id, 'p': pos}) AS fst
+      -- packed-BIGINT argmin (see the d16 oracle: min(STRUCT) grouped
+      -- state blows up at sf1 group counts)
+      dup0 AS (SELECT gh, min(doc_id * 1048576 + pos) AS fst
         FROM pos0 GROUP BY gh HAVING count(*) >= 2),
       dp0 AS (SELECT p.doc_id, p.pos FROM pos0 p JOIN dup0 d USING (gh)
-        WHERE NOT (p.doc_id = d.fst.d AND p.pos = d.fst.p)),
+        WHERE p.doc_id * 1048576 + p.pos != d.fst),
       isl0 AS (SELECT doc_id, pos,
           CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id
             ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -1713,10 +1715,13 @@ object NorthStar {
           ${h("array_to_string(w[i:i+7], ' ')")} AS gh
         FROM wt, unnest(generate_series(1, len(w) - 7)) AS t(i)
         WHERE len(w) >= 8),
-      dup AS (SELECT gh, min({'d': doc_id, 'p': pos}) AS fst
+      -- keep-first as a packed-BIGINT argmin (doc_id*2^20 + pos is
+      -- lexicographic for pos < 2^20): DuckDB 1.0's min(STRUCT) grouped
+      -- state blows up past 90 GB at ~2e6 groups
+      dup AS (SELECT gh, min(doc_id * 1048576 + pos) AS fst
         FROM pos GROUP BY gh HAVING count(*) >= 2),
       dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup d USING (gh)
-        WHERE NOT (p.doc_id = d.fst.d AND p.pos = d.fst.p)),
+        WHERE p.doc_id * 1048576 + p.pos != d.fst),
       isl AS (SELECT doc_id, pos,
           CASE WHEN pos > coalesce(max(pos + 7) OVER (
             PARTITION BY doc_id ORDER BY pos
