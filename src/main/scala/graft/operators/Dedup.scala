@@ -644,6 +644,31 @@ object Dedup {
     confirmCosine(df, cand, idCol, vecCol, minCosine)
   }
 
+  /** Exact near-dup ground truth restricted to a FIXED query panel (the
+    * first `panelMax` ids): every pair with at least one endpoint in the
+    * panel, same threshold and confirm as [[embeddingNearDupPairs]].
+    * This is the audit-at-scale shape — O(panel × corpus), LINEAR in the
+    * corpus for a fixed panel, where the all-pairs ground truth is
+    * quadratic by definition (the sf1 rehearsal measured it 73× at 10×
+    * data). The panel broadcasts; the corpus is scanned once. The
+    * distinct() dedups the both-endpoints-in-panel pairs, which the
+    * panel×corpus product emits twice; it shuffles at most panel×corpus
+    * normalized pairs, never corpus².
+    */
+  def embeddingNearDupPairsSampled(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCosine: Double = 0.45,
+      panelMax: Long = 50L): DataFrame = {
+    val panel = df.filter(col(idCol) < panelMax)
+      .select(col(idCol).as("p"))
+    val ids = df.select(col(idCol).as("id"))
+    val cand = broadcast(panel).crossJoin(ids)
+      .filter(col("p") =!= col("id"))
+      .select(least(col("p"), col("id")).as("a"),
+        greatest(col("p"), col("id")).as("b"))
+      .distinct()
+    confirmCosine(df, cand, idCol, vecCol, minCosine)
+  }
+
   // ---- exact substring (span-level) dedup -------------------------------
 
   /** Every token position's l-gram hash: (idCol, pos, __gh) with pos

@@ -88,6 +88,23 @@ object NorthStar {
         .orderBy(col("a"), col("b"))
     },
 
+    // d31's audit at the scale-shaped grain: exact ground truth only for
+    // pairs touching a FIXED 50-id query panel (linear in the corpus,
+    // where d31's full ground truth is quadratic by definition — the sf1
+    // rehearsal measured d31 at 56x per 10x data). Same LSH scale path
+    // under audit, same found/missed accounting.
+    "d44_lsh_recall_sampled" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val lsh = Dedup.embeddingNearDupPairsLsh(e)
+        .filter(col("a") < 50 || col("b") < 50)
+        .select(col("a"), col("b"), lit(true).as("found_lsh"))
+      Dedup.embeddingNearDupPairsSampled(e, panelMax = 50)
+        .join(lsh, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("cosine"),
+          coalesce(col("found_lsh"), lit(false)).as("found_lsh"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // Pairs → clusters: min-label propagation over the minhash pair graph
     // (each cluster labeled by its minimum doc_id, the canonical keeper).
     "d08_dup_clusters" -> { (s, dir) =>
@@ -2481,6 +2498,43 @@ object NorthStar {
         FROM cand JOIN n na ON na.vec_id = cand.a
                   JOIN n nb ON nb.vec_id = cand.b
         WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
+          >= 0.45)
+      SELECT ex.a, ex.b, ex.cosine, lsh.a IS NOT NULL AS found_lsh
+      FROM ex LEFT JOIN lsh ON ex.a = lsh.a AND ex.b = lsh.b
+      ORDER BY ex.a, ex.b""",
+
+    "d44_lsh_recall_sampled" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      ex AS (SELECT x.vec_id AS a, y.vec_id AS b,
+          round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+        FROM n x JOIN n y ON x.vec_id < y.vec_id
+          AND (x.vec_id < 50 OR y.vec_id < 50)
+        WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)
+          >= 0.45),
+      d0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS gidx, v AS dv
+             FROM e WHERE vec_id % 13 = 3),
+      d AS (SELECT CAST(gidx // 4 AS INT) AS tbl,
+                   CAST(gidx % 4 AS INT) AS plane, dv
+            FROM d0 WHERE gidx < 32),
+      b AS (SELECT e.vec_id, d.tbl,
+              CAST(sum(CASE WHEN list_dot_product(e.v, d.dv) > 0
+                THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT)
+                AS bucket
+            FROM e, d GROUP BY e.vec_id, d.tbl),
+      bc AS (SELECT vec_id, tbl, bucket FROM (
+              SELECT vec_id, tbl, bucket, row_number()
+                OVER (PARTITION BY tbl, bucket ORDER BY vec_id) AS bp
+              FROM b)
+             WHERE bp <= 200),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM bc x JOIN bc y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                 AND x.vec_id < y.vec_id),
+      lsh AS (SELECT cand.a, cand.b
+        FROM cand JOIN n na ON na.vec_id = cand.a
+                  JOIN n nb ON nb.vec_id = cand.b
+        WHERE (cand.a < 50 OR cand.b < 50)
+          AND round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6)
           >= 0.45)
       SELECT ex.a, ex.b, ex.cosine, lsh.a IS NOT NULL AS found_lsh
       FROM ex LEFT JOIN lsh ON ex.a = lsh.a AND ex.b = lsh.b

@@ -32,10 +32,25 @@ private[queries] object Shared {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
 
+  /** get-then-putIfAbsent, NOT computeIfAbsent: khop3's build re-enters
+    * memo for orderGraphEdges, and ConcurrentHashMap.computeIfAbsent
+    * throws IllegalStateException("Recursive update") whenever a nested
+    * computation lands in the same hash bin — which key identityHashCodes
+    * make nondeterministic across JVM runs. The benign race (two threads
+    * building the same deterministic artifact, first put wins) is the
+    * correct trade on a single driver.
+    */
   private def memo(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir, key), _ => build)
+      (build: => DataFrame): DataFrame = {
+    val k = (System.identityHashCode(s.sparkContext), dir, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val df = build
+      val prev = cache.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** The certified near-dup pair set — [[Dedup.minhashPairs]] with its
     * default parameters over the plain `documents` table — computed once

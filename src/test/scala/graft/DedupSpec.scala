@@ -91,6 +91,18 @@ class DedupSpec extends SparkSpec {
     info(s"LSH recall on fixture: ${lsh.size}/${exact.size}")
   }
 
+  test("sampled ground truth = all-pairs ground truth restricted to the panel") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val full = Dedup.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((a, b), _) => a < 50 || b < 50 }.toMap
+    val sampled = Dedup.embeddingNearDupPairsSampled(emb, panelMax = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sampled === full)
+    assert(sampled.nonEmpty, "panel produced no ground-truth pairs")
+  }
+
   test("IVF-blocked near-dup path has precision 1 and non-empty recall") {
     val emb = Tables.load(spark, sf, "embeddings")
     val exact = Dedup.embeddingNearDupPairs(emb).collect()

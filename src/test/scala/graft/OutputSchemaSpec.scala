@@ -47,7 +47,7 @@ class OutputSchemaSpec extends SparkSpec {
     *    aggregate, for exactly that reason:
     *    d35, d38, k14, m16, q106, q89, t30
     *  - ranks over a model-sized table (PQ codebook m×256, broadcast
-    *    query/probe panel): s04, s07, s10, s11, s14, s17, s37, d10, d31
+    *    query/probe panel): s04, s07, s10, s11, s14, s17, s37, d10, d31, d44
     *  - ranks AFTER a top-k/limit or over a HAVING-thinned candidate
     *    table: q102, t18, t20, t51, g06, d43
     * A new query appearing here fails the gate until its frame is argued
@@ -55,7 +55,8 @@ class OutputSchemaSpec extends SparkSpec {
     * Packing.globalRowNumber / sort+limit.
     */
   private val globalWindowAllowlist: Set[String] = Set(
-    "d10_embedding_neardup_lsh", "d31_lsh_recall", "d35_threshold_sweep",
+    "d10_embedding_neardup_lsh", "d31_lsh_recall",
+    "d44_lsh_recall_sampled", "d35_threshold_sweep",
     "d38_cross_lang_dup", "d43_pair_explain", "g06_cooccur",
     "k14_partition_skew", "m08_interleaved_pack", "m16_magic_sniff",
     "m20_contrastive_pairs", "m21_batch_shaping", "q101_range_splits",
