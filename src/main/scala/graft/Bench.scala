@@ -46,6 +46,18 @@ object Bench {
       math.round(v * 100) / 100.0
     }
     val procs = Runtime.getRuntime.availableProcessors
+    // One-time session-shared artifacts (pair index, 3-hop BFS profile,
+    // BPE merge table): built eagerly HERE and timed, so (a) every pass
+    // measures consumer queries at their steady-state cost, and (b) the
+    // build cost is visible as its own artifact field instead of
+    // vanishing under min-of-N (ADVICE r8 — previously pass 1 paid it
+    // and the per-query minimum silently excluded it).
+    val tShared0 = System.nanoTime()
+    try queries.Shared.warmAll(spark, sfDir)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] shared-artifact warm failed: $e") }
+    val sharedBuildSec = (System.nanoTime() - tShared0) / 1e9
+    val passes = 3
     val loadStart = loadAvg()
     // Three timing passes INTERLEAVED across the whole suite (A,B,C ×
     // all queries, not N back-to-back runs per query), report the
@@ -91,7 +103,7 @@ object Bench {
     var okMins = Map.empty[String, Double]
     var anyMins = Map.empty[String, Double]
     var failCounts = Map.empty[String, Int]
-    (1 to 3).foreach { pass =>
+    (1 to passes).foreach { pass =>
       ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -109,7 +121,7 @@ object Bench {
         partialLine(ordered.map { case (n, _) =>
           n -> okMins.getOrElse(n, anyMins(n))
         }.toMap,
-        if (pass < 3) Some(pass) else None,
+        if (pass < passes) Some(pass) else None,
         failCounts.keys.toSeq.sorted))
     }
     val results = ordered.map { case (name, _) =>
@@ -131,7 +143,7 @@ object Bench {
     // noisiest measurement (16.9k vs 25.1k rows/s across the two round-7
     // baseline runs on the same code) because the state-store lifecycle
     // amplifies any contention.
-    val streamingSamples: Seq[Double] = (1 to 3).map { _ =>
+    val streamingSamples: Seq[Double] = (1 to passes).map { _ =>
       val cpDir = Files.createTempDirectory("graft-bench-stream")
       try {
         val rows = Tables.load(spark, sfDir, "events").count()
@@ -197,12 +209,13 @@ object Bench {
       // envelope char on stdout competes with a query entry for the
       // driver's 2000-char capture window.
       val samples = if (short) "" else streamingSamples
-        .map(rN(_, 3)).mkString(""""streaming_samples":[""", ",", "],")
+        .map(rN(_, 3)).mkString(""""streaming_samples":[""", ",", "],") +
+        s""""shared_build_sec":${r3(sharedBuildSec)},"""
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${qJson(short, decimals, keep)},$omitted$failed$samples""" +
       s""""streaming_rows_per_sec":${rN(streamingRate, if (short) 1 else 3)},""" +
       s""""load":[${rN(loadStart, 2)},${rN(loadEnd, 2)}],"procs":$procs,""" +
-      s""""passes":3,"sf":"$sf"}"""
+      s""""passes":$passes,"sf":"$sf"}"""
     }
     // The full-name file is written FIRST — results must survive even if
     // anything below throws (a failed run that already spent the whole

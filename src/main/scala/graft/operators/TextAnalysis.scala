@@ -426,19 +426,23 @@ object TextAnalysis {
     * replace(). Words containing U+0001 are excluded on both engines
     * (they would corrupt the encoding).
     *
-    * BOUND: each merge is one vocabulary-sized Spark job plus a 1-row
-    * driver round-trip, SEQUENTIALLY — cost is O(nMerges) jobs, fine for
-    * the demo grain (nMerges=3) but a production tokenizer's ~30k merges
-    * would mean ~30k sequential jobs (hours of scheduler latency alone).
-    * Promoting tokenizer training beyond demo grain needs a batched
-    * top-m variant (take the top m pairs sharing no symbol with a
-    * higher-ranked pick per pass, ~nMerges/m rounds, slightly non-greedy
-    * order). Train ONCE per corpus and ship the merge table as a model
-    * artifact — the query layer shares one table via Shared.bpeMerges.
+    * BATCHED MERGE SELECTION (VERDICT r8 item 4): each pass runs ONE
+    * vocabulary-sized count job, collects the top-`topK` pairs, and the
+    * driver accepts as many merges from that single table as are
+    * PROVABLY identical to running greedy selection one merge at a time
+    * (see [[selectSafeBatch]] for the argument). Cost drops from
+    * O(nMerges) sequential jobs to O(nMerges / acceptedPerPass) — on
+    * corpora whose top pairs are symbol-disjoint a ~30k-merge production
+    * tokenizer runs orders of magnitude fewer scheduler round-trips,
+    * with BIT-IDENTICAL output to the sequential path (TextAnalysisSpec
+    * gates bpeTrain(topK=64) == bpeTrain(topK=1), the sequential
+    * semantics, plus unit cases on the acceptance rule). Train ONCE per
+    * corpus and ship the merge table as a model artifact — the query
+    * layer shares one table via Shared.bpeMerges.
     */
   def bpeTrain(docs: DataFrame, nMerges: Int = 3,
-      textCol: String = "text"): DataFrame = {
-    require(nMerges > 0)
+      textCol: String = "text", topK: Int = 64): DataFrame = {
+    require(nMerges > 0 && topK > 0)
     val sep = "\u0001"
     val sp = docs.sparkSession
     // sequence(1, n) is DESCENDING when n < 1 (Spark infers step -1), so
@@ -453,14 +457,17 @@ object TextAnalysis {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .withColumn("sym", chars)
       .localCheckpoint()
-    // Iterator + takeWhile: a corpus whose vocabulary runs out of adjacent
-    // symbol pairs (all words <= 1 char, empty corpus, or nMerges larger
-    // than the number of learnable merges) returns the merges found so
-    // far instead of crashing on an empty aggregation.
-    val merges = (1 to nMerges).iterator.map { r =>
+    // A pass whose count table comes back empty means the vocabulary ran
+    // out of adjacent symbol pairs (all words <= 1 char, empty corpus, or
+    // nMerges larger than the number of learnable merges): return the
+    // merges found so far instead of crashing on an empty aggregation.
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
       // strip the outer marks, split on the double-separator boundary
       val inner = col("sym").substr(lit(2), length(col("sym")) - 2)
-      words
+      val top = words
         .select(col("n"), split(inner, sep + sep).as("sy"))
         .filter(size(col("sy")) >= 2)
         .select(col("n"), explode(transform(
@@ -470,17 +477,73 @@ object TextAnalysis {
         .groupBy(col("p")("a").as("a"), col("p")("b").as("b"))
         .agg(sum(col("n")).as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1).collect().headOption.map { top =>
-          val (a, b) = (top.getString(0), top.getString(1))
-          words = words.withColumn("sym",
-              call_function("replace", col("sym"),
-                lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep)))
-            .localCheckpoint()
-          (r, a, b, top.getLong(2))
+        .limit(topK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val batch = selectSafeBatch(top, topK, nMerges - merges.size)
+        // Apply the accepted merges IN ACCEPTANCE ORDER in one projection
+        // — they share no symbols, so each replace is exactly what the
+        // sequential pass would do — then checkpoint ONCE per pass.
+        val newSym = batch.foldLeft(col("sym")) { case (s0, (a, b, _)) =>
+          call_function("replace", s0,
+            lit(sep + a + sep + sep + b + sep), lit(sep + a + b + sep))
         }
-    }.takeWhile(_.isDefined).flatten.toSeq
+        words = words.withColumn("sym", newSym).localCheckpoint()
+        batch.foreach { case (a, b, c) =>
+          merges += ((merges.size + 1, a, b, c))
+        }
+      }
+    }
     import sp.implicits._
-    merges.toDF("merge_rank", "lft", "rgt", "pair_count")
+    merges.toSeq.toDF("merge_rank", "lft", "rgt", "pair_count")
+  }
+
+  /** Greedy-safe batch selection from ONE pair-count table sorted by
+    * (count desc, a, b) — the rows bpeTrain's pass collected. Accepts a
+    * prefix-maximal set of merges PROVABLY identical to selecting one
+    * merge per recount:
+    *
+    *  - The first candidate is the global argmax — greedy by definition.
+    *  - A later candidate is accepted only if (1) neither of its symbols
+    *    appears in an already-accepted merge, so its own count is exactly
+    *    what a recount would report (merging (a,b) only changes counts of
+    *    pairs adjacent to an a/b occurrence), and (2) its count STRICTLY
+    *    exceeds every count a recount could place above it: `overlapMax`,
+    *    the best seen count among table pairs sharing a symbol with an
+    *    accepted merge (modified pairs only lose count; every NEW pair
+    *    (x,ab) / (ab,y) / (ab,ab) occurrence implies a pre-merge (x,a) /
+    *    (b,y) / (b,a) occurrence, so new-pair counts are bounded by some
+    *    overlapping pre-merge count), and `unseenBound`, the k-th count
+    *    when the table was truncated at `kLimit` (any pair outside the
+    *    table counts <= it). Strict > also settles ties the way a recount
+    *    might not (an affected pair tying the candidate could still win
+    *    lexicographically after the recount), so acceptance stops there.
+    *
+    * Scanning in table order among UNAFFECTED pairs is the greedy
+    * (count desc, lex) tie-break order itself, so the accepted sequence
+    * equals the sequential merge sequence element-for-element.
+    */
+  private[graft] def selectSafeBatch(
+      top: Seq[(String, String, Long)], kLimit: Int,
+      maxAccept: Int): Seq[(String, String, Long)] = {
+    val unseenBound = if (top.length >= kLimit) top.last._3 else Long.MinValue
+    val acceptedSyms = scala.collection.mutable.Set.empty[String]
+    val batch = scala.collection.mutable.ArrayBuffer.empty[
+      (String, String, Long)]
+    var overlapMax = Long.MinValue
+    var stop = false
+    val it = top.iterator
+    while (!stop && it.hasNext && batch.size < maxAccept) {
+      val cand @ (a, b, c) = it.next()
+      if (batch.isEmpty) { batch += cand; acceptedSyms += a += b }
+      else if (acceptedSyms(a) || acceptedSyms(b))
+        overlapMax = math.max(overlapMax, c)
+      else if (c > math.max(overlapMax, unseenBound)) {
+        batch += cand; acceptedSyms += a += b
+      } else stop = true
+    }
+    batch.toSeq
   }
 
   /** Greedy-left BPE ENCODING with a trained merge list (the apply side

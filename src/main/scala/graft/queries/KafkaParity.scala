@@ -164,15 +164,42 @@ object KafkaParity {
     "k18_streaming_counts" -> { (s, dir) =>
       val out = java.nio.file.Files.createTempDirectory("graft-k18-out")
       val cp = java.nio.file.Files.createTempDirectory("graft-k18-cp")
-      val q = graft.streaming.StreamOps.windowedCounts(
-          graft.streaming.StreamOps.replayStream(s, dir))
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out.toString).orderBy(col("bucket"), col("key"))
+      try {
+        val q = graft.streaming.StreamOps.windowedCounts(
+            graft.streaming.StreamOps.replayStream(s, dir))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // localCheckpoint pins the (window-count-sized) result in session
+        // memory so the sink/checkpoint dirs can be deleted immediately —
+        // under the 3-pass bench this query used to leave six temp trees
+        // per run (ADVICE r8).
+        s.read.parquet(out.toString).orderBy(col("bucket"), col("key"))
+          .localCheckpoint()
+      } finally {
+        Shared.deleteTree(out); Shared.deleteTree(cp)
+      }
+    },
+
+    // MULTI-micro-batch streaming under the oracle gate (VERDICT r8
+    // item 1): the events replay split into four time-quartile files —
+    // with every 19th offset deterministically delivered two batches
+    // late — streamed with maxFilesPerTrigger=1 under AvailableNow, so
+    // the watermark genuinely ADVANCES batch-by-batch and late rows are
+    // genuinely DROPPED by the state operator (k18's single-batch replay
+    // could never exercise either). The oracle replays the same
+    // per-batch watermark-cutoff sequence in SQL — including Spark's
+    // SPARK-40925 discipline where the late-event filter of batch k uses
+    // the PREVIOUS batch's watermark while eviction uses the current
+    // one (see the oracle comment) — and a window is emitted iff its
+    // end <= the final watermark. StreamingSpec additionally asserts
+    // >=3 data micro-batches and a nonzero numRowsDroppedByWatermark
+    // from the run's progress events.
+    "k19_streaming_multibatch" -> { (s, dir) =>
+      multiBatchReplay(s, dir)._1
     },
 
     // Time-range-pruned scan: `start_ts`/`end_ts` named args — broker
@@ -191,6 +218,81 @@ object KafkaParity {
           max(col("timestamp")).as("max_ts"))
         .orderBy(col("partition"))
     })
+
+  /** k19 core: deterministic 4-file split of the replay relation, one
+    * micro-batch per file, watermarked windowed counts into a parquet
+    * sink. Returns (result, dataBatches, rowsDroppedByWatermark) so the
+    * spec can assert the multi-batch/late-drop facts the CORRECTNESS row
+    * alone cannot show.
+    *
+    * File k holds the rows of time-quartile k — computed in exact BIGINT
+    * arithmetic on epoch-micros so the oracle reproduces the assignment
+    * bit-for-bit — except rows with offset % 19 == 0, which ship two
+    * files later (capped at file 3): genuinely late arrivals once the
+    * watermark has advanced past their quartile. Files get strictly
+    * increasing mtimes (FileStreamSource orders by modification time), so
+    * the batch sequence is the file sequence.
+    */
+  private[graft] def multiBatchReplay(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    val src = Files.createTempDirectory("graft-k19-src")
+    val out = Files.createTempDirectory("graft-k19-out")
+    val cp = Files.createTempDirectory("graft-k19-cp")
+    try {
+      val r = KafkaSource.replay(Tables.load(s, dir, "events"))
+      val outCols = r.columns.map(col)
+      // NTZ→LTZ cast is value-preserving under the UTC session, so
+      // unix_micros sees the same numbers DuckDB's epoch_us does.
+      val b = r.agg(
+        min(unix_micros(col("timestamp").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("timestamp").cast("timestamp"))).as("mx"))
+      val quart = "((unix_micros(cast(`timestamp` as timestamp)) - mn) " +
+        "* 4) div (mx - mn + 1)"
+      val withF = r.crossJoin(broadcast(b)).withColumn("fidx",
+        expr(s"CASE WHEN `offset` % 19 = 0 THEN least($quart + 2, 3) " +
+          s"ELSE $quart END"))
+      val baseMs = System.currentTimeMillis() - 3600000L
+      (0 to 3).foreach { k =>
+        val tmp = Files.createTempDirectory("graft-k19-slice")
+        try {
+          withF.filter(col("fidx") === k).select(outCols: _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          scala.util.Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          }.headOption.foreach { part =>
+            val dest = src.resolve(s"e$k.parquet")
+            Files.move(part, dest)
+            Files.setLastModifiedTime(dest,
+              FileTime.fromMillis(baseMs + k * 10000L))
+          }
+        } finally Shared.deleteTree(tmp)
+      }
+      val glob = s"$src/e*.parquet"
+      val schema = s.read.parquet(glob).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(glob)
+      val q = graft.streaming.StreamOps.windowedCounts(stream)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val progress = q.recentProgress
+      val dataBatches = progress.count(_.numInputRows > 0).toLong
+      val dropped = progress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      val res = s.read.parquet(out.toString)
+        .orderBy(col("bucket"), col("key")).localCheckpoint()
+      (res, dataBatches, dropped)
+    } finally {
+      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+    }
+  }
 
   // private[queries]: Extras2's k10 lateness audit runs over the same
   // replay relation, so its oracle interpolates the same mapping.
@@ -274,6 +376,46 @@ object KafkaParity {
       SELECT bucket, "key", n FROM w, m
       WHERE bucket + INTERVAL 5 MINUTE <= wm
       ORDER BY bucket, "key"""",
+
+    // The same per-batch cutoff sequence the multi-batch streaming run
+    // applies. Spark (3.4+, SPARK-40925) filters LATE EVENTS in batch k
+    // with the PREVIOUS batch's watermark — the value state eviction
+    // last used, so a surviving row can never target an already-emitted
+    // window — while EVICTION uses the current batch's watermark. Batch
+    // k's own watermark is computed from data through batch k−1, so the
+    // late-filter cutoff for file k is cummax(file max event time over
+    // files <= k−2) − 10 min (hence `2 PRECEDING`; the first TWO batches
+    // drop nothing), empirically confirmed batch-by-batch against the
+    // run's numRowsDroppedByWatermark. A window is emitted iff its end
+    // <= the final watermark (the AvailableNow flush batch).
+    "k19_streaming_multibatch" -> s"""
+      WITH r AS ($replaySql),
+      bnds AS (SELECT min(epoch_us("timestamp")) AS mn,
+                      max(epoch_us("timestamp")) AS mx FROM r),
+      f AS (SELECT r.*,
+              CASE WHEN "offset" % 19 = 0
+                THEN least(((epoch_us("timestamp") - mn) * 4)
+                             // (mx - mn + 1) + 2, 3)
+                ELSE ((epoch_us("timestamp") - mn) * 4) // (mx - mn + 1)
+              END AS fidx
+            FROM r, bnds),
+      fm AS (SELECT fidx, max("timestamp") AS fmax FROM f GROUP BY fidx),
+      wmk AS (SELECT fidx,
+                max(fmax) OVER (ORDER BY fidx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+                  - INTERVAL 10 MINUTE AS wprev
+              FROM fm),
+      fin AS (SELECT max("timestamp") - INTERVAL 10 MINUTE AS wfinal FROM r),
+      surv AS (SELECT time_bucket(INTERVAL 5 MINUTE, f."timestamp")
+                 AS bucket, f."key" AS "key"
+               FROM f JOIN wmk USING (fidx)
+               WHERE wmk.wprev IS NULL
+                  OR time_bucket(INTERVAL 5 MINUTE, f."timestamp")
+                     + INTERVAL 5 MINUTE > wmk.wprev)
+      SELECT bucket, "key", count(*) AS n
+      FROM surv, fin
+      WHERE bucket + INTERVAL 5 MINUTE <= wfinal
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "k04_partition_pruned" -> s"""
       SELECT "partition", count(*) AS n, min("offset") AS min_offset,

@@ -23,30 +23,91 @@ import graft.operators.{Dedup, Graph}
   * session index back and must hash-match the same minhash-pairs oracle
   * that certifies d02's from-scratch computation.
   *
-  * Memoization is keyed by (SparkContext identity, corpus dir): a new
-  * context (or a different scale factor) rebuilds; entries of a stopped
-  * context are never hit again because its identity key dies with it.
+  * Memoization is keyed by (applicationId, corpus dir): a new context (or
+  * a different scale factor) rebuilds; a stopped context's entries and
+  * temp pair-index dirs are evicted/deleted by an application-end
+  * listener (see [[ensureCleanup]]).
   */
-private[queries] object Shared {
+private[graft] object Shared {
+
+  /** Build every session-shared artifact for `dir` eagerly (Bench calls
+    * this before its timing passes so the one-time build cost is measured
+    * and reported as its own artifact field, `shared_build_sec`, instead
+    * of silently vanishing under min-of-N — ADVICE r8).
+    */
+  def warmAll(s: SparkSession, dir: String): Unit = {
+    pairs(s, dir).count()
+    khop3(s, dir).count()
+    bpeMerges(s, dir).count()
+  }
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
+
+  /** Temp directories created on behalf of each application, deleted on
+    * application end together with its cache entries (ADVICE r8: the
+    * previous identityHashCode key was not guaranteed unique and the map
+    * never evicted, pinning stopped-session object graphs and pair-index
+    * dirs for the process lifetime).
+    */
+  private val tempDirs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]]
+
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Returns the context's applicationId (unique per SparkContext) and, on
+    * first sight of it, registers an application-end listener that evicts
+    * the application's cache entries and deletes its temp dirs — so a
+    * long-lived host that starts and stops many sessions leaks neither
+    * heap nor disk. SharedLifecycleSpec gates this.
+    */
+  private def ensureCleanup(s: SparkSession): String = {
+    val app = s.sparkContext.applicationId
+    if (cleanupRegistered.add(app)) {
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            cache.keySet.removeIf(_._1 == app)
+            Option(tempDirs.remove(app)).foreach(_.forEach(deleteTree(_)))
+            cleanupRegistered.remove(app)
+          }
+        })
+    }
+    app
+  }
+
+  private[graft] def deleteTree(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def trackTempDir(app: String, p: java.nio.file.Path): Unit =
+    tempDirs.computeIfAbsent(app,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path])
+      .add(p)
 
   /** get-then-putIfAbsent, NOT computeIfAbsent: khop3's build re-enters
     * memo for orderGraphEdges, and ConcurrentHashMap.computeIfAbsent
     * throws IllegalStateException("Recursive update") whenever a nested
-    * computation lands in the same hash bin — which key identityHashCodes
-    * make nondeterministic across JVM runs. The benign race (two threads
+    * computation lands in the same hash bin. The benign race (two threads
     * building the same deterministic artifact, first put wins) is the
     * correct trade on a single driver.
     */
   private def memo(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame = {
-    val k = (System.identityHashCode(s.sparkContext), dir, key)
+      (build: String => DataFrame): DataFrame = {
+    val app = ensureCleanup(s)
+    val k = (app, dir, key)
     val hit = cache.get(k)
     if (hit != null) hit
     else {
-      val df = build
+      val df = build(app)
       val prev = cache.putIfAbsent(k, df)
       if (prev != null) prev else df
     }
@@ -61,10 +122,11 @@ private[queries] object Shared {
     * g19's oracle certifies it against DuckDB).
     */
   def pairs(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "minhash-pairs") {
-      val path = Files.createTempDirectory("graft-pair-index").toString
-      Dedup.writePairIndex(Tables.load(s, dir, "documents"), path)
-      Dedup.pairsFromIndex(s, path)
+    memo(s, dir, "minhash-pairs") { app =>
+      val path = Files.createTempDirectory("graft-pair-index")
+      trackTempDir(app, path)
+      Dedup.writePairIndex(Tables.load(s, dir, "documents"), path.toString)
+      Dedup.pairsFromIndex(s, path.toString)
     }
 
   /** The trained BPE merge table (t13's output), trained once per
@@ -75,7 +137,7 @@ private[queries] object Shared {
     * model artifact, which is exactly this shape.
     */
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "bpe-merges") {
+    memo(s, dir, "bpe-merges") { _ =>
       graft.operators.TextAnalysis.bpeTrain(
         Tables.load(s, dir, "documents")).localCheckpoint()
     }
@@ -86,7 +148,7 @@ private[queries] object Shared {
     * universe.
     */
   def orderGraphEdges(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "order-graph-edges") {
+    memo(s, dir, "order-graph-edges") { _ =>
       val cs = Tables.load(s, dir, "orders")
         .join(Tables.load(s, dir, "lineitem"),
           col("l_orderkey") === col("o_orderkey"))
@@ -105,7 +167,7 @@ private[queries] object Shared {
     * (~5 s each at sf0.1, the suite's three most expensive queries).
     */
   def khop3(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "khop3") {
+    memo(s, dir, "khop3") { _ =>
       val e = orderGraphEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .filter(col("seed") < 1000000 && col("seed") % 100 === 0)

@@ -335,4 +335,49 @@ class KafkaSourceSpec extends SparkSpec {
       assert(rows.forall(r => r.getString(5) != null && r.isNullAt(6)))
     } finally spark.conf.unset("graft.kafka.format")
   }
+
+  test("stream() resolves end-to-end through MicroBatchExecution against " +
+      "the fake connector, multi-batch (VERDICT r8 item 2)") {
+    // The fake provider now declares MICRO_BATCH_READ and reveals one
+    // record per partition per trigger, so this drives KafkaSource.stream
+    // (not just read) through genuine DataSourceV2 streaming resolution:
+    // offset ranges planned per batch, offsets serialized through the
+    // checkpoint, rows projected back into the reference's 7-col shape.
+    spark.conf.set("graft.kafka.format",
+      classOf[graft.sources.FakeKafkaSource].getName)
+    val cp = java.nio.file.Files.createTempDirectory("graft-fake-kafka-cp")
+    try {
+      val df = KafkaSource.stream(spark, "b1:9092", "events", "grp",
+        partitions = Some(Seq(0, 3)))
+      val q = df.writeStream.format("memory").queryName("fake_kafka_stream")
+        .option("checkpointLocation", cp.toString).start()
+      try q.processAllAvailable() finally q.stop()
+
+      val got = spark.table("fake_kafka_stream")
+      assert(got.columns.toSeq ===
+        Seq("topic", "partition", "offset", "timestamp", "key", "value",
+          "error"))
+      val rows = got.collect()
+      // every record of both planned (assign-pruned) partitions arrived,
+      // exactly once — offsets never re-read across batches
+      val perPart = graft.sources.FakeKafkaSource.RecordsPerPartition
+      assert(rows.length === 2 * perPart)
+      assert(rows.map(_.getInt(1)).toSet === Set(0, 3))
+      assert(rows.map(r => (r.getInt(1), r.getLong(2)))
+        .distinct.length === rows.length)
+      assert(rows.forall(r => r.getString(5) != null && r.isNullAt(6)))
+      // the stream genuinely ran one micro-batch per revealed record
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches >= perPart,
+        s"expected >= $perPart data micro-batches, saw $dataBatches")
+      // the option map reached the provider through readStream resolution
+      val opts = graft.sources.FakeKafkaSource.lastOptions
+      assert(opts("assign") === """{"events":[0,3]}""")
+      assert(opts("kafka.group.id") === "grp")
+      assert(opts.get("subscribe").isEmpty)
+    } finally {
+      spark.conf.unset("graft.kafka.format")
+      graft.queries.Shared.deleteTree(cp)
+    }
+  }
 }

@@ -34,6 +34,18 @@ class StreamingSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("k19 multi-batch replay: >=3 data micro-batches and nonzero " +
+      "watermark-dropped rows (sf0.01)") {
+    // The CORRECTNESS row proves the RESULT matches the oracle's cutoff
+    // sequence; this proves the run actually was multi-batch with real
+    // late drops (VERDICT r8 item 1's 'done' bar).
+    val (res, batches, dropped) =
+      graft.queries.KafkaParity.multiBatchReplay(spark, sf01)
+    assert(batches >= 3, s"expected >=3 data micro-batches, got $batches")
+    assert(dropped > 0, s"expected nonzero late-dropped rows, got $dropped")
+    assert(res.count() > 0)
+  }
+
   test("streaming anomaly gate == q92's batch flags, row-exact per " +
       "(type, hour) (sf0.01)") {
     import org.apache.spark.sql.types.DecimalType

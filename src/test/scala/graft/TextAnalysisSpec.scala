@@ -181,6 +181,46 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rm(1) === ((2, "bb", "bb", 2L)))
   }
 
+  test("selectSafeBatch accepts multiple disjoint merges from one table " +
+      "and stops exactly where a recount could disagree") {
+    // disjoint top pairs: all three accepted from ONE count job
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 64, 10)
+      === Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)))
+    // an affected pair (shares 'h') caps later acceptance: (x,y)=5 does
+    // not STRICTLY exceed the affected (h,e)=9, which a recount could
+    // leave at 9 and rank first -> stop after the argmax
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("t", "h", 10L), ("h", "e", 9L), ("x", "y", 5L)), 64, 10)
+      === Seq(("t", "h", 10L)))
+    // tie with an affected pair: (c,d)=10 equals affected (a,m)=10; after
+    // the recount (a,m) could still be 10 and wins lexicographically, so
+    // only the argmax is safe
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("m", "n", 12L), ("a", "m", 10L), ("c", "d", 10L)), 64, 10)
+      === Seq(("m", "n", 12L)))
+    // truncated table: with kLimit == length, unseen pairs may count up
+    // to the last row's 6, so (e,f)=6 is not strictly above it -> stop
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 3, 10)
+      === Seq(("a", "b", 10L), ("c", "d", 8L)))
+    // maxAccept caps the batch
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 64, 1)
+      === Seq(("a", "b", 10L)))
+  }
+
+  test("batched bpe training (topK=64) is bit-identical to sequential " +
+      "greedy (topK=1) on the real corpus") {
+    val docs = Tables.load(spark, sf, "documents")
+    val batched = TextAnalysis.bpeTrain(docs, nMerges = 6)
+      .orderBy("merge_rank").collect().map(_.toSeq)
+    val sequential = TextAnalysis.bpeTrain(docs, nMerges = 6, topK = 1)
+      .orderBy("merge_rank").collect().map(_.toSeq)
+    assert(batched.toSeq === sequential.toSeq)
+    assert(batched.length === 6)
+  }
+
   test("bigram LM scores by smoothed average log-probability") {
     import spark.implicits._
     def r6(x: Double): Double =

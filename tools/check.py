@@ -34,13 +34,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def default_mem_gb():
+    """min(48, ~75% of physical RAM): a fixed 48GB default exceeds RAM on
+    smaller hosts, and DuckDB OOM-kills instead of spilling when the limit
+    is above what the OS can grant. CHECK_MEM always overrides."""
+    try:
+        gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        return max(1, min(48, int(gb * 0.75)))
+    except (ValueError, OSError):
+        return 48
+
+
 def connect(sf_dir):
     con = duckdb.connect()
     # Bound the oracle's memory and give it a disk spill path: several
     # sf1 oracles (token-position CTEs over the 500k-doc corpus) build
     # >100 GB intermediates and the unbounded default gets OOM-killed
     # (exit 137) instead of spilling. Overridable for small hosts.
-    con.execute(f"SET memory_limit='{os.environ.get('CHECK_MEM', '48GB')}'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("CHECK_MEM", f"{default_mem_gb()}GB"))
     tmp = os.environ.get("CHECK_TMP", "/tmp/graft-duckdb-spill")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")

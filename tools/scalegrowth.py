@@ -25,6 +25,9 @@ def parse(path):
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit("usage: scalegrowth.py <small.log> <big.log> "
+                 "[ratio=10] [slack=1.5]")
     small_p, big_p = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
     slack = float(sys.argv[4]) if len(sys.argv) > 4 else 1.5
@@ -40,6 +43,9 @@ def main():
         flagged = (grew > ratio * slack) if s >= 1.0 \
             else (b > ratio * slack)
         rows.append((q, s, b, grew, flagged))
+    if not rows:
+        sys.exit("no queries appear in BOTH logs — check the probe names "
+                 "and log paths")
     print(f"{'query':<28} {'small':>8} {'big':>8} {'growth':>7}  flag")
     for q, s, b, g, f in sorted(rows, key=lambda r: -r[3]):
         print(f"{q:<28} {s:>8.2f} {b:>8.2f} {g:>6.1f}x  "
