@@ -27,8 +27,15 @@ class SharedLifecycleSpec extends AnyFunSuite {
 
   test("stopping the session deletes its Shared pair-index temp dirs") {
     val s = GraftSession.create("graft-lifecycle-test", "4")
+    // A corpus dir no other suite uses: Shared memoizes per (app, dir),
+    // so pointing at sf0.001 directly would cache-hit when an earlier
+    // suite in the same JVM already built that pair index (observed in
+    // the full run) and this test would see no new temp dir.
+    val corpus = Files.createTempDirectory("graft-lifecycle-corpus")
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      corpus.resolve("documents.parquet"))
     val before = listPairDirs()
-    assert(Shared.pairs(s, "/root/testdata/sf0.001").count() >= 0)
+    assert(Shared.pairs(s, corpus.toString).count() >= 0)
     val created = listPairDirs() -- before
     assert(created.nonEmpty,
       "Shared.pairs should have persisted a pair-index temp dir")
@@ -40,5 +47,6 @@ class SharedLifecycleSpec extends AnyFunSuite {
       Thread.sleep(100)
     assert(created.forall(p => !Files.exists(p)),
       s"pair-index dirs survived session stop: $created")
+    Shared.deleteTree(corpus)
   }
 }
