@@ -254,23 +254,32 @@ object KafkaParity {
         expr(s"CASE WHEN `offset` % 19 = 0 THEN least($quart + 2, 3) " +
           s"ELSE $quart END"))
       val baseMs = System.currentTimeMillis() - 3600000L
-      (0 to 3).foreach { k =>
-        val tmp = Files.createTempDirectory("graft-k19-slice")
-        try {
-          withF.filter(col("fidx") === k).select(outCols: _*)
-            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(Files.list(tmp)) { st =>
-            st.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-          }.headOption.foreach { part =>
-            val dest = src.resolve(s"e$k.parquet")
-            Files.move(part, dest)
-            Files.setLastModifiedTime(dest,
-              FileTime.fromMillis(baseMs + k * 10000L))
+      // ONE scan writes all four slices: repartition by fidx puts each
+      // file index in exactly one task, partitionBy(fidx) splits it into
+      // one parquet file per fidx=k/ dir (the fidx column moves to the
+      // path, so the files hold exactly the 7 replay columns). Four
+      // filtered coalesce(1) writes would re-scan the replay 4x.
+      val tmp = Files.createTempDirectory("graft-k19-slices")
+      try {
+        withF.select(outCols :+ col("fidx"): _*)
+          .repartition(4, col("fidx"))
+          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        (0 to 3).foreach { k =>
+          val dir = tmp.resolve(s"fidx=$k")
+          if (Files.isDirectory(dir)) {
+            scala.util.Using.resource(Files.list(dir)) { st =>
+              st.iterator().asScala
+                .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            }.headOption.foreach { part =>
+              val dest = src.resolve(s"e$k.parquet")
+              Files.move(part, dest)
+              Files.setLastModifiedTime(dest,
+                FileTime.fromMillis(baseMs + k * 10000L))
+            }
           }
-        } finally Shared.deleteTree(tmp)
-      }
+        }
+      } finally Shared.deleteTree(tmp)
       val glob = s"$src/e*.parquet"
       val schema = s.read.parquet(glob).schema
       val stream = s.readStream.schema(schema)
