@@ -46,6 +46,79 @@ class StreamingSpec extends SparkSpec {
     assert(res.count() > 0)
   }
 
+  test("watermark and window state survive a checkpointed restart: late " +
+      "rows drop against the RESTORED watermark, open windows keep " +
+      "accumulating across runs") {
+    import java.nio.file.Files
+    val src = Files.createTempDirectory("graft-restart-src")
+    val out = Files.createTempDirectory("graft-restart-out")
+    val cp = Files.createTempDirectory("graft-restart-cp")
+    try {
+      def writeSlice(name: String, times: Seq[String]): Unit = {
+        import spark.implicits._
+        val df = times.zipWithIndex.map { case (t, i) =>
+          ("t", 0, i.toLong, t, "k", "v", null: String)
+        }.toDF("topic", "partition", "offset", "ts0", "key", "value",
+          "error")
+          // to_timestamp (LTZ; the UTC session makes it value-identical
+          // to the naive literal): withWatermark requires TIMESTAMP, and
+          // the replay path gets LTZ the same way via date_trunc
+          .withColumn("timestamp", to_timestamp(col("ts0")))
+          .select("topic", "partition", "offset", "timestamp", "key",
+            "value", "error")
+        val tmp = Files.createTempDirectory("graft-restart-slice")
+        try {
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          import scala.jdk.CollectionConverters._
+          val part = scala.util.Using.resource(Files.list(tmp)) { st =>
+            st.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          }.head
+          Files.move(part, src.resolve(name))
+        } finally graft.queries.Shared.deleteTree(tmp)
+      }
+      def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val glob = s"$src/*.parquet"
+        val schema = spark.read.parquet(glob).schema
+        val q = graft.streaming.StreamOps.windowedCounts(
+            spark.readStream.schema(schema).parquet(glob))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q
+      }
+      // Run 1: the 10:00 window (2 rows) closes once 10:30 advances the
+      // watermark to 10:20; the 10:30 window stays OPEN in the store.
+      writeSlice("a.parquet", Seq("2024-01-01 10:00:00",
+        "2024-01-01 10:01:00", "2024-01-01 10:30:00"))
+      run()
+      // Run 2, SAME checkpoint, new file: 10:05 is late ONLY against the
+      // restored watermark (its window end 10:10 <= 10:20) -> dropped;
+      // 10:31 joins the restored 10:30 window (cross-restart state);
+      // 10:50 advances the watermark to 10:40, closing 10:30-10:35.
+      writeSlice("b.parquet", Seq("2024-01-01 10:31:00",
+        "2024-01-01 10:05:00", "2024-01-01 10:50:00"))
+      val q2 = run()
+      val dropped = q2.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped === 1, s"expected exactly the 10:05 row dropped " +
+        s"against the restored watermark, got $dropped")
+      val got = spark.read.parquet(out.toString)
+        .select(date_format(col("bucket"), "HH:mm").as("b"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === Map(
+        "10:00" -> 2L,  // closed in run 1
+        "10:30" -> 2L)) // 10:30 (run 1) + 10:31 (run 2)
+    } finally {
+      graft.queries.Shared.deleteTree(src)
+      graft.queries.Shared.deleteTree(out)
+      graft.queries.Shared.deleteTree(cp)
+    }
+  }
+
   test("streaming anomaly gate == q92's batch flags, row-exact per " +
       "(type, hour) (sf0.01)") {
     import org.apache.spark.sql.types.DecimalType
