@@ -53,8 +53,14 @@ object Bench {
     // vanishing under min-of-N (ADVICE r8 — previously pass 1 paid it
     // and the per-query minimum silently excluded it).
     val tShared0 = System.nanoTime()
+    // A failed warm is recorded in the artifact (ADVICE r9): pass 1 then
+    // silently rebuilds the artifacts, so shared_build_sec would report
+    // time-to-failure while the per-query minima reabsorb the build cost —
+    // the flag makes that skewed run distinguishable from a clean one.
+    var sharedBuildFailed = false
     try queries.Shared.warmAll(spark, sfDir)
     catch { case scala.util.control.NonFatal(e) =>
+      sharedBuildFailed = true
       System.err.println(s"[bench] shared-artifact warm failed: $e") }
     val sharedBuildSec = (System.nanoTime() - tShared0) / 1e9
     val passes = 3
@@ -210,7 +216,8 @@ object Bench {
       // driver's 2000-char capture window.
       val samples = if (short) "" else streamingSamples
         .map(rN(_, 3)).mkString(""""streaming_samples":[""", ",", "],") +
-        s""""shared_build_sec":${r3(sharedBuildSec)},"""
+        s""""shared_build_sec":${r3(sharedBuildSec)},""" +
+        (if (sharedBuildFailed) """"shared_build_failed":true,""" else "")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${qJson(short, decimals, keep)},$omitted$failed$samples""" +
       s""""streaming_rows_per_sec":${rN(streamingRate, if (short) 1 else 3)},""" +

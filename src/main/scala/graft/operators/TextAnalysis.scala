@@ -509,39 +509,59 @@ object TextAnalysis {
     *    appears in an already-accepted merge, so its own count is exactly
     *    what a recount would report (merging (a,b) only changes counts of
     *    pairs adjacent to an a/b occurrence), and (2) its count STRICTLY
-    *    exceeds every count a recount could place above it: `overlapMax`,
-    *    the best seen count among table pairs sharing a symbol with an
-    *    accepted merge (modified pairs only lose count; every NEW pair
-    *    (x,ab) / (ab,y) / (ab,ab) occurrence implies a pre-merge (x,a) /
-    *    (b,y) / (b,a) occurrence, so new-pair counts are bounded by some
-    *    overlapping pre-merge count), and `unseenBound`, the k-th count
-    *    when the table was truncated at `kLimit` (any pair outside the
-    *    table counts <= it). Strict > also settles ties the way a recount
-    *    might not (an affected pair tying the candidate could still win
-    *    lexicographically after the recount), so acceptance stops there.
+    *    exceeds every count a recount could place above it: `affectedMax`,
+    *    the best count among ALL table pairs — before or after the
+    *    candidate in table order — sharing a symbol with an accepted merge
+    *    (modified pairs only lose count; every NEW pair (x,ab) / (ab,y) /
+    *    (ab,ab) occurrence implies a pre-merge (x,a) / (b,y) / (b,a)
+    *    occurrence, so new-pair counts are bounded by some overlapping
+    *    pre-merge count), and `unseenBound`, the k-th count when the table
+    *    was truncated at `kLimit` (any pair outside the table counts <=
+    *    it). Strict > also settles ties the way a recount might not (an
+    *    affected pair tying the candidate could still win
+    *    lexicographically after the recount — e.g. table
+    *    [(a,z,12),(c,d,10),(z,y,10)]: merging (a,z) can spawn ((az,y),10),
+    *    and "az" < "c"), so acceptance stops there. Accepted merges
+    *    themselves are EXCLUDED from the affected scan: leftmost
+    *    non-overlapping replacement consumes every occurrence of the
+    *    merged pair (overlapping occurrences require a=b, and odd runs
+    *    leave [..aa,a] whose residual pairs involve the NEW symbol), so
+    *    their recount count is exactly 0 — including them would cap every
+    *    later candidate at size-1 batches for no semantic reason.
     *
     * Scanning in table order among UNAFFECTED pairs is the greedy
     * (count desc, lex) tie-break order itself, so the accepted sequence
     * equals the sequential merge sequence element-for-element.
+    * (ADVICE r9: the previous formulation accumulated affected counts only
+    * BEFORE the candidate, leaving the post-candidate tie hole above.)
     */
   private[graft] def selectSafeBatch(
       top: Seq[(String, String, Long)], kLimit: Int,
       maxAccept: Int): Seq[(String, String, Long)] = {
     val unseenBound = if (top.length >= kLimit) top.last._3 else Long.MinValue
     val acceptedSyms = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.Set.empty[(String, String)]
     val batch = scala.collection.mutable.ArrayBuffer.empty[
       (String, String, Long)]
-    var overlapMax = Long.MinValue
+    def accept(cand: (String, String, Long)): Unit = {
+      batch += cand; acceptedSyms += cand._1 += cand._2
+      accepted += ((cand._1, cand._2))
+    }
+    // Best count over every table pair sharing a symbol with an accepted
+    // merge, accepted merges themselves excluded (their recount count is
+    // 0 — see scaladoc). O(k) per acceptance attempt, k <= 64.
+    def affectedMax: Long = top.iterator
+      .filter { case (x, y, _) =>
+        !accepted((x, y)) && (acceptedSyms(x) || acceptedSyms(y)) }
+      .foldLeft(Long.MinValue) { case (m, (_, _, c)) => math.max(m, c) }
     var stop = false
     val it = top.iterator
     while (!stop && it.hasNext && batch.size < maxAccept) {
       val cand @ (a, b, c) = it.next()
-      if (batch.isEmpty) { batch += cand; acceptedSyms += a += b }
-      else if (acceptedSyms(a) || acceptedSyms(b))
-        overlapMax = math.max(overlapMax, c)
-      else if (c > math.max(overlapMax, unseenBound)) {
-        batch += cand; acceptedSyms += a += b
-      } else stop = true
+      if (batch.isEmpty) accept(cand)
+      else if (acceptedSyms(a) || acceptedSyms(b)) ()
+      else if (c > math.max(affectedMax, unseenBound)) accept(cand)
+      else stop = true
     }
     batch.toSeq
   }

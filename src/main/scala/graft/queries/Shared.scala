@@ -56,16 +56,35 @@ private[graft] object Shared {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Returns the context's applicationId (unique per SparkContext) and, on
-    * first sight of it, registers an application-end listener that evicts
-    * the application's cache entries and deletes its temp dirs — so a
-    * long-lived host that starts and stops many sessions leaks neither
-    * heap nor disk. SharedLifecycleSpec gates this.
+  /** Identity-keyed per-context sequence numbers: local-mode
+    * applicationIds are "local-" + currentTimeMillis, so rapid
+    * stop/create cycles CAN collide (ADVICE r9) — a colliding new session
+    * could then hit cached DataFrames bound to the stopped context, and
+    * one app's end-listener would evict the other's entries mid-use. The
+    * identity map cannot collide for two live contexts, and its entry is
+    * removed by the same end-listener, so nothing pins stopped contexts.
+    */
+  private val ctxIds = new java.util.IdentityHashMap[
+    org.apache.spark.SparkContext, java.lang.Long]
+  private val ctxSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Returns a cache key unique to this LIVE context (applicationId plus
+    * an identity-derived sequence number) and, on first sight of it,
+    * registers an application-end listener that evicts the application's
+    * cache entries and deletes its temp dirs — so a long-lived host that
+    * starts and stops many sessions leaks neither heap nor disk.
+    * SharedLifecycleSpec gates this.
     */
   private def ensureCleanup(s: SparkSession): String = {
-    val app = s.sparkContext.applicationId
+    val sc = s.sparkContext
+    val seq = ctxIds.synchronized {
+      Option(ctxIds.get(sc)).map(_.longValue).getOrElse {
+        val n = ctxSeq.incrementAndGet(); ctxIds.put(sc, n); n
+      }
+    }
+    val app = s"${sc.applicationId}#$seq"
     if (cleanupRegistered.add(app)) {
-      s.sparkContext.addSparkListener(
+      sc.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
@@ -73,6 +92,7 @@ private[graft] object Shared {
             cache.keySet.removeIf(_._1 == app)
             Option(tempDirs.remove(app)).foreach(_.forEach(deleteTree(_)))
             cleanupRegistered.remove(app)
+            ctxIds.synchronized { ctxIds.remove(sc) }
           }
         })
     }

@@ -380,4 +380,42 @@ class KafkaSourceSpec extends SparkSpec {
       graft.queries.Shared.deleteTree(cp)
     }
   }
+
+  test("stream() restarts from the checkpoint without rewinding or " +
+      "duplicating offsets (ADVICE r9)") {
+    // A restarted query builds a FRESH MicroBatchStream instance whose
+    // in-memory availability counter is 0, then restores its start offset
+    // from the checkpoint through deserializeOffset. Before the clamp,
+    // latestOffset() on the new instance returned an end BELOW the
+    // restored start, and the planner would rewind — re-reading committed
+    // records. This drives a full run, then a second query on the SAME
+    // checkpoint + sink, and asserts the sink still holds every record
+    // exactly once.
+    spark.conf.set("graft.kafka.format",
+      classOf[graft.sources.FakeKafkaSource].getName)
+    val cp = java.nio.file.Files.createTempDirectory("graft-fake-kafka-rcp")
+    val out = java.nio.file.Files.createTempDirectory("graft-fake-kafka-rout")
+    try {
+      def runOnce(): Unit = {
+        val df = KafkaSource.stream(spark, "b1:9092", "events", "grp",
+          partitions = Some(Seq(0, 3)))
+        val q = df.writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runOnce() // first run: consumes the whole fake topic
+      runOnce() // restart: restored start must clamp availability
+      val rows = spark.read.parquet(out.toString).collect()
+      val perPart = graft.sources.FakeKafkaSource.RecordsPerPartition
+      assert(rows.length === 2 * perPart,
+        s"restart duplicated or lost records: ${rows.length}")
+      assert(rows.map(r => (r.getInt(1), r.getLong(2)))
+        .distinct.length === rows.length)
+    } finally {
+      spark.conf.unset("graft.kafka.format")
+      graft.queries.Shared.deleteTree(cp)
+      graft.queries.Shared.deleteTree(out)
+    }
+  }
 }

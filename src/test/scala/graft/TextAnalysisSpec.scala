@@ -208,6 +208,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.selectSafeBatch(
       Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L)), 64, 1)
       === Seq(("a", "b", 10L)))
+    // ADVICE r9 tie hole: the affected pair sits AFTER the candidate in
+    // table order with an EQUAL count — merging (a,z) can spawn
+    // ((az,y),10) which sorts lexicographically before (c,d) on the
+    // recount ("az" < "c"), so accepting (c,d) would diverge from
+    // sequential greedy; the scan must cover the whole table
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "z", 12L), ("c", "d", 10L), ("z", "y", 10L)), 64, 10)
+      === Seq(("a", "z", 12L)))
+    // same shape but the post-candidate affected count is strictly
+    // BELOW the candidate: any pair it spawns counts <= 9 < 10, so
+    // (c,d) is still the recount argmax and acceptance is safe
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "z", 12L), ("c", "d", 10L), ("z", "y", 9L)), 64, 10)
+      === Seq(("a", "z", 12L), ("c", "d", 10L)))
+    // accepted merges are excluded from the affected scan (their recount
+    // count is 0): (a,b)=10 accepted must not cap (c,d)=8
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "b", 10L), ("c", "d", 8L)), 64, 10)
+      === Seq(("a", "b", 10L), ("c", "d", 8L)))
   }
 
   test("batched bpe training (topK=64) is bit-identical to sequential " +

@@ -35,6 +35,26 @@ object FakeKafkaSource {
   /** Options as received by the provider on the last resolution. */
   @volatile var lastOptions: Map[String, String] = Map.empty
 
+  /** Print offset-protocol calls (debugging aid; off in CI). */
+  @volatile var debug: Boolean = false
+
+  /** Per-checkpoint monotonic availability counters (ADVICE r9): a
+    * restarted query constructs a FRESH stream instance, and Spark may
+    * probe latestOffset() BEFORE restoring the checkpointed start through
+    * deserializeOffset — an instance-local counter then reports
+    * availability BELOW the restored start and the planner rewinds,
+    * re-reading committed records (observed: planInputPartitions(3, 1)
+    * followed by a duplicate [1, 3) batch). A real broker's log-end offset
+    * is monotone per topic; keying the counter by checkpoint location
+    * models that while keeping independent tests (fresh checkpoints)
+    * isolated.
+    */
+  private val revealedByCp = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.atomic.AtomicInteger]
+  def revealCounter(cp: String): java.util.concurrent.atomic.AtomicInteger =
+    revealedByCp.computeIfAbsent(cp,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+
   /** Per-partition record count the fake topic serves. */
   val RecordsPerPartition = 3
 
@@ -105,7 +125,7 @@ class FakeKafkaTable(opts: Map[String, String]) extends Table
         new FakeKafkaReaderFactory(FakeKafkaSource.topicOf(opts))
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
-        new FakeKafkaMicroBatchStream(opts)
+        new FakeKafkaMicroBatchStream(opts, checkpointLocation)
     }
   }
 }
@@ -122,23 +142,38 @@ case class FakeKafkaOffset(n: Int) extends Offset {
   * so a full run executes that many genuine micro-batches — each with its
   * own offset-range scan plan `[start, end)` per planned partition, its
   * own commit, and offsets round-tripped through [[deserializeOffset]]
-  * when the query restarts from a checkpoint.
+  * when the query restarts from a checkpoint. Availability lives in a
+  * per-checkpoint monotonic counter (see
+  * [[FakeKafkaSource.revealCounter]]) so a restarted query — a fresh
+  * instance — can never observe availability below its restored start.
   */
-class FakeKafkaMicroBatchStream(opts: Map[String, String])
-    extends MicroBatchStream {
-  private var revealed = 0
+class FakeKafkaMicroBatchStream(opts: Map[String, String],
+    checkpointLocation: String) extends MicroBatchStream {
+  private val revealed = FakeKafkaSource.revealCounter(checkpointLocation)
 
   override def initialOffset(): Offset = FakeKafkaOffset(0)
   override def latestOffset(): Offset = {
-    if (revealed < FakeKafkaSource.RecordsPerPartition) revealed += 1
-    FakeKafkaOffset(revealed)
+    val n = revealed.updateAndGet(v =>
+      if (v < FakeKafkaSource.RecordsPerPartition) v + 1 else v)
+    if (FakeKafkaSource.debug) println(s"[fake-kafka] latestOffset -> $n")
+    FakeKafkaOffset(n)
   }
-  override def deserializeOffset(json: String): Offset =
-    FakeKafkaOffset(json.trim.toInt)
+  // Belt-and-braces: every checkpointed offset was genuinely served, so
+  // the restored value also feeds the monotonic counter — even a
+  // checkpoint moved to a fresh location (counter at 0) cannot plan
+  // start > end.
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toInt
+    val r = revealed.updateAndGet(v => math.max(v, n))
+    if (FakeKafkaSource.debug)
+      println(s"[fake-kafka] deserializeOffset($n) -> revealed=$r")
+    FakeKafkaOffset(n)
+  }
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[FakeKafkaOffset].n
     val e = end.asInstanceOf[FakeKafkaOffset].n
+    if (FakeKafkaSource.debug) println(s"[fake-kafka] planInputPartitions($s, $e)")
     FakeKafkaSource.plannedPartitions(opts)
       .map(FakeKafkaPartition(_, s, e): InputPartition).toArray
   }
