@@ -440,4 +440,71 @@ object Graph {
     levels.reduce(_ unionByName _)
       .select(col("seed"), col("dist"), col("n_nodes"))
   }
+
+  /** Sketch-based k-hop reach estimation — the 100 TB twin of the exact
+    * [[kHopCounts]] BFS (HyperANF/HyperBall's iteration scheme, Boldi,
+    * Rosa & Vigna 2011, on a MinHash register family instead of HLL so
+    * every arithmetic step is cross-engine exact).
+    *
+    * Every node keeps `m` registers — register j holds the MINIMUM of the
+    * deterministic 40-bit hash `md5Long(j || ':' || node) % 2^40` over the
+    * node's current ball. Iteration d min-merges each node's registers
+    * with its out-neighbors' previous registers, so after d rounds node
+    * v's registers describe ball(v, d) = {nodes reachable from v in <= d
+    * hops, v included} WITHOUT ever materializing the ball. The classic
+    * min-of-n-uniforms estimator then reads the ball size off the register
+    * sum: E[min] = H/(n+1), so n̂ = m·H/Σ − 1 (H = 2^40), relative sd
+    * ~1/√m at EVERY cardinality (no HLL small-range regime). All steps are
+    * integer min/sum plus ONE IEEE division — the DuckDB oracle builds the
+    * IDENTICAL grid from the exact ball membership and lands on the same
+    * bits (the t37 cmsEstimates discipline).
+    *
+    * Scale: this is the replacement for the only superlinear artifact in
+    * the suite (VERDICT r9) — exact BFS carries a (seed × frontier) state
+    * that grows ~SF^1.9 on this graph, while the sketch carries V·m longs
+    * of state and each iteration is ONE edge⋈registers join + ONE
+    * elementwise-min aggregation (map-side combined via the
+    * [[graft.functions.MinhashUnion]] partial-agg path): O(E·m) per hop,
+    * independent of seed count and frontier volume — you get EVERY node's
+    * reach profile for the cost of one, with no all-pairs stage anywhere.
+    *
+    * Output: (seed, dist, est_reach) for dist in 1..k, est_reach the
+    * rounded ball-size estimate (seed itself included, matching
+    * 1 + Σ n_nodes of [[kHopCounts]]).
+    */
+  def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
+      m: Int = 64): DataFrame = {
+    require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
+    val H = 1099511627776L // 2^40: hash range; sums of m mins fit a long
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // register j of a singleton {node}: the seeded cross-engine hash
+    val regs0 = nodes.withColumn("regs",
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        pmod(graft.functions.CrossHash.md5Long(
+          concat(j.cast("string"), lit(":"), col("node").cast("string"))),
+          lit(H))))
+    val minUnion = graft.functions.MinhashUnion.minhash_union(m)
+    var regs = regs0.localCheckpoint(false)
+    val perHop = (1 to k).map { d =>
+      val fromNbr = e.join(regs, col("dst") === col("node"))
+        .select(col("src").as("node"), col("regs"))
+      regs = regs.select(col("node"), col("regs")).unionByName(fromNbr)
+        .groupBy(col("node"))
+        .agg(minUnion(col("regs")).as("regs"))
+        .localCheckpoint(false)
+      regs.join(broadcast(seeds.select(col("seed"))),
+          col("node") === col("seed"))
+        .select(col("seed"), lit(d).as("dist"),
+          aggregate(col("regs"), lit(0L), (acc, v) => acc + v).as("ssum"))
+    }
+    perHop.reduce(_ unionByName _)
+      .select(col("seed"), col("dist"),
+        floor(lit(m.toLong * H).cast("double") /
+          greatest(col("ssum"), lit(1L)).cast("double") - 1.0 + 0.5)
+          .cast("long").as("est_reach"))
+      .orderBy(col("seed"), col("dist"))
+  }
 }

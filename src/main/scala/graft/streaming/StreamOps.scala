@@ -292,15 +292,17 @@ object StreamOps {
         .as("candidates"),
         count(lit(1)).as("n_tokens"))
 
-  /** Session windows (gap-based) per key — the streaming twin of the batch
-    * q17 sessionization.
-    */
   /** Stream-stream interval (event-time-bounded) inner join: right rows
     * within `[left.time, left.time + within)` for the same key. Both
     * sides carry watermarks, so each side's join state is GC'd once the
-    * other side's watermark passes the bound — the condition's time range
-    * is what makes unbounded-stream state bounded (an unconstrained
-    * stream-stream equi-join buffers forever).
+    * global (min-of-both) watermark passes the bound — left state evicts
+    * at watermark − `within` (no future right row can land inside its
+    * interval), right state at the watermark itself (from timeR >= timeL,
+    * a right row below it can never match a future left row). The
+    * condition's time range is what makes unbounded-stream state bounded
+    * (an unconstrained stream-stream equi-join buffers forever).
+    * Oracle-certified end-to-end through MicroBatchExecution as
+    * k20_interval_join (multi-batch replay, late drops, dual-side GC).
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
@@ -313,6 +315,12 @@ object StreamOps {
         s"$timeR < $timeL + INTERVAL $within"))
   }
 
+  /** Session windows (gap-based) per key — the streaming twin of the
+    * batch q17 sessionization: windows [ts, ts+gap) merged while they
+    * overlap, held in the session-window state store across micro-batches
+    * and emitted in append mode once the watermark passes the merged end.
+    * Oracle-certified end-to-end as k21_streaming_sessions.
+    */
   def sessionCounts(records: DataFrame, keyCol: String,
       timeCol: String = "timestamp", gap: String = "30 minutes",
       lateness: String = "10 minutes"): DataFrame =
