@@ -473,32 +473,53 @@ object Graph {
     * 1 + Σ n_nodes of [[kHopCounts]]).
     */
   def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
-      m: Int = 64): DataFrame = {
+      m: Int = 64, edgesDeduped: Boolean = false): DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
     val H = 1099511627776L // 2^40: hash range; sums of m mins fit a long
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(false)
+    // edgesDeduped: Shared.orderGraphEdges is already DISTINCT and
+    // localCheckpointed — re-deduping the 100 TB edge table to protect
+    // against duplicates the caller proved absent is a wasted shuffle.
+    val e = if (edgesDeduped) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+        .localCheckpoint(false)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // register j of a singleton {node}: the seeded cross-engine hash
-    val regs0 = nodes.withColumn("regs",
-      transform(sequence(lit(0), lit(m - 1)), j =>
-        pmod(graft.functions.CrossHash.md5Long(
-          concat(j.cast("string"), lit(":"), col("node").cast("string"))),
-          lit(H))))
-    val minUnion = graft.functions.MinhashUnion.minhash_union(m)
-    var regs = regs0.localCheckpoint(false)
+    // Register state lives as m LONG COLUMNS on one row per node — the
+    // representation is what makes the op scale. Three candidates were
+    // measured end-to-end:
+    //  - per-node array + typed-Aggregator min-merge: ObjectHashAggregate
+    //    boxes an m-long Seq per input row (19.6 s at sf0.1);
+    //  - exploded (node, j, v) rows + plain min: codegen, but the agg
+    //    input is E·m ROWS and per-task group counts ≈ row counts, so
+    //    map-side partials compress NOTHING and past memory the hash agg
+    //    falls back to external sort — 12.8 s at sf0.1 but 568 s at sf1
+    //    (44x at 10x data: the fallback, not the math);
+    //  - m min() columns at E-ROW grain (this): every aggregate buffer is
+    //    fixed-width codegen, per-task partial output is bounded by the
+    //    number of DISTINCT dst nodes the task saw (~V rows, not E·m), so
+    //    the shuffle carries node-sized partials and the whole hop stays
+    //    in two-phase HashAggregate at any scale.
+    val regCols = (0 until m).map { j =>
+      // register j of a singleton {node}: the seeded cross-engine hash
+      pmod(graft.functions.CrossHash.md5Long(
+        concat(lit(j.toString), lit(":"), col("node").cast("string"))),
+        lit(H)).as(s"r$j")
+    }
+    var regs = nodes.select(col("node") +: regCols: _*)
+      .localCheckpoint(false)
+    val rs = (0 until m).map(j => col(s"r$j"))
     val perHop = (1 to k).map { d =>
       val fromNbr = e.join(regs, col("dst") === col("node"))
-        .select(col("src").as("node"), col("regs"))
-      regs = regs.select(col("node"), col("regs")).unionByName(fromNbr)
+        .select(col("src").as("node") +: rs: _*)
+      regs = regs.unionByName(fromNbr)
         .groupBy(col("node"))
-        .agg(minUnion(col("regs")).as("regs"))
+        .agg(min(col("r0")).as("r0"),
+          (1 until m).map(j => min(col(s"r$j")).as(s"r$j")): _*)
         .localCheckpoint(false)
       regs.join(broadcast(seeds.select(col("seed"))),
           col("node") === col("seed"))
         .select(col("seed"), lit(d).as("dist"),
-          aggregate(col("regs"), lit(0L), (acc, v) => acc + v).as("ssum"))
+          rs.reduce(_ + _).as("ssum"))
     }
     perHop.reduce(_ unionByName _)
       .select(col("seed"), col("dist"),

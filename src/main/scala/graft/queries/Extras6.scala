@@ -319,7 +319,7 @@ object Extras6 {
       val e = Shared.orderGraphEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
-      Graph.reachSketch(e, seeds, k = 3, m = 64)
+      Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true)
     })
 
   val oracles: Map[String, String] = Map(
