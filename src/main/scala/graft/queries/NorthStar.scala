@@ -342,6 +342,16 @@ object NorthStar {
       // the whole pipeline once per UnionLoop iteration (measured 4x the
       // query's total cost at sf0.1). The shared pair index IS that
       // materialization — each level re-scans the key-sized parquet.
+      //
+      // Spark's default cteRecursionRowLimit (1M rows) is an absolute
+      // guardrail that a CORRECT scale-up trips: the walk emitted >1M
+      // rows at sf3 and failed (RECURSION_ROW_LIMIT_EXCEEDED). This
+      // recursion is structurally bounded WITHOUT the guardrail — succ
+      // maps each src to ONE min-successor, so level k+1 has <= level k
+      // rows and the total is <= 50·|succ| — which scales with the input
+      // the way a 100 TB run needs; lift the row limit and keep the
+      // depth bound as the terminator.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
       Shared.pairs(s, dir).select(col("a"), col("b"))
         .createOrReplaceTempView("q49_pairs")
       s.sql("""
