@@ -473,15 +473,22 @@ object Graph {
     * 1 + Σ n_nodes of [[kHopCounts]]).
     */
   def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
-      m: Int = 64, edgesDeduped: Boolean = false): DataFrame = {
+      m: Int = 64, edgesDeduped: Boolean = false,
+      checkpoint: Boolean = true): DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
     val H = 1099511627776L // 2^40: hash range; sums of m mins fit a long
+    // checkpoint=false keeps the whole k-hop lineage in ONE logical plan
+    // (no LogicalRDD boundaries) so PlanSpec can gate the hop aggregate's
+    // physical shape; production keeps the per-hop checkpoints — constant
+    // lineage depth, and each hop's result is reused by hop d+1 AND the
+    // seed read-off without re-execution.
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(false) else df
     // edgesDeduped: Shared.orderGraphEdges is already DISTINCT and
     // localCheckpointed — re-deduping the 100 TB edge table to protect
     // against duplicates the caller proved absent is a wasted shuffle.
     val e = if (edgesDeduped) edges.select(col("src"), col("dst"))
-      else edges.select(col("src"), col("dst")).distinct()
-        .localCheckpoint(false)
+      else cut(edges.select(col("src"), col("dst")).distinct())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // Register state lives as m LONG COLUMNS on one row per node — the
@@ -505,17 +512,15 @@ object Graph {
         concat(lit(j.toString), lit(":"), col("node").cast("string"))),
         lit(H)).as(s"r$j")
     }
-    var regs = nodes.select(col("node") +: regCols: _*)
-      .localCheckpoint(false)
+    var regs = cut(nodes.select(col("node") +: regCols: _*))
     val rs = (0 until m).map(j => col(s"r$j"))
     val perHop = (1 to k).map { d =>
       val fromNbr = e.join(regs, col("dst") === col("node"))
         .select(col("src").as("node") +: rs: _*)
-      regs = regs.unionByName(fromNbr)
+      regs = cut(regs.unionByName(fromNbr)
         .groupBy(col("node"))
         .agg(min(col("r0")).as("r0"),
-          (1 until m).map(j => min(col(s"r$j")).as(s"r$j")): _*)
-        .localCheckpoint(false)
+          (1 until m).map(j => min(col(s"r$j")).as(s"r$j")): _*))
       regs.join(broadcast(seeds.select(col("seed"))),
           col("node") === col("seed"))
         .select(col("seed"), lit(d).as("dist"),

@@ -526,4 +526,28 @@ class PlanSpec extends SparkSpec {
     // pageRank plan — never an edge-sized one per iteration
     assert(exchanges(pPpr) <= exchanges(pPr) + 2, s"$pPpr\n----\n$pPr")
   }
+
+  test("reachSketch min-merge stays in two-phase codegen HashAggregate " +
+      "(never ObjectHashAggregate / SortAggregate)") {
+    // The register representation IS the scale property (round 10): m
+    // fixed-width min() columns keep every hop in whole-stage-codegen
+    // HashAggregate with genuine map-side partials — the exploded
+    // (node, j, v) row form lost map-side compression and collapsed to
+    // external sort at sf1 (568 s vs 22.9 s), and a typed-Aggregator
+    // array merge forces ObjectHashAggregate row boxing. Gate the plan
+    // shape so a refactor can't silently reintroduce either.
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    // checkpoint=false keeps all hops in one logical plan so the gate
+    // sees the hop aggregates (production checkpoints hide them behind
+    // LogicalRDD boundaries)
+    val p = graft.operators.Graph
+      .reachSketch(edges, seeds, k = 2, m = 8, checkpoint = false)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
 }
