@@ -521,13 +521,17 @@ object TextAnalysis {
     *    affected pair tying the candidate could still win
     *    lexicographically after the recount — e.g. table
     *    [(a,z,12),(c,d,10),(z,y,10)]: merging (a,z) can spawn ((az,y),10),
-    *    and "az" < "c"), so acceptance stops there. Accepted merges
-    *    themselves are EXCLUDED from the affected scan: leftmost
+    *    and "az" < "c"), so acceptance stops there. Accepted merges with
+    *    DISTINCT symbols are EXCLUDED from the affected scan: leftmost
     *    non-overlapping replacement consumes every occurrence of the
-    *    merged pair (overlapping occurrences require a=b, and odd runs
-    *    leave [..aa,a] whose residual pairs involve the NEW symbol), so
-    *    their recount count is exactly 0 — including them would cap every
-    *    later candidate at size-1 batches for no semantic reason.
+    *    merged pair, so their recount count is exactly 0 — including them
+    *    would cap every later candidate at size-1 batches for no semantic
+    *    reason. Accepted SELF-pairs (a,a) stay IN the scan (ADVICE r10):
+    *    merging (a,a) on a symbol run of 3+ spawns (aa,a)/(aa,aa) pairs
+    *    whose only pre-merge witness is (a,a) itself — e.g. table
+    *    [(a,a,15),(c,d,3)] from words {aaaa ×5, cd ×3}: sequential
+    *    greedy's second merge is ((aa,aa),5), not (c,d), so the self-pair
+    *    count must keep bounding later candidates.
     *
     * Scanning in table order among UNAFFECTED pairs is the greedy
     * (count desc, lex) tie-break order itself, so the accepted sequence
@@ -548,11 +552,13 @@ object TextAnalysis {
       accepted += ((cand._1, cand._2))
     }
     // Best count over every table pair sharing a symbol with an accepted
-    // merge, accepted merges themselves excluded (their recount count is
-    // 0 — see scaladoc). O(k) per acceptance attempt, k <= 64.
+    // merge. Accepted DISTINCT-symbol merges are excluded (their recount
+    // count is 0); accepted SELF-pairs stay in — they bound the pairs
+    // their own merge spawns on 3+ runs (see scaladoc). O(k) per
+    // acceptance attempt, k <= 64.
     def affectedMax: Long = top.iterator
       .filter { case (x, y, _) =>
-        !accepted((x, y)) && (acceptedSyms(x) || acceptedSyms(y)) }
+        (x == y || !accepted((x, y))) && (acceptedSyms(x) || acceptedSyms(y)) }
       .foldLeft(Long.MinValue) { case (m, (_, _, c)) => math.max(m, c) }
     var stop = false
     val it = top.iterator

@@ -24,6 +24,28 @@ object NorthStar {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** q49's LAZY recursive-CTE plan (the UnionLoop walk), separated from
+    * the queries-map entry so PlanSpec can gate the UnionLoop shape: the
+    * entry itself materializes this eagerly inside a scoped
+    * cteRecursionRowLimit lift and returns a LogicalRDD (ADVICE r10).
+    */
+  private[graft] def q49Walk(s: SparkSession, dir: String): DataFrame = {
+    Shared.pairs(s, dir).select(col("a"), col("b"))
+      .createOrReplaceTempView("q49_pairs")
+    s.sql("""
+      WITH RECURSIVE succ AS (
+        SELECT a AS src, min(b) AS nxt FROM q49_pairs GROUP BY a),
+      walk(src, cur, depth) AS (
+        SELECT src, nxt, 1 FROM succ
+        UNION ALL
+        SELECT /*+ BROADCAST(s2) */ w.src, s2.nxt, w.depth + 1
+        FROM walk w JOIN succ s2 ON w.cur = s2.src
+        WHERE w.depth < 50)
+      SELECT src AS doc_id, min(cur) AS chain_min,
+             CAST(max(depth) AS INT) AS chain_len
+      FROM walk GROUP BY src ORDER BY doc_id""")
+  }
+
   /** Deterministic classifier-weight fixture shared by t11 and the d17
     * capstone — (bucket*37 % 201 - 100)/100, exact hundredths; must stay
     * in lockstep with the `wts` CTE of both oracles.
@@ -350,22 +372,21 @@ object NorthStar {
       // maps each src to ONE min-successor, so level k+1 has <= level k
       // rows and the total is <= 50·|succ| — which scales with the input
       // the way a 100 TB run needs; lift the row limit and keep the
-      // depth bound as the terminator.
+      // depth bound as the terminator. The lift is SCOPED (ADVICE r10: a
+      // bare conf.set silently disabled the guardrail for every later
+      // recursive CTE on the shared session): save the previous value,
+      // execute the recursion EAGERLY inside the lift window via
+      // localCheckpoint — the result is one row per chain head, key-sized
+      // — and restore in a finally, so the returned (already-materialized)
+      // DataFrame never depends on the lifted conf after the builder
+      // returns.
+      val prevLimit = s.conf.getOption("spark.sql.cteRecursionRowLimit")
       s.conf.set("spark.sql.cteRecursionRowLimit", "-1")
-      Shared.pairs(s, dir).select(col("a"), col("b"))
-        .createOrReplaceTempView("q49_pairs")
-      s.sql("""
-        WITH RECURSIVE succ AS (
-          SELECT a AS src, min(b) AS nxt FROM q49_pairs GROUP BY a),
-        walk(src, cur, depth) AS (
-          SELECT src, nxt, 1 FROM succ
-          UNION ALL
-          SELECT /*+ BROADCAST(s2) */ w.src, s2.nxt, w.depth + 1
-          FROM walk w JOIN succ s2 ON w.cur = s2.src
-          WHERE w.depth < 50)
-        SELECT src AS doc_id, min(cur) AS chain_min,
-               CAST(max(depth) AS INT) AS chain_len
-        FROM walk GROUP BY src ORDER BY doc_id""")
+      try q49Walk(s, dir).localCheckpoint()
+      finally prevLimit match {
+        case Some(v) => s.conf.set("spark.sql.cteRecursionRowLimit", v)
+        case None => s.conf.unset("spark.sql.cteRecursionRowLimit")
+      }
     },
 
     // Heaps-law vocabulary growth: new-term and token counts per doc-id

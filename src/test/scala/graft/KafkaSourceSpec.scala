@@ -378,6 +378,7 @@ class KafkaSourceSpec extends SparkSpec {
     } finally {
       spark.conf.unset("graft.kafka.format")
       graft.queries.Shared.deleteTree(cp)
+      graft.sources.FakeKafkaSource.reset(cp.toString)
     }
   }
 
@@ -416,6 +417,7 @@ class KafkaSourceSpec extends SparkSpec {
       spark.conf.unset("graft.kafka.format")
       graft.queries.Shared.deleteTree(cp)
       graft.queries.Shared.deleteTree(out)
+      graft.sources.FakeKafkaSource.reset(cp.toString)
     }
   }
 }

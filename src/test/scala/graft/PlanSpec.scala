@@ -304,8 +304,22 @@ class PlanSpec extends SparkSpec {
 
   test("recursive CTE executes through UnionLoop, not an unrolled plan " +
       "(q49)") {
-    val p = plan("q49_recursive_cte")
+    // The queries-map entry materializes eagerly inside its scoped
+    // cteRecursionRowLimit lift (ADVICE r10) and returns a LogicalRDD, so
+    // the UnionLoop shape is gated on the underlying lazy walk plan.
+    val p = graft.queries.NorthStar.q49Walk(spark, sf)
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("UnionLoop"), p)
+  }
+
+  test("q49's cteRecursionRowLimit lift is scoped: the shared session's " +
+      "guardrail is untouched after the entry runs (ADVICE r10)") {
+    val before = spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+    val n = SparkEntry.queries("q49_recursive_cte")(spark, sf).count()
+    assert(n > 0)
+    assert(spark.conf.getOption("spark.sql.cteRecursionRowLimit") === before)
+    assert(!spark.conf.getOption("spark.sql.cteRecursionRowLimit")
+      .contains("-1"))
   }
 
   test("fuzzy pairs never go cartesian; dictionary joins broadcast (d22)") {

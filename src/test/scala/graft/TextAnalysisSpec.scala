@@ -227,6 +227,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.selectSafeBatch(
       Seq(("a", "b", 10L), ("c", "d", 8L)), 64, 10)
       === Seq(("a", "b", 10L), ("c", "d", 8L)))
+    // ADVICE r10 self-pair hole: accepted (a,a) must KEEP bounding later
+    // candidates — merging (a,a) on 3+ runs spawns (aa,a)/(aa,aa) whose
+    // only pre-merge witness is (a,a) itself (words {aaaa ×5, cd ×3}:
+    // sequential greedy's 2nd merge is ((aa,aa),5), not (c,d))
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "a", 15L), ("c", "d", 3L)), 64, 10)
+      === Seq(("a", "a", 15L)))
+    // a disjoint self-pair AFTER a distinct-symbol merge is still safe:
+    // (c,d)'s spawned pairs are bounded by table pairs sharing c/d, of
+    // which there are none, so (a,a)=15 is the recount argmax too
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("c", "d", 20L), ("a", "a", 15L)), 64, 10)
+      === Seq(("c", "d", 20L), ("a", "a", 15L)))
+    // and a distinct-symbol accepted merge still doesn't self-cap
+    // even when a self-pair appears later, unaffected
+    assert(TextAnalysis.selectSafeBatch(
+      Seq(("a", "b", 10L), ("z", "z", 4L)), 64, 10)
+      === Seq(("a", "b", 10L), ("z", "z", 4L)))
+  }
+
+  test("batched bpe == sequential greedy on a self-merge run corpus " +
+      "(ADVICE r10 counterexample, both ways)") {
+    import spark.implicits._
+    // {aaaa ×5, cd ×3}: pair table [(a,a,15),(c,d,3)] — the batch must
+    // accept ONLY (a,a); merge 2 is then (aa,aa) count 5, merge 3 (c,d).
+    val docs = Seq.tabulate(5)(i => (i.toLong, "aaaa")) ++
+      Seq.tabulate(3)(i => (100L + i, "cd"))
+    val df = docs.toDF("doc_id", "text")
+    val batched = TextAnalysis.bpeTrain(df, nMerges = 3)
+      .orderBy("merge_rank").collect().map(_.toSeq)
+    val sequential = TextAnalysis.bpeTrain(df, nMerges = 3, topK = 1)
+      .orderBy("merge_rank").collect().map(_.toSeq)
+    assert(batched.toSeq === sequential.toSeq)
+    assert(batched.map(r => (r(1), r(2), r(3))).toSeq ===
+      Seq(("a", "a", 15L), ("aa", "aa", 5L), ("c", "d", 3L)))
   }
 
   test("batched bpe training (topK=64) is bit-identical to sequential " +

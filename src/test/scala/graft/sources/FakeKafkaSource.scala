@@ -55,6 +55,13 @@ object FakeKafkaSource {
     revealedByCp.computeIfAbsent(cp,
       _ => new java.util.concurrent.atomic.AtomicInteger(0))
 
+  /** Drop the availability counter for a checkpoint directory — called
+    * from test teardown when the (temp, per-test) checkpoint is deleted,
+    * so the per-checkpoint map does not grow for the JVM's lifetime
+    * across a long test run (ADVICE r10).
+    */
+  def reset(cp: String): Unit = revealedByCp.remove(cp)
+
   /** Per-partition record count the fake topic serves. */
   val RecordsPerPartition = 3
 
