@@ -24,7 +24,8 @@ object SparkEntry {
     (Extras3.defs, Extras3.oracles),
     (Extras4.defs, Extras4.oracles),
     (Extras5.defs, Extras5.oracles),
-    (Extras6.defs, Extras6.oracles))
+    (Extras6.defs, Extras6.oracles),
+    (Extras7.defs, Extras7.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -40,7 +40,7 @@ object Extras6 {
     * event_id % 19 == 0 optionally shipped two files later — genuinely
     * late arrivals once the watermark has advanced past their quartile.
     */
-  private def withFidx(df: DataFrame, late: Boolean): DataFrame = {
+  private[graft] def withFidx(df: DataFrame, late: Boolean): DataFrame = {
     // NTZ→LTZ cast is value-preserving under the UTC session; k22 passes
     // the raw NTZ fixture column, k20/k21 an already-LTZ ms truncation.
     val b = df.agg(min(unix_micros(col("ts").cast("timestamp"))).as("mn"),
@@ -60,7 +60,8 @@ object Extras6 {
     * sequence (the k19 discipline). Fails loudly if a slice is missing:
     * an absent file would silently misalign the two-source batch pairing.
     */
-  private def pinSlice(partDir: Path, dst: Path, k: Int, baseMs: Long): Unit = {
+  private[graft] def pinSlice(partDir: Path, dst: Path, k: Int,
+      baseMs: Long): Unit = {
     import scala.jdk.CollectionConverters._
     require(Files.isDirectory(partDir), s"missing replay slice $partDir")
     val part = scala.util.Using.resource(Files.list(partDir)) { st =>
@@ -86,8 +87,8 @@ object Extras6 {
     * stateRowsRemoved) so the spec can assert the multi-batch, late-drop
     * and state-GC facts the CORRECTNESS row alone cannot show.
     */
-  private[graft] def intervalJoinReplay(s: SparkSession, dir: String)
-      : (DataFrame, Long, Long, Long) = {
+  private[graft] def intervalJoinReplay(s: SparkSession, dir: String,
+      salts: Int = 0): (DataFrame, Long, Long, Long) = {
     val lsrc = Files.createTempDirectory("graft-k20-l")
     val rsrc = Files.createTempDirectory("graft-k20-r")
     val out = Files.createTempDirectory("graft-k20-out")
@@ -124,9 +125,15 @@ object Extras6 {
         col("event_id").as("view_id"), col("ts").as("view_ts"))
       val right = fileStream(rsrc).select(col("user_id").as("buyer_id"),
         col("event_id").as("buy_id"), col("ts").as("buy_ts"))
-      val j = graft.streaming.StreamOps.intervalJoin(left, right,
+      // salts > 0 routes through the skew-hardened twin (k24): identical
+      // output contract, state keys split across `salts` partitions.
+      val j = (if (salts > 0)
+          graft.streaming.StreamOps.intervalJoinSalted(left, right,
+            "user_id", "buyer_id", "view_ts", "buy_ts",
+            within = "48 hours", lateness = "24 hours", salts = salts)
+        else graft.streaming.StreamOps.intervalJoin(left, right,
           "user_id", "buyer_id", "view_ts", "buy_ts",
-          within = "48 hours", lateness = "24 hours")
+          within = "48 hours", lateness = "24 hours"))
         .select(col("user_id"), col("view_id"), col("buy_id"),
           col("view_ts"), col("buy_ts"))
       val q = j.writeStream.format("parquet")

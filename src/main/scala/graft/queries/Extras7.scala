@@ -1,0 +1,221 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** Round-11 additions (VERDICT r10): the INT-register twin of the g20
+  * reach sketch (g21, item 2 — the documented lever against the sf3
+  * single-box shuffle-byte cliff) and the transformWithState promotion
+  * (k23, item 4 — Spark 4's arbitrary-state API moved from the spec
+  * surface to an oracle-gated multi-batch streaming run under RocksDB).
+  * Same oracle discipline as [[Extras6]].
+  */
+object Extras7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** k23 core: the events table quartile-sliced IN ORDER (the k21
+    * discipline — transformWithState with TimeMode.None has no watermark,
+    * so in-order arrival is what makes the batch-window oracle exact),
+    * streamed one file per micro-batch into
+    * [[graft.streaming.StreamOps.userStatsTws]] under the RocksDB state
+    * store provider (transformWithState's required provider, scoped
+    * set/restore). Each micro-batch emits every active user's cumulative
+    * (count, exact DECIMAL(18,2) value sum, max event-time micros) AFTER
+    * folding the batch — state carried ACROSS batches in a typed
+    * ValueState cell, which is exactly what the oracle's running window
+    * over the quartile grain certifies.
+    *
+    * Returns (result, dataBatches, rocksDbEngaged) so the spec can assert
+    * the multi-batch and provider facts the CORRECTNESS row cannot show.
+    */
+  private[graft] def twsStatsReplay(s: SparkSession, dir: String)
+      : (DataFrame, Long, Boolean) = {
+    val src = Files.createTempDirectory("graft-k23-src")
+    val out = Files.createTempDirectory("graft-k23-out")
+    val cp = Files.createTempDirectory("graft-k23-cp")
+    val prevProvider = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val rocksSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(_.customMetrics.keySet()
+          .forEach(k => if (k.toLowerCase.contains("rocksdb"))
+            rocksSeen.set(true)))
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    try {
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      val sliced = Extras6.withFidx(ev, late = false)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"), col("fidx"))
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val tmp = Files.createTempDirectory("graft-k23-slices")
+      try {
+        sliced.repartition(4, col("fidx"))
+          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
+        (0 to 3).foreach(k =>
+          Extras6.pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
+      } finally Shared.deleteTree(tmp)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.streams.addListener(listener)
+      val glob = s"$src/e*.parquet"
+      import s.implicits._
+      val stream = s.readStream.schema(s.read.parquet(glob).schema)
+        .option("maxFilesPerTrigger", 1).parquet(glob)
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("ts_us").as("tsUs"), col("value"))
+        .as[graft.streaming.UserEvent]
+      val q = graft.streaming.StreamOps.userStatsTws(stream)
+        .toDF("user_id", "n_cum", "sum_cum_dec", "last_ts_us")
+        .select(col("user_id"), col("n_cum"),
+          col("sum_cum_dec").cast("double").as("sum_cum"),
+          col("last_ts_us"))
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+      val res = s.read.parquet(out.toString)
+        .orderBy(col("user_id"), col("n_cum")).localCheckpoint()
+      (res, dataBatches, rocksSeen.get)
+    } finally {
+      s.streams.removeListener(listener)
+      prevProvider match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+    }
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // INT-register reach sketch (VERDICT r10 item 2): g20's grid with
+    // registers over H = 2^31 stored as INT columns — the per-hop
+    // shuffle bytes halve, which is the lever against the sf3 single-box
+    // page-cache cliff. Same seeds, same m, same estimator; the oracle
+    // builds the identical 2^31 grid from the exact ball membership.
+    "g21_reach_sketch_int" -> { (s, dir) =>
+      val e = Shared.orderGraphEdges(s, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true,
+        intRegisters = true)
+    },
+
+    // transformWithState under the oracle gate (VERDICT r10 item 4):
+    // per-user cumulative (count, exact value sum, max event time)
+    // carried across four in-order micro-batches in a typed ValueState
+    // under RocksDB, emitted once per (user, batch). The DuckDB oracle
+    // replays the quartile grain with a running window.
+    "k23_tws_user_stats" -> { (s, dir) => twsStatsReplay(s, dir)._1 },
+
+    // Skew-hardened stream-stream interval join (VERDICT r10 item 3):
+    // k20's exact replay routed through
+    // [[graft.streaming.StreamOps.intervalJoinSalted]] — state keys
+    // split across 8 salts, right side replicated. The output contract
+    // is IDENTICAL to the unsalted join (each match survives under
+    // exactly one salt), so this certifies against k20's oracle
+    // verbatim; Round11Spec carries the Zipf skew probe showing WHY the
+    // salted twin exists (per-partition state-row spread).
+    "k24_interval_join_salted" -> { (s, dir) =>
+      Extras6.intervalJoinReplay(s, dir, salts = 8)._1 })
+
+  val oracles: Map[String, String] = Map(
+
+    // The g20 grid verbatim with H = 2^31 (the hash keeps its 60-bit md5
+    // prefix; only the modulus narrows) and est = m·2^31/Σ − 1.
+    "g21_reach_sketch_int" -> """
+      WITH cs AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+          SELECT cust AS src, supp AS dst FROM cs
+          UNION ALL SELECT supp AS src, cust AS dst FROM cs)),
+      seeds AS (SELECT DISTINCT src AS seed FROM e
+        WHERE src < 1000000 AND src % 100 = 0),
+      v0 AS (SELECT seed, seed AS node FROM seeds),
+      f1 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
+          FROM v0 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v0),
+      v1 AS MATERIALIZED (SELECT * FROM v0 UNION SELECT * FROM f1),
+      f2 AS MATERIALIZED (SELECT DISTINCT s.seed, e.dst AS node
+          FROM f1 s JOIN e ON s.node = e.src
+        EXCEPT SELECT * FROM v1),
+      memd AS MATERIALIZED (SELECT seed, node, min(h) AS h FROM (
+          SELECT seed, node, 1 AS h FROM v0
+          UNION ALL SELECT seed, node, 1 FROM f1
+          UNION ALL SELECT seed, node, 2 FROM f2
+          UNION ALL SELECT s.seed, e.dst AS node, 3 AS h
+            FROM f2 s JOIN e ON s.node = e.src)
+        GROUP BY seed, node),
+      nreg AS MATERIALIZED (SELECT node, j,
+          ('0x' || substr(md5(j || ':' || CAST(node AS VARCHAR)), 1, 15))
+            ::BIGINT % 2147483648 AS hv
+        FROM (SELECT DISTINCT node FROM memd), range(64) t(j)),
+      grid AS (SELECT seed, j,
+          min(CASE WHEN h <= 1 THEN hv END) AS m1,
+          min(CASE WHEN h <= 2 THEN hv END) AS m2,
+          min(hv) AS m3
+        FROM memd JOIN nreg USING (node)
+        GROUP BY seed, j),
+      sums AS (SELECT seed, CAST(sum(m1) AS BIGINT) AS s1,
+          CAST(sum(m2) AS BIGINT) AS s2, CAST(sum(m3) AS BIGINT) AS s3
+        FROM grid GROUP BY seed),
+      lv AS (SELECT seed, 1 AS dist, s1 AS ssum FROM sums
+        UNION ALL SELECT seed, 2, s2 FROM sums
+        UNION ALL SELECT seed, 3, s3 FROM sums)
+      SELECT seed, CAST(dist AS INT) AS dist,
+        CAST(floor(CAST(64 * 2147483648 AS DOUBLE) /
+          CAST(greatest(ssum, 1) AS DOUBLE) - 1.0 + 0.5) AS BIGINT)
+          AS est_reach
+      FROM lv ORDER BY seed, dist""",
+
+    // The quartile grain IS the micro-batch grain (in-order slicing, no
+    // late rows, no watermark in TimeMode.None), so the processor's
+    // per-batch cumulative emission equals a running window over
+    // per-(user, quartile) partials. Value sums are DECIMAL(18,2)-exact
+    // on both engines before the final double cast.
+    "k23_tws_user_stats" -> """
+      WITH ev AS (SELECT event_id, ts, user_id, value FROM events),
+      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM ev),
+      f AS (SELECT ev.*,
+          ((epoch_us(ts) - mn) * 4) // (mx - mn + 1) AS fidx
+        FROM ev, bnds),
+      per AS (SELECT user_id, fidx, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS sv,
+          max(epoch_us(ts)) AS mxus
+        FROM f GROUP BY 1, 2)
+      SELECT user_id,
+        CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+        CAST(CAST(sum(sv) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum_cum,
+        CAST(max(mxus) OVER w AS BIGINT) AS last_ts_us
+      FROM per
+      WINDOW w AS (PARTITION BY user_id ORDER BY fidx
+        ROWS UNBOUNDED PRECEDING)
+      ORDER BY user_id, n_cum""",
+
+    // Salting is output-invariant by construction, so the skew-hardened
+    // join must land on the SAME bits as the unsalted one — k20's oracle
+    // verbatim (shared by reference, not copy, so they cannot drift).
+    "k24_interval_join_salted" -> Extras6.oracles("k20_interval_join"))
+}

@@ -91,6 +91,62 @@ class CusumProcessor(target: BigDecimal)
   }
 }
 
+/** One event entering the per-user running-stats processor; `tsUs` is
+  * epoch-micros of the event time (kept integral so the emitted column
+  * avoids NTZ/LTZ cross-engine pitfalls).
+  */
+case class UserEvent(userId: Long, eventId: Long, tsUs: Long, value: Double)
+
+/** Per-(user, micro-batch) emission of [[UserStatsProcessor]]: the
+  * cumulative state AFTER folding this batch's rows. `nCum` strictly
+  * increases per user across batches, so (userId, nCum) identifies the
+  * batch without a batch-id column.
+  */
+case class UserStats(userId: Long, nCum: Long, sumCum: BigDecimal,
+    lastTsUs: Long)
+
+/** The whole running-stats state: three scalars per user. */
+case class UserStatsState(n: Long, sum: BigDecimal, maxTsUs: Long)
+
+/** Per-user running stats on Spark 4's transformWithState (VERDICT r10
+  * item 4 — the arbitrary-state API a new engine should lead with,
+  * promoted from the spec surface to an oracle-gated query): one typed
+  * [[ValueState]] cell per user holding (count, DECIMAL(·,2)-exact value
+  * sum, max event time), folded with each micro-batch's rows and emitted
+  * once per (user, batch-with-input). Decimal addition is exact, so the
+  * cumulative emission is bit-reproducible from the batch slicing alone —
+  * what lets a DuckDB window oracle strict-certify a stateful streaming
+  * run (k23). State is three scalars per user — bounded regardless of
+  * stream volume — and `ttl` (processing-time TTL, requires
+  * TimeMode.ProcessingTime) bounds the KEY dimension for 100 TB key
+  * churn: users idle past the TTL are evicted and restart from zero, the
+  * Round11Spec probe's assertion.
+  */
+class UserStatsProcessor(ttl: TTLConfig = TTLConfig.NONE)
+    extends StatefulProcessor[Long, UserEvent, UserStats] {
+  @transient private var st: ValueState[UserStatsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserStatsState]("stats",
+      Encoders.product[UserStatsState], ttl)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      tv: TimerValues): Iterator[UserStats] = {
+    var (n, sum, mx) =
+      if (st.exists()) { val c = st.get(); (c.n, c.sum, c.maxTsUs) }
+      else (0L, BigDecimal(0).setScale(2), Long.MinValue)
+    rows.foreach { r =>
+      n += 1
+      // the same double→DECIMAL(·,2) conversion Spark's cast performs
+      sum += BigDecimal(java.math.BigDecimal.valueOf(r.value))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      if (r.tsUs > mx) mx = r.tsUs
+    }
+    st.update(UserStatsState(n, sum, mx))
+    Iterator.single(UserStats(key, n, sum, mx))
+  }
+}
+
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows): the
   * streaming twin of the batch replay source plus watermarked windows,
   * streaming dedup, and session windows.
@@ -240,6 +296,21 @@ object StreamOps {
         OutputMode.Append())
   }
 
+  /** Per-user running stats over typed events (see [[UserStatsProcessor]]);
+    * requires the RocksDB state store provider, like every
+    * transformWithState op. `ttl` other than NONE switches the stream to
+    * processing-time mode (TTL cells need a clock).
+    */
+  def userStatsTws(events: Dataset[UserEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
+    events.groupByKey(_.userId)
+      .transformWithState(new UserStatsProcessor(ttl), timeMode,
+        OutputMode.Append())
+  }
+
   /** Streaming CUSUM over typed points (see [[CusumProcessor]]); requires
     * the RocksDB state store provider, like every transformWithState op.
     */
@@ -313,6 +384,42 @@ object StreamOps {
     l.join(r, expr(
       s"$keyL = $keyR AND $timeR >= $timeL AND " +
         s"$timeR < $timeL + INTERVAL $within"))
+  }
+
+  /** [[intervalJoin]] with SALTED state keys (VERDICT r10 item 3) — the
+    * streaming twin of the batch skew discipline in
+    * [[graft.operators.Skew]]: at 100 TB the join state is keyed by
+    * `keyL`, and a power-law key (one user producing a large share of
+    * events) concentrates its state rows — and every probe against them —
+    * on ONE state-store partition, which becomes the straggler every
+    * micro-batch. Salting splits each hot key across `salts` state
+    * partitions: the left row takes a deterministic per-ROW salt (any
+    * assignment is correct), the right side is replicated across ALL
+    * salts, and the equi-key becomes (key, salt) — so each potential
+    * match survives under exactly one salt and the OUTPUT is identical
+    * to the unsalted join, row for row (k24 certifies it against k20's
+    * oracle verbatim). Cost: right-side state ×`salts` — the standard
+    * trade, cheap when the right stream is the smaller side. Watermark
+    * semantics are untouched: same per-row event times, same dual
+    * watermark, same late filters, same GC bounds.
+    */
+  def intervalJoinSalted(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      within: String = "10 minutes", lateness: String = "10 minutes",
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val l = left
+      .withColumn("__salt_l",
+        pmod(hash(left.columns.map(col): _*), lit(salts)))
+      .withWatermark(timeL, lateness)
+    val r = right
+      .withColumn("__salt_r",
+        explode(array((0 until salts).map(lit): _*)))
+      .withWatermark(timeR, lateness)
+    l.join(r, expr(
+      s"$keyL = $keyR AND __salt_l = __salt_r AND " +
+        s"$timeR >= $timeL AND $timeR < $timeL + INTERVAL $within"))
+      .drop("__salt_l", "__salt_r")
   }
 
   /** Session windows (gap-based) per key — the streaming twin of the
