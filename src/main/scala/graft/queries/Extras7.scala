@@ -107,6 +107,89 @@ object Extras7 {
     }
   }
 
+  /** k25 core: event-time TIMERS through transformWithState (the last
+    * sub-surface of the arbitrary-state API after k23's state cells and
+    * Round11Spec's TTL): ms-truncated events quartile-sliced IN ORDER,
+    * per user ONE timer registered at first_ts + 48 h on first sight;
+    * the engine fires it through handleExpiredTimer once the watermark
+    * (max event time − 1 h) passes. The emission is (user, first + 48 h)
+    * regardless of WHICH batch fires the timer — firing-order
+    * independence is what makes the batch oracle exact: alert set =
+    * {user : first_ms + 48 h <= final watermark}, with AvailableNow's
+    * no-data flush firing everything below the final watermark (the k21
+    * flush discipline, on timers instead of the session store).
+    *
+    * Returns (result, dataBatches, rocksDbEngaged).
+    */
+  private[graft] def twsTimerReplay(s: SparkSession, dir: String)
+      : (DataFrame, Long, Boolean) = {
+    val src = Files.createTempDirectory("graft-k25-src")
+    val out = Files.createTempDirectory("graft-k25-out")
+    val cp = Files.createTempDirectory("graft-k25-cp")
+    val prevProvider = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val rocksSeen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(_.customMetrics.keySet()
+          .forEach(k => if (k.toLowerCase.contains("rocksdb"))
+            rocksSeen.set(true)))
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    try {
+      // ms-truncated LTZ event time — the watermark's native grid
+      val ev = t(s, dir, "events").select(col("event_id"),
+        date_trunc("millisecond", col("ts")).as("ts"), col("user_id"))
+      val sliced = Extras6.withFidx(ev, late = false)
+        .select(col("user_id"), col("event_id"), col("ts"), col("fidx"))
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val tmp = Files.createTempDirectory("graft-k25-slices")
+      try {
+        sliced.repartition(4, col("fidx"))
+          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
+        (0 to 3).foreach(k =>
+          Extras6.pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
+      } finally Shared.deleteTree(tmp)
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      s.streams.addListener(listener)
+      val glob = s"$src/e*.parquet"
+      import s.implicits._
+      val stream = s.readStream.schema(s.read.parquet(glob).schema)
+        .option("maxFilesPerTrigger", 1).parquet(glob)
+        .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+          col("ts"))
+        .withWatermark("ts", "1 hour")
+        .as[graft.streaming.UserTimedEvent]
+      val q = graft.streaming.StreamOps.firstSeenAlerts(stream)
+        .toDF("user_id", "alert_ts_ms")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+      val res = s.read.parquet(out.toString)
+        .orderBy(col("user_id")).localCheckpoint()
+      (res, dataBatches, rocksSeen.get)
+    } finally {
+      s.streams.removeListener(listener)
+      prevProvider match {
+        case Some(p) => s.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+    }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // INT-register reach sketch (VERDICT r10 item 2): g20's grid with
@@ -138,7 +221,13 @@ object Extras7 {
     // verbatim; Round11Spec carries the Zipf skew probe showing WHY the
     // salted twin exists (per-partition state-row spread).
     "k24_interval_join_salted" -> { (s, dir) =>
-      Extras6.intervalJoinReplay(s, dir, salts = 8)._1 })
+      Extras6.intervalJoinReplay(s, dir, salts = 8)._1 },
+
+    // Event-time timers through transformWithState (the API's last
+    // sub-surface): one timer per user at first_ts + 48 h, fired by the
+    // watermark, emission independent of firing batch — so the batch
+    // oracle is a plain group-by with the final-watermark cutoff.
+    "k25_tws_timers" -> { (s, dir) => twsTimerReplay(s, dir)._1 })
 
   val oracles: Map[String, String] = Map(
 
@@ -217,5 +306,22 @@ object Extras7 {
     // Salting is output-invariant by construction, so the skew-hardened
     // join must land on the SAME bits as the unsalted one — k20's oracle
     // verbatim (shared by reference, not copy, so they cannot drift).
-    "k24_interval_join_salted" -> Extras6.oracles("k20_interval_join"))
+    "k24_interval_join_salted" -> Extras6.oracles("k20_interval_join"),
+
+    // Timer alert set: every user whose (ms-floored) first event + 48 h
+    // is at or below the final watermark (max ms-floored event time −
+    // 1 h). The boundary comparison (<=) cannot be distinguished from <
+    // on this fixture (an exact ms tie between first+48h and the
+    // watermark would be needed); in-order replay means first-per-batch
+    // == global first.
+    "k25_tws_timers" -> """
+      WITH ev AS (SELECT user_id,
+          epoch_us(date_trunc('milliseconds', ts)) // 1000 AS ms
+        FROM events),
+      wf AS (SELECT max(ms) - 3600000 AS wfinal FROM ev),
+      firsts AS (SELECT user_id, min(ms) AS first_ms FROM ev GROUP BY 1)
+      SELECT user_id, first_ms + 172800000 AS alert_ts_ms
+      FROM firsts, wf
+      WHERE first_ms + 172800000 <= wfinal
+      ORDER BY user_id""")
 }

@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
-  ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.sources.{KafkaRecord, KafkaSource}
@@ -145,6 +145,52 @@ class UserStatsProcessor(ttl: TTLConfig = TTLConfig.NONE)
     st.update(UserStatsState(n, sum, mx))
     Iterator.single(UserStats(key, n, sum, mx))
   }
+}
+
+/** One event entering the timer-based alert processor: the watermark
+  * column stays a genuine TIMESTAMP through the typed boundary.
+  */
+case class UserTimedEvent(userId: Long, eventId: Long, ts: java.sql.Timestamp)
+
+/** [[FirstSeenAlertProcessor]]'s emission: the alert fires exactly at
+  * firstSeenMs + gap, carried as epoch-ms (integral — no NTZ/LTZ
+  * cross-engine pitfalls).
+  */
+case class UserAlert(userId: Long, alertTsMs: Long)
+
+/** Event-time TIMERS on transformWithState — the last sub-surface of
+  * Spark 4's arbitrary-state API (state cells: k23; TTL: Round11Spec;
+  * timers: THIS): on a user's FIRST event, register one event-time timer
+  * at firstTs + gap; the engine fires it through [[handleExpiredTimer]]
+  * once the watermark passes, and the emission is (user, firstTs + gap)
+  * regardless of WHICH micro-batch fires it — that firing-order
+  * independence is what makes a batch oracle exact: alert set =
+  * {user : first_ts + gap <= final watermark} (k25 certifies it).
+  * State is one long + one timer row per user, bounded for any volume.
+  */
+class FirstSeenAlertProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, UserTimedEvent, UserAlert] {
+  @transient private var firstMs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    firstMs = getHandle.getValueState[Long]("firstMs", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserTimedEvent],
+      tv: TimerValues): Iterator[UserAlert] = {
+    if (!firstMs.exists()) {
+      // in-order replay: the first batch containing the user holds the
+      // user's global first event, so min-of-batch IS first-seen
+      val first = rows.map(_.ts.getTime).min
+      firstMs.update(first)
+      getHandle.registerTimer(first + gapMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[UserAlert] =
+    Iterator.single(UserAlert(key, info.getExpiryTimeInMs))
 }
 
 /** Structured Streaming surface (SURVEY.md §2.2 streaming rows): the
@@ -309,6 +355,19 @@ object StreamOps {
     events.groupByKey(_.userId)
       .transformWithState(new UserStatsProcessor(ttl), timeMode,
         OutputMode.Append())
+  }
+
+  /** First-activity alerts via event-time TIMERS (see
+    * [[FirstSeenAlertProcessor]]); the input Dataset must already carry
+    * a watermark on `ts` (TimeMode.EventTime requires one), and the
+    * RocksDB provider, like every transformWithState op.
+    */
+  def firstSeenAlerts(events: Dataset[UserTimedEvent],
+      gapMs: Long = 48L * 3600 * 1000): Dataset[UserAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new FirstSeenAlertProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming CUSUM over typed points (see [[CusumProcessor]]); requires

@@ -132,6 +132,29 @@ class Round11Spec extends SparkSpec {
       "no user spanned more than one micro-batch")
   }
 
+  test("k25 event-time timers: registered on first sight, fired by the " +
+      "watermark across batches under RocksDB, alert set == batch cutoff") {
+    val (res, dataBatches, rocks) = Extras7.twsTimerReplay(spark, sf)
+    assert(dataBatches >= 3,
+      s"expected >= 3 data micro-batches, saw $dataBatches")
+    assert(rocks, "rocksdb did not engage for the timer query")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // batch twin: first event per user (ms grid) + 48h, final-watermark cut
+    val ev = Tables.load(spark, sf, "events")
+      .select(col("user_id"),
+        (unix_micros(date_trunc("millisecond", col("ts"))) / lit(1000L))
+          .cast("long").as("ms"))
+    val wfinal = ev.agg(max(col("ms"))).head.getLong(0) - 3600000L
+    val want = ev.groupBy(col("user_id"))
+      .agg(min(col("ms")).as("first_ms"))
+      .filter(col("first_ms") + 172800000L <= wfinal)
+      .select(col("user_id"), (col("first_ms") + 172800000L).as("alert"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "timer alert set diverged from the batch cutoff")
+    assert(got.nonEmpty, "no timer ever fired")
+  }
+
   test("UserStatsProcessor TTL evicts idle state between batches " +
       "(processing-time TTL, counts restart instead of accumulating)") {
     import spark.implicits._
