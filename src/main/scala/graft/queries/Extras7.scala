@@ -20,6 +20,22 @@ object Extras7 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** RocksDB-engagement fallback read straight off the query handle
+    * (ADVICE r11): the StreamingQueryListener delivers progress events
+    * async on the shared listener bus, so a still-queued last event could
+    * leave `rocksSeen` false after awaitTermination(). `lastProgress` is
+    * written synchronously by the progress reporter at batch completion
+    * (not via the bus), so reading it here closes the race — either
+    * signal proves the provider engaged.
+    */
+  private def rocksInLastProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
+    import scala.jdk.CollectionConverters._
+    q.recentProgress.flatMap(_.stateOperators)
+      .exists(_.customMetrics.keySet().asScala
+        .exists(_.toLowerCase.contains("rocksdb")))
+  }
+
   /** k23 core: the events table quartile-sliced IN ORDER (the k21
     * discipline — transformWithState with TimeMode.None has no watermark,
     * so in-order arrival is what makes the batch-window oracle exact),
@@ -94,7 +110,7 @@ object Extras7 {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       val res = s.read.parquet(out.toString)
         .orderBy(col("user_id"), col("n_cum")).localCheckpoint()
-      (res, dataBatches, rocksSeen.get)
+      (res, dataBatches, rocksSeen.get || rocksInLastProgress(q))
     } finally {
       s.streams.removeListener(listener)
       prevProvider match {
@@ -177,7 +193,7 @@ object Extras7 {
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       val res = s.read.parquet(out.toString)
         .orderBy(col("user_id")).localCheckpoint()
-      (res, dataBatches, rocksSeen.get)
+      (res, dataBatches, rocksSeen.get || rocksInLastProgress(q))
     } finally {
       s.streams.removeListener(listener)
       prevProvider match {
@@ -310,10 +326,12 @@ object Extras7 {
 
     // Timer alert set: every user whose (ms-floored) first event + 48 h
     // is at or below the final watermark (max ms-floored event time −
-    // 1 h). The boundary comparison (<=) cannot be distinguished from <
-    // on this fixture (an exact ms tie between first+48h and the
-    // watermark would be needed); in-order replay means first-per-batch
-    // == global first.
+    // 1 h). The boundary comparison is CERTIFIED inclusive, not assumed
+    // fixture-safe (ADVICE r11): Round12Spec's boundary probe constructs
+    // the exact ms tie (timer expiry == final watermark) and pins that
+    // the engine fires it — matching this <=. In-order replay means
+    // first-per-batch == global first (and the processor now min-merges
+    // out-of-order arrivals anyway).
     "k25_tws_timers" -> """
       WITH ev AS (SELECT user_id,
           epoch_us(date_trunc('milliseconds', ts)) // 1000 AS ms

@@ -39,6 +39,7 @@ private[graft] object Shared {
     pairs(s, dir).count()
     khop3(s, dir).count()
     bpeMerges(s, dir).count()
+    Extras6.k20SliceRoot(s, dir)
   }
 
   private val cache =
@@ -90,6 +91,7 @@ private[graft] object Shared {
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
               : Unit = {
             cache.keySet.removeIf(_._1 == app)
+            pathCache.keySet.removeIf(_._1 == app)
             Option(tempDirs.remove(app)).foreach(_.forEach(deleteTree(_)))
             cleanupRegistered.remove(app)
             ctxIds.synchronized { ctxIds.remove(sc) }
@@ -130,6 +132,30 @@ private[graft] object Shared {
       val df = build(app)
       val prev = cache.putIfAbsent(k, df)
       if (prev != null) prev else df
+    }
+  }
+
+  private val pathCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), java.nio.file.Path]
+
+  /** Memoized on-disk artifact per (session, dir, key) — the PATH twin of
+    * [[memo]] (VERDICT r11 item 4): built once into a temp directory,
+    * tracked for application-end deletion, shared by every consumer.
+    * Same get-then-putIfAbsent discipline; the loser of the benign race
+    * deletes its duplicate build.
+    */
+  private[graft] def memoDir(s: SparkSession, dir: String, key: String)
+      (build: java.nio.file.Path => Unit): java.nio.file.Path = {
+    val app = ensureCleanup(s)
+    val k = (app, dir, key)
+    val hit = pathCache.get(k)
+    if (hit != null) hit
+    else {
+      val path = Files.createTempDirectory(s"graft-$key")
+      build(path)
+      val prev = pathCache.putIfAbsent(k, path)
+      if (prev != null) { deleteTree(path); prev }
+      else { trackTempDir(app, path); path }
     }
   }
 

@@ -167,6 +167,14 @@ case class UserAlert(userId: Long, alertTsMs: Long)
   * independence is what makes a batch oracle exact: alert set =
   * {user : first_ts + gap <= final watermark} (k25 certifies it).
   * State is one long + one timer row per user, bounded for any volume.
+  *
+  * Out-of-order arrival is handled by MIN-MERGING (ADVICE r11): a later
+  * batch carrying an event below the stored first-seen deletes the old
+  * timer and re-registers at the revised time. The revision window is
+  * exactly the timer's pre-firing life: once the timer at firstMs + gap
+  * has fired, the watermark is >= firstMs + gap, so any admissible row
+  * (ts >= watermark) satisfies ts >= firstMs + gap > firstMs and can
+  * never revise — the emitted alert is always the global-min alert.
   */
 class FirstSeenAlertProcessor(gapMs: Long)
     extends StatefulProcessor[Long, UserTimedEvent, UserAlert] {
@@ -178,12 +186,16 @@ class FirstSeenAlertProcessor(gapMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[UserTimedEvent],
       tv: TimerValues): Iterator[UserAlert] = {
+    val batchMin = rows.map(_.ts.getTime).min
     if (!firstMs.exists()) {
-      // in-order replay: the first batch containing the user holds the
-      // user's global first event, so min-of-batch IS first-seen
-      val first = rows.map(_.ts.getTime).min
-      firstMs.update(first)
-      getHandle.registerTimer(first + gapMs)
+      firstMs.update(batchMin)
+      getHandle.registerTimer(batchMin + gapMs)
+    } else if (batchMin < firstMs.get()) {
+      // out-of-order row below the stored first: the timer cannot have
+      // fired yet (see class scaladoc), so move it to the revised time
+      getHandle.deleteTimer(firstMs.get() + gapMs)
+      firstMs.update(batchMin)
+      getHandle.registerTimer(batchMin + gapMs)
     }
     Iterator.empty
   }
@@ -474,6 +486,53 @@ object StreamOps {
     val r = right
       .withColumn("__salt_r",
         explode(array((0 until salts).map(lit): _*)))
+      .withWatermark(timeR, lateness)
+    l.join(r, expr(
+      s"$keyL = $keyR AND __salt_l = __salt_r AND " +
+        s"$timeR >= $timeL AND $timeR < $timeL + INTERVAL $within"))
+      .drop("__salt_l", "__salt_r")
+  }
+
+  /** [[intervalJoinSalted]] restricted to a HOT-KEY set (VERDICT r11
+    * item 1) — the production shape of the salt discipline.
+    * [[intervalJoinSalted]] replicates the WHOLE right stream across all
+    * salts, so right-side state grows salts× on every key even though a
+    * power-law workload concentrates state on a handful of keys.
+    * Here only keys in `hotKeys` are salted: a hot left row takes a
+    * deterministic per-row salt, a hot right row is replicated across all
+    * `salts`; every COLD row (the overwhelming majority at 100 TB) keeps
+    * the single salt 0 on both sides. Each potential match still
+    * survives under exactly one salt — cold×cold under (key, 0),
+    * hot×hot under (key, saltOfLeftRow) — so the OUTPUT is identical to
+    * the unsalted join row for row (k26 certifies it against the
+    * k20/k24 oracle verbatim), while right state is
+    * ≈ unsalted + |hot right rows|×(salts−1) instead of ×salts on
+    * everything. The hot set is a bind-time parameter: detect it from a
+    * batch pre-scan / the state-store data source's per-partition
+    * distribution (Round12Spec shows both the detection grain and the
+    * state-row accounting). Watermark semantics untouched, as in the
+    * full-salt twin.
+    */
+  def intervalJoinSaltedHot(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      hotKeys: Seq[Long],
+      within: String = "10 minutes", lateness: String = "10 minutes",
+      salts: Int = 8): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(hotKeys.nonEmpty,
+      "hotKeys must be non-empty (use intervalJoin when nothing is hot)")
+    val hot = typedLit(hotKeys.distinct.sorted)
+    val l = left
+      .withColumn("__salt_l",
+        when(array_contains(hot, col(keyL).cast("long")),
+          pmod(hash(left.columns.map(col): _*), lit(salts)))
+          .otherwise(lit(0)))
+      .withWatermark(timeL, lateness)
+    val r = right
+      .withColumn("__salt_r",
+        explode(when(array_contains(hot, col(keyR).cast("long")),
+          array((0 until salts).map(lit): _*))
+          .otherwise(array(lit(0)))))
       .withWatermark(timeR, lateness)
     l.join(r, expr(
       s"$keyL = $keyR AND __salt_l = __salt_r AND " +

@@ -26,36 +26,56 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  /** q26 is the one rows-only CORRECTNESS entry (Spark's HLL++ estimate
-    * can't bit-match DuckDB's sketch) — this is its quantitative gate:
-    * relative error < 10% (2× the sketch's documented default rsd of 5%)
-    * against the exact q09 distinct counts at sf0.01. HLL++ is
-    * deterministic per input, so this is a stable assertion, not a flaky
-    * statistical one — but rsd is a standard DEVIATION, not an error
-    * bound, so a 1× threshold would be fixture-pinned: a regenerated
-    * testdata set could legitimately land past 5% with a healthy
-    * estimator. 2× keeps the regression signal (precision drop, wrong
-    * column, wrong rollup all blow far past it) without that fragility.
+  /** q26 was the suite's one rows-only CORRECTNESS entry for six rounds
+    * (Spark's built-in HLL++ sketch can't bit-match DuckDB's); round 12
+    * replaced its estimator with the cross-engine-exact min-of-uniforms
+    * register grid (the proven g20/g21 discipline), so the row is now
+    * hash-gated by the driver like every other query. This test is the
+    * quantitative sanity gate the hash can't give: the m=64 estimator's
+    * relative stderr is 1/√m = 12.5%, so a healthy estimate sits within
+    * ~2σ = 25% of the exact count on any fixture (the hash gate pins the
+    * exact VALUE; this bounds its statistical sanity).
     */
-  test("q26 approx distincts are within 10% of the exact counts (sf0.01)") {
+  test("q26 register estimates are within 25% of the exact counts " +
+      "(sf0.01) and the exact twins match q09") {
     val dir = "/root/testdata/sf0.01"
     val a = SparkEntry.queries("q26_approx_distinct")(spark, dir).collect()(0)
     val e = SparkEntry.queries("q09_distinct")(spark, dir).collect()(0)
     def check(approx: Long, exact: Long, what: String): Unit =
+      assert(math.abs(approx - exact) <= 0.25 * exact,
+        s"$what: est $approx vs exact $exact exceeds 25% relative error")
+    check(a.getAs[Long]("est_parts"), e.getAs[Long]("n_parts"), "parts")
+    check(a.getAs[Long]("est_orders"), e.getAs[Long]("n_orders"), "orders")
+    // the in-query exact twins must agree with q09 exactly
+    assert(a.getAs[Long]("exact_parts") === e.getAs[Long]("n_parts"))
+    assert(a.getAs[Long]("exact_orders") === e.getAs[Long]("n_orders"))
+  }
+
+  /** The built-in HLL++ surface keeps its own drift-gated probe (it used
+    * to BE q26): relative error < 10% (2× the documented default rsd of
+    * 5%) against the exact counts, plus exact pins on the unchanged
+    * sf0.01 fixture — HLL++ is deterministic per input, so any
+    * estimator/precision drift moves the pins even inside the 10% band.
+    * Regenerated testdata legitimately changes the two literals (and
+    * only them): re-pin, don't loosen the 10% gate.
+    */
+  test("built-in HLL++ approx_count_distinct within 10% of exact (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val a = graft.Tables.load(spark, dir, "lineitem").agg(
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col("l_partkey")).as("ap"),
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("ao"))
+      .collect()(0)
+    val e = SparkEntry.queries("q09_distinct")(spark, dir).collect()(0)
+    def check(approx: Long, exact: Long, what: String): Unit =
       assert(math.abs(approx - exact) <= 0.10 * exact,
         s"$what: approx $approx vs exact $exact exceeds 10% relative error")
-    check(a.getAs[Long]("approx_parts"), e.getAs[Long]("n_parts"), "parts")
-    check(a.getAs[Long]("approx_orders"), e.getAs[Long]("n_orders"), "orders")
-    // the in-query exact twin must agree with q09 exactly
-    assert(a.getAs[Long]("exact_parts") === e.getAs[Long]("n_parts"))
-    // Change detector (ADVICE r7): HLL++ is deterministic per input, so
-    // on the CURRENT fixed sf0.01 fixture the estimates are exact pins —
-    // any estimator/precision/column drift moves them even inside the
-    // 10% band above. Regenerated testdata legitimately changes these
-    // two literals (and only these): re-pin, don't loosen the 10% gate.
-    assert(a.getAs[Long]("approx_parts") === 1947L,
+    check(a.getAs[Long]("ap"), e.getAs[Long]("n_parts"), "parts")
+    check(a.getAs[Long]("ao"), e.getAs[Long]("n_orders"), "orders")
+    assert(a.getAs[Long]("ap") === 1947L,
       "HLL++ estimate drifted on the unchanged sf0.01 fixture")
-    assert(a.getAs[Long]("approx_orders") === 14206L,
+    assert(a.getAs[Long]("ao") === 14206L,
       "HLL++ estimate drifted on the unchanged sf0.01 fixture")
   }
 }

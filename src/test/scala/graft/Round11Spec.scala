@@ -76,7 +76,12 @@ class Round11Spec extends SparkSpec {
     assert(longBytes > 0 && intBytes > 0)
     info(f"shuffle-write bytes: packed-INT $intBytes vs LONG $longBytes " +
       f"= ${intBytes.toDouble / longBytes}%.3f")
-    assert(intBytes < 0.85 * longBytes,
+    // Perf gate, not a correctness gate (ADVICE r11): the measured ratio
+    // is ~0.70, but AQE/partitioning/Spark-version drift can move the
+    // shared-overhead bytes without any real regression — the assert only
+    // guards the DIRECTION (packing must not stop shrinking the hop
+    // shuffles); the info() line above carries the real measurement.
+    assert(intBytes < 0.95 * longBytes,
       s"INT registers did not shrink the shuffles: $intBytes vs $longBytes")
   }
 
