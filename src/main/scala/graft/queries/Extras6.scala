@@ -124,6 +124,25 @@ object Extras6 {
       } finally Shared.deleteTree(tmp)
     }
 
+  /** A 4-file quartile slice dir (e0..e3, pinned mtimes), built once per
+    * (session, fixture dir, key) via [[Shared.memoDir]] and shared across
+    * every same-session replay/bench pass — the single-stream twin of
+    * [[k20SliceRoot]]. `sliced` must carry a `fidx` column (usually from
+    * [[withFidx]]); contents are deterministic per fixture, so reuse is
+    * sound.
+    */
+  private[graft] def sliceRoot4(s: SparkSession, dir: String, key: String,
+      sliced: => DataFrame): java.nio.file.Path =
+    Shared.memoDir(s, dir, key) { root =>
+      val baseMs = System.currentTimeMillis() - 3600000L
+      val tmp = Files.createTempDirectory(s"graft-$key-build")
+      try {
+        sliced.repartition(4, col("fidx"))
+          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
+        (0 to 3).foreach(k => pinSlice(tmp.resolve(s"fidx=$k"), root, k, baseMs))
+      } finally Shared.deleteTree(tmp)
+    }
+
   private[graft] def intervalJoinReplay(s: SparkSession, dir: String,
       salts: Int = 0, hotKeys: Seq[Long] = Nil): (DataFrame, Long, Long, Long) = {
     val out = Files.createTempDirectory("graft-k20-out")
@@ -196,21 +215,15 @@ object Extras6 {
     */
   private[graft] def sessionReplay(s: SparkSession, dir: String)
       : (DataFrame, Long, Long) = {
-    val src = Files.createTempDirectory("graft-k21-src")
     val out = Files.createTempDirectory("graft-k21-out")
     val cp = Files.createTempDirectory("graft-k21-cp")
     try {
-      val ev = t(s, dir, "events").select(col("event_id"),
-        date_trunc("millisecond", col("ts")).as("ts"), col("user_id"))
-      val sliced = withFidx(ev, late = false)
-        .select(col("ts"), col("user_id"), col("fidx"))
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val tmp = Files.createTempDirectory("graft-k21-slices")
-      try {
-        sliced.repartition(4, col("fidx"))
-          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
-        (0 to 3).foreach(k => pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
-      } finally Shared.deleteTree(tmp)
+      val src = sliceRoot4(s, dir, "k21-slices", {
+        val ev = t(s, dir, "events").select(col("event_id"),
+          date_trunc("millisecond", col("ts")).as("ts"), col("user_id"))
+        withFidx(ev, late = false)
+          .select(col("ts"), col("user_id"), col("fidx"))
+      })
       val glob = s"$src/e*.parquet"
       val stream = s.readStream.schema(s.read.parquet(glob).schema)
         .option("maxFilesPerTrigger", 1).parquet(glob)
@@ -231,7 +244,7 @@ object Extras6 {
         .orderBy(col("user_id"), col("session_start")).localCheckpoint()
       (res, dataBatches, removed)
     } finally {
-      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+      Shared.deleteTree(out); Shared.deleteTree(cp)
     }
   }
 
@@ -254,20 +267,14 @@ object Extras6 {
     */
   private[graft] def idempotentSinkReplay(s: SparkSession, dir: String)
       : (DataFrame, Boolean, Int) = {
-    val src = Files.createTempDirectory("graft-k22-src")
     val out = Files.createTempDirectory("graft-k22-out")
     val cp = Files.createTempDirectory("graft-k22-cp")
     try {
-      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
-        col("user_id"), col("event_type"), col("value"))
-      val sliced = withFidx(ev, late = false).drop("mn", "mx")
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val tmp = Files.createTempDirectory("graft-k22-slices")
-      try {
-        sliced.repartition(4, col("fidx"))
-          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
-        (0 to 3).foreach(k => pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
-      } finally Shared.deleteTree(tmp)
+      val src = sliceRoot4(s, dir, "k22-slices", {
+        val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        withFidx(ev, late = false).drop("mn", "mx")
+      })
       val glob = s"$src/e*.parquet"
       val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
       val marker = "graft-k22-injected-crash"
@@ -311,7 +318,7 @@ object Extras6 {
         .orderBy(col("event_type")).localCheckpoint()
       (res, firstCrashed, batchDirs)
     } finally {
-      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+      Shared.deleteTree(out); Shared.deleteTree(cp)
     }
   }
 

@@ -53,7 +53,6 @@ object Extras7 {
     */
   private[graft] def twsStatsReplay(s: SparkSession, dir: String)
       : (DataFrame, Long, Boolean) = {
-    val src = Files.createTempDirectory("graft-k23-src")
     val out = Files.createTempDirectory("graft-k23-out")
     val cp = Files.createTempDirectory("graft-k23-cp")
     val prevProvider = s.conf.getOption(
@@ -71,20 +70,14 @@ object Extras7 {
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     try {
-      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
-        col("user_id"), col("value"))
-      val sliced = Extras6.withFidx(ev, late = false)
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-          col("value"), col("fidx"))
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val tmp = Files.createTempDirectory("graft-k23-slices")
-      try {
-        sliced.repartition(4, col("fidx"))
-          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
-        (0 to 3).foreach(k =>
-          Extras6.pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
-      } finally Shared.deleteTree(tmp)
+      val src = Extras6.sliceRoot4(s, dir, "k23-slices", {
+        val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+          col("user_id"), col("value"))
+        Extras6.withFidx(ev, late = false)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+            col("value"), col("fidx"))
+      })
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
@@ -119,7 +112,7 @@ object Extras7 {
         case None => s.conf.unset(
           "spark.sql.streaming.stateStore.providerClass")
       }
-      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+      Shared.deleteTree(out); Shared.deleteTree(cp)
     }
   }
 
@@ -139,7 +132,6 @@ object Extras7 {
     */
   private[graft] def twsTimerReplay(s: SparkSession, dir: String)
       : (DataFrame, Long, Boolean) = {
-    val src = Files.createTempDirectory("graft-k25-src")
     val out = Files.createTempDirectory("graft-k25-out")
     val cp = Files.createTempDirectory("graft-k25-cp")
     val prevProvider = s.conf.getOption(
@@ -157,19 +149,13 @@ object Extras7 {
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     try {
-      // ms-truncated LTZ event time — the watermark's native grid
-      val ev = t(s, dir, "events").select(col("event_id"),
-        date_trunc("millisecond", col("ts")).as("ts"), col("user_id"))
-      val sliced = Extras6.withFidx(ev, late = false)
-        .select(col("user_id"), col("event_id"), col("ts"), col("fidx"))
-      val baseMs = System.currentTimeMillis() - 3600000L
-      val tmp = Files.createTempDirectory("graft-k25-slices")
-      try {
-        sliced.repartition(4, col("fidx"))
-          .write.mode("overwrite").partitionBy("fidx").parquet(tmp.toString)
-        (0 to 3).foreach(k =>
-          Extras6.pinSlice(tmp.resolve(s"fidx=$k"), src, k, baseMs))
-      } finally Shared.deleteTree(tmp)
+      val src = Extras6.sliceRoot4(s, dir, "k25-slices", {
+        // ms-truncated LTZ event time — the watermark's native grid
+        val ev = t(s, dir, "events").select(col("event_id"),
+          date_trunc("millisecond", col("ts")).as("ts"), col("user_id"))
+        Extras6.withFidx(ev, late = false)
+          .select(col("user_id"), col("event_id"), col("ts"), col("fidx"))
+      })
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
@@ -202,7 +188,7 @@ object Extras7 {
         case None => s.conf.unset(
           "spark.sql.streaming.stateStore.providerClass")
       }
-      Shared.deleteTree(src); Shared.deleteTree(out); Shared.deleteTree(cp)
+      Shared.deleteTree(out); Shared.deleteTree(cp)
     }
   }
 
