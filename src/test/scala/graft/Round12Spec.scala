@@ -268,6 +268,41 @@ class Round12Spec extends SparkSpec {
         s"$rStateH vs $rStateS")
   }
 
+  test("q26 register aggregate keeps two-phase codegen HashAggregate " +
+      "and each side's scan is pruned to its single key column") {
+    val p = SparkEntry.queries("q26_approx_distinct")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the g20/g21 plan discipline on the register mins: fixed-width
+    // buffers must stay in two-phase codegen HashAggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    // column pruning: each lineitem scan reads exactly ONE key column —
+    // a scan pulling both (or more) would ship dead bytes at 100 TB
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, p)
+    assert(reads.forall(l => "l_\\w+".r.findAllIn(l).toSet.size == 1),
+      reads.mkString("\n"))
+  }
+
+  test("hotUserKeys detection is deterministic, bounded, and picks the " +
+      "actual frequency head") {
+    val a = Extras8.hotUserKeys(spark, sf, topK = 16)
+    val b = Extras8.hotUserKeys(spark, sf, topK = 16)
+    assert(a === b, "hot-key detection is not deterministic")
+    assert(a.size <= 16 && a.distinct.size == a.size)
+    // the returned keys must be a genuine top-16 by count (ties on
+    // user_id, the detection's own ordering)
+    val counts = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(col("user_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = counts.sortBy { case (u, n) => (-n, u) }.take(16)
+      .map(_._1).toSeq
+    assert(a === want, s"hot set $a != recomputed head $want")
+  }
+
   test("k26 replay is row-identical to k20's on the smoke fixture " +
       "(output-invariance end-to-end through MicroBatchExecution)") {
     val k20 = Extras6.intervalJoinReplay(spark, sf)._1.collect().toSeq
