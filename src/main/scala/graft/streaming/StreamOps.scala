@@ -147,6 +147,70 @@ class UserStatsProcessor(ttl: TTLConfig = TTLConfig.NONE)
   }
 }
 
+/** One event entering the per-type counts processor (k27). */
+case class TypedUserEvent(userId: Long, eventId: Long, eventType: String)
+
+/** [[TypeCountsProcessor]]'s emission: one row per (user, active batch,
+  * event type in state) — `batchSeq` is the per-user ordinal of batches
+  * the user appeared in (a ValueState counter), which identifies the
+  * batch without a batch-id column; `maxEidCum` is the running max event
+  * id, recomputed from the ListState journal.
+  */
+case class TypeCountUpdate(userId: Long, batchSeq: Long, eventType: String,
+    nCum: Long, maxEidCum: Long)
+
+/** Per-user per-event-type running counts on the two transformWithState
+  * state cells k23's ValueState left uncovered (VERDICT follow-through on
+  * "the API's full public sub-surface"):
+  *  - a typed [[MapState]] (user key → dynamic map<type, count>) folded
+  *    with each batch's rows and read back by full iteration — the
+  *    cell a per-key DYNAMIC dimension needs at 100 TB (a ValueState of
+  *    Map would rewrite the whole map per update; MapState updates one
+  *    entry per touched type);
+  *  - a typed [[ListState]] journal (per-batch max event id appended
+  *    once per batch) whose fold-on-read gives the running max — the
+  *    append-only shape (logs, recent-N buffers) ValueState can't grow
+  *    incrementally.
+  * Emission: after folding a batch, every (type → cumulative count) in
+  * the user's map, tagged with the user's batch ordinal — in-order
+  * quartile replay makes the batch DuckDB oracle exact (k27), exactly
+  * the k23 discipline extended to a dynamic per-key dimension. State is
+  * |types|+|batches|+1 rows per user — bounded (5 types, 4 batches).
+  */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, TypedUserEvent, TypeCountUpdate] {
+  @transient private var counts: org.apache.spark.sql.streaming
+    .MapState[String, Long] = _
+  @transient private var eidLog: org.apache.spark.sql.streaming
+    .ListState[Long] = _
+  @transient private var batches: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    eidLog = getHandle.getListState[Long]("eidLog",
+      Encoders.scalaLong, TTLConfig.NONE)
+    batches = getHandle.getValueState[Long]("batches",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
+      tv: TimerValues): Iterator[TypeCountUpdate] = {
+    val rs = rows.toSeq
+    val seq = (if (batches.exists()) batches.get() else 0L) + 1L
+    batches.update(seq)
+    rs.groupBy(_.eventType).foreach { case (t, es) =>
+      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, prev + es.size)
+    }
+    eidLog.appendValue(rs.map(_.eventId).max)
+    val maxEid = eidLog.get().max // fold the journal on read
+    counts.iterator().map { case (t, n) =>
+      TypeCountUpdate(key, seq, t, n, maxEid)
+    }.toSeq.iterator
+  }
+}
+
 /** One event entering the timer-based alert processor: the watermark
   * column stays a genuine TIMESTAMP through the typed boundary.
   */
@@ -196,6 +260,40 @@ class FirstSeenAlertProcessor(gapMs: Long)
       getHandle.deleteTimer(firstMs.get() + gapMs)
       firstMs.update(batchMin)
       getHandle.registerTimer(batchMin + gapMs)
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[UserAlert] =
+    Iterator.single(UserAlert(key, info.getExpiryTimeInMs))
+}
+
+/** Test-surface twin of [[FirstSeenAlertProcessor]] covering
+  * [[org.apache.spark.sql.streaming.StatefulProcessorHandle.listTimers]]
+  * — the one timer call k25 and the min-merge leave unexercised: on
+  * first sight it registers a timer at firstTs + g for EVERY g in
+  * `gapsMs`; on any later batch it walks `listTimers()` and deletes all
+  * but the earliest. Exactly one alert (the earliest) must survive —
+  * Round12Spec replays it.
+  */
+class TimerCullProbeProcessor(gapsMs: Seq[Long])
+    extends StatefulProcessor[Long, UserTimedEvent, UserAlert] {
+  @transient private var firstMs: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    firstMs = getHandle.getValueState[Long]("firstMs", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserTimedEvent],
+      tv: TimerValues): Iterator[UserAlert] = {
+    if (!firstMs.exists()) {
+      val first = rows.map(_.ts.getTime).min
+      firstMs.update(first)
+      gapsMs.foreach(g => getHandle.registerTimer(first + g))
+    } else {
+      val live = getHandle.listTimers().toSeq.sorted
+      live.drop(1).foreach(getHandle.deleteTimer)
     }
     Iterator.empty
   }
@@ -380,6 +478,29 @@ object StreamOps {
     events.groupByKey(_.userId)
       .transformWithState(new FirstSeenAlertProcessor(gapMs),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** listTimers cull probe (see [[TimerCullProbeProcessor]]); test
+    * surface for Round12Spec, RocksDB + event-time watermark required.
+    */
+  def timerCullProbe(events: Dataset[UserTimedEvent],
+      gapsMs: Seq[Long]): Dataset[UserAlert] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new TimerCullProbeProcessor(gapsMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-user per-type running counts via MapState + ListState (see
+    * [[TypeCountsProcessor]]); requires the RocksDB provider, like every
+    * transformWithState op.
+    */
+  def typeCountsTws(events: Dataset[TypedUserEvent])
+      : Dataset[TypeCountUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .transformWithState(new TypeCountsProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Streaming CUSUM over typed points (see [[CusumProcessor]]); requires
