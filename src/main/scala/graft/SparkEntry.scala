@@ -26,7 +26,8 @@ object SparkEntry {
     (Extras5.defs, Extras5.oracles),
     (Extras6.defs, Extras6.oracles),
     (Extras7.defs, Extras7.oracles),
-    (Extras8.defs, Extras8.oracles))
+    (Extras8.defs, Extras8.oracles),
+    (Extras9.defs, Extras9.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -490,10 +490,15 @@ object Graph {
     */
   def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
       m: Int = 64, edgesDeduped: Boolean = false,
-      checkpoint: Boolean = true, intRegisters: Boolean = false): DataFrame = {
+      checkpoint: Boolean = true, intRegisters: Boolean = false,
+      deltaOnly: Boolean = false): DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
     require(!intRegisters || m % 2 == 0,
       s"intRegisters packs register pairs, so m must be even, got m=$m")
+    require(!deltaOnly || checkpoint,
+      "deltaOnly re-reads each hop's register table (the merge AND the " +
+        "changed-set diff) — without per-hop checkpoints the k-deep " +
+        "lineage re-executes per consumer")
     // hash range: 2^40 (LONG registers) or 2^31 (INT); sums of m mins of
     // either width fit a long
     val H = if (intRegisters) 2147483648L else 1099511627776L
@@ -544,13 +549,29 @@ object Graph {
       if (intRegisters) graft.functions.PackedMin2.packedMin2 else min
     var regs = cut(nodes.select(col("node") +: regCols: _*))
     val rs = (0 until nCols).map(j => col(s"r$j"))
+    // deltaOnly (the HyperBall "systolic" lever, Boldi/Rosa/Vigna §4):
+    // in late hops most balls have converged, so propagating EVERY
+    // node's registers re-ships E·m bytes for neighbors that can no
+    // longer contribute — min is idempotent, and a node unchanged since
+    // hop j was already merged into all its out-neighbors at hop j+1,
+    // so only nodes whose register row CHANGED last hop need to enter
+    // the edge join. Register values stay BIT-IDENTICAL (g22 certifies
+    // against g20/g21's shared oracle); only the hop join's input
+    // shrinks, from V rows to |changed| rows. The changed set itself is
+    // an except() over the node-sized register tables — one V-row
+    // shuffle per hop, paid to shrink the E-row join, the right trade
+    // whenever E >> V (this graph: E ≈ 13×V) and balls converge early.
+    var changed = regs // hop 0: every node's row is new
     val perHop = (1 to k).map { d =>
-      val fromNbr = e.join(regs, col("dst") === col("node"))
+      val fromNbr = e.join(if (deltaOnly) changed else regs,
+          col("dst") === col("node"))
         .select(col("src").as("node") +: rs: _*)
-      regs = cut(regs.unionByName(fromNbr)
+      val merged = cut(regs.unionByName(fromNbr)
         .groupBy(col("node"))
         .agg(minFn(col("r0")).as("r0"),
           (1 until nCols).map(j => minFn(col(s"r$j")).as(s"r$j")): _*))
+      if (deltaOnly && d < k) changed = cut(merged.except(regs))
+      regs = merged
       val ssum =
         if (intRegisters)
           // unpack both 31-bit lanes; m mins of < 2^31 total < 2^37

@@ -144,7 +144,8 @@ object Extras6 {
     }
 
   private[graft] def intervalJoinReplay(s: SparkSession, dir: String,
-      salts: Int = 0, hotKeys: Seq[Long] = Nil): (DataFrame, Long, Long, Long) = {
+      salts: Int = 0, hotKeys: Seq[Long] = Nil,
+      joinType: String = "inner"): (DataFrame, Long, Long, Long) = {
     val out = Files.createTempDirectory("graft-k20-out")
     val cp = Files.createTempDirectory("graft-k20-cp")
     try {
@@ -175,7 +176,8 @@ object Extras6 {
             within = "48 hours", lateness = "24 hours", salts = salts)
         else graft.streaming.StreamOps.intervalJoin(left, right,
           "user_id", "buyer_id", "view_ts", "buy_ts",
-          within = "48 hours", lateness = "24 hours"))
+          within = "48 hours", lateness = "24 hours",
+          joinType = joinType))
         .select(col("user_id"), col("view_id"), col("buy_id"),
           col("view_ts"), col("buy_ts"))
       val q = j.writeStream.format("parquet")

@@ -25,16 +25,42 @@ object Extras7 {
     * async on the shared listener bus, so a still-queued last event could
     * leave `rocksSeen` false after awaitTermination(). `lastProgress` is
     * written synchronously by the progress reporter at batch completion
-    * (not via the bus), so reading it here closes the race — either
-    * signal proves the provider engaged.
+    * (not via the bus), so it is read FIRST — that alone closes the race.
+    * `recentProgress` (a ring buffer bounded by
+    * spark.sql.streaming.numRecentProgressUpdates, default 100 — far
+    * above these 4-5 batch replays) is kept as a second signal for a
+    * last batch that happened to carry no state metrics (ADVICE r12:
+    * the body previously read only the ring buffer, contradicting this
+    * scaladoc).
     */
-  private def rocksInLastProgress(
+  private[graft] def rocksInLastProgress(
       q: org.apache.spark.sql.streaming.StreamingQuery): Boolean = {
     import scala.jdk.CollectionConverters._
-    q.recentProgress.flatMap(_.stateOperators)
-      .exists(_.customMetrics.keySet().asScala
+    def hasRocks(p: org.apache.spark.sql.streaming.StreamingQueryProgress) =
+      p.stateOperators.exists(_.customMetrics.keySet().asScala
         .exists(_.toLowerCase.contains("rocksdb")))
+    Option(q.lastProgress).exists(hasRocks) ||
+      q.recentProgress.exists(hasRocks)
   }
+
+  /** The k23 replay's 4-file quartile slicing of the events table
+    * (user_id, event_id, epoch-micros event time, value — IN ORDER, no
+    * late injection), memoized per (session, dir) via
+    * [[Extras6.sliceRoot4]] and shared with k29's update-mode replay:
+    * both certify per-(user, batch) cumulative stats over the SAME batch
+    * grain, so sharing the slices keeps their oracles on one grid and
+    * builds the artifact once.
+    */
+  private[graft] def k23Slices(s: SparkSession, dir: String)
+      : java.nio.file.Path =
+    Extras6.sliceRoot4(s, dir, "k23-slices", {
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
+        col("user_id"), col("value"))
+      Extras6.withFidx(ev, late = false)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+          col("value"), col("fidx"))
+    })
 
   /** k23 core: the events table quartile-sliced IN ORDER (the k21
     * discipline — transformWithState with TimeMode.None has no watermark,
@@ -70,14 +96,7 @@ object Extras7 {
           .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     try {
-      val src = Extras6.sliceRoot4(s, dir, "k23-slices", {
-        val ev = t(s, dir, "events").select(col("event_id"), col("ts"),
-          col("user_id"), col("value"))
-        Extras6.withFidx(ev, late = false)
-          .select(col("user_id"), col("event_id"),
-            unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-            col("value"), col("fidx"))
-      })
+      val src = k23Slices(s, dir)
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")

