@@ -491,7 +491,9 @@ object Graph {
   def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
       m: Int = 64, edgesDeduped: Boolean = false,
       checkpoint: Boolean = true, intRegisters: Boolean = false,
-      deltaOnly: Boolean = false): DataFrame = {
+      deltaOnly: Boolean = false,
+      changedCounts: Option[scala.collection.mutable.Buffer[Long]] = None)
+      : DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
     require(!intRegisters || m % 2 == 0,
       s"intRegisters packs register pairs, so m must be even, got m=$m")
@@ -562,25 +564,46 @@ object Graph {
     // shuffle per hop, paid to shrink the E-row join, the right trade
     // whenever E >> V (this graph: E ≈ 13×V) and balls converge early.
     var changed = regs // hop 0: every node's row is new
-    val perHop = (1 to k).map { d =>
-      val fromNbr = e.join(if (deltaOnly) changed else regs,
-          col("dst") === col("node"))
-        .select(col("src").as("node") +: rs: _*)
-      val merged = cut(regs.unionByName(fromNbr)
-        .groupBy(col("node"))
-        .agg(minFn(col("r0")).as("r0"),
-          (1 until nCols).map(j => minFn(col(s"r$j")).as(s"r$j")): _*))
-      if (deltaOnly && d < k) changed = cut(merged.except(regs))
-      regs = merged
-      val ssum =
-        if (intRegisters)
-          // unpack both 31-bit lanes; m mins of < 2^31 total < 2^37
-          rs.map(c => shiftrightunsigned(c, 32) +
-            c.bitwiseAND(lit(0x7FFFFFFFL))).reduce(_ + _)
-        else rs.reduce(_ + _)
+    // delta mode tracks |changed| (the checkpoint is already
+    // materialized, so the count is nearly free) both as telemetry and
+    // as the CONVERGENCE signal: once the changed set is EMPTY, every
+    // node's ball is its final reachable set — all remaining hops'
+    // registers equal the current ones, so the loop stops joining
+    // entirely and just re-reads the stable table per remaining dist.
+    // This is HyperBall's actual termination rule, and it is what makes
+    // delta mode pay on deep-k / until-convergence runs: past the
+    // graph's effective diameter a full hop still costs an E·m join,
+    // a converged delta hop costs one broadcast-seed read-off.
+    var converged = false
+    val ssum =
+      if (intRegisters)
+        // unpack both 31-bit lanes; m mins of < 2^31 total < 2^37
+        rs.map(c => shiftrightunsigned(c, 32) +
+          c.bitwiseAND(lit(0x7FFFFFFFL))).reduce(_ + _)
+      else rs.reduce(_ + _)
+    def readOff(d: Int): DataFrame =
       regs.join(broadcast(seeds.select(col("seed"))),
           col("node") === col("seed"))
         .select(col("seed"), lit(d).as("dist"), ssum.as("ssum"))
+    val perHop = (1 to k).map { d =>
+      if (converged) readOff(d)
+      else {
+        val fromNbr = e.join(if (deltaOnly) changed else regs,
+            col("dst") === col("node"))
+          .select(col("src").as("node") +: rs: _*)
+        val merged = cut(regs.unionByName(fromNbr)
+          .groupBy(col("node"))
+          .agg(minFn(col("r0")).as("r0"),
+            (1 until nCols).map(j => minFn(col(s"r$j")).as(s"r$j")): _*))
+        if (deltaOnly && d < k) {
+          changed = cut(merged.except(regs))
+          val n = changed.count()
+          changedCounts.foreach(_ += n)
+          converged = n == 0L
+        }
+        regs = merged
+        readOff(d)
+      }
     }
     perHop.reduce(_ unionByName _)
       .select(col("seed"), col("dist"),

@@ -34,6 +34,34 @@ object ProbeMain {
       }
       spark.stop(); return
     }
+    // SPARK_GRAFT_PROBE=reachk: full-vs-delta reach-sketch timing at the
+    // hop depths given as args (the g22 lever measurement): the systolic
+    // changed-only propagation pays on the CONVERGED tail, so at k=3 on
+    // the small-diameter order graph (balls still growing every hop) it
+    // is overhead, while past ball saturation the delta hops collapse.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("reachk")) {
+      import org.apache.spark.sql.functions.col
+      val e = graft.queries.Shared.orderGraphEdges(spark, dir)
+      val seeds = e.select(col("src").as("seed")).distinct()
+        .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      val nNodes = e.select(col("src")).union(e.select(col("dst")))
+        .distinct().count()
+      println(s"REACHK nodes=$nNodes")
+      args.map(_.toInt).foreach { k =>
+        Seq(false, true).foreach { delta =>
+          val cc = scala.collection.mutable.Buffer.empty[Long]
+          val t0 = System.nanoTime()
+          graft.operators.Graph.reachSketch(e, seeds, k = k, m = 64,
+            edgesDeduped = true, intRegisters = true, deltaOnly = delta,
+            changedCounts = if (delta) Some(cc) else None)
+            .count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val tail = if (delta) s" changed=${cc.mkString(",")}" else ""
+          println(f"REACHK k=$k delta=$delta $sec%.2f s$tail")
+        }
+      }
+      spark.stop(); return
+    }
     args.foreach { name =>
       println(s"==== $name ====")
       if (timing) {

@@ -360,13 +360,27 @@ class Round13Spec extends SparkSpec {
     // row never re-enters the join
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val seeds = Seq(1L, 2L, 3L, 4L).toDF("seed")
+    // k=5 exceeds the path's diameter, so the delta run CONVERGES
+    // mid-loop (changed empties after hop 4: node 1's ball completes at
+    // hop 3, nothing feeds anyone at hop 4) and hops past convergence
+    // take the read-off-only branch — the run must still emit all 5
+    // dists with the stable registers, equal to the full recompute.
+    val cc = scala.collection.mutable.Buffer.empty[Long]
     def run(delta: Boolean) = graft.operators.Graph.reachSketch(
-        edges, seeds, k = 3, m = 8, intRegisters = true, deltaOnly = delta)
+        edges, seeds, k = 5, m = 8, intRegisters = true, deltaOnly = delta,
+        changedCounts = if (delta) Some(cc) else None)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
       .sortBy(t => (t._1, t._2))
     val full = run(false)
     val dl = run(true)
     assert(dl === full, "delta propagation changed register values")
+    assert(dl.map(_._2).distinct.sorted == Seq(1, 2, 3, 4, 5),
+      s"missing dists after convergence: $dl")
+    // telemetry: the changed set shrinks along the path and EMPTIES —
+    // the convergence signal the early-stop keys on (no counts are
+    // recorded after it fires)
+    assert(cc.toSeq == Seq(3L, 2L, 1L, 0L),
+      s"changed-set trajectory diverged: $cc")
     // sanity: the path graph's exact reach profile under a perfect
     // estimator would grow along the path; at m=8 just assert node 1's
     // estimate is non-decreasing with dist and node 4's is flat
