@@ -12,13 +12,15 @@ import graft.operators.Graph
   * interval join under the oracle gate (k28, item 1 — the last
   * user-visible streaming sub-surface without a green CORRECTNESS row:
   * null-padded unmatched-left emission at watermark eviction, the
-  * attribution/enrichment shape), UPDATE-mode streaming aggregation
-  * (k29, item 2 — the live-dashboard shape: a key's row re-emitted each
-  * batch it changes, certified on the k23 quartile grid), and the
-  * changed-registers-only reach propagation (g22, item 4 — HyperBall's
-  * "systolic" lever: late hops join only nodes whose register row
-  * changed, bit-identical output). Same oracle discipline as
-  * [[Extras6]]/[[Extras7]]/[[Extras8]].
+  * attribution/enrichment shape), its FULL OUTER twin (k30 — closes
+  * the outer surface; the unmatched-right eviction comparator is
+  * STRICT where the left's is inclusive, pinned by Round13Spec),
+  * UPDATE-mode streaming aggregation (k29, item 2 — the live-dashboard
+  * shape: a key's row re-emitted each batch it changes, certified on
+  * the k23 quartile grid), and the changed-registers-only reach
+  * propagation (g22, item 4 — HyperBall's "systolic" lever: late hops
+  * join only nodes whose register row changed, bit-identical output).
+  * Same oracle discipline as [[Extras6]]/[[Extras7]]/[[Extras8]].
   */
 object Extras9 {
 
@@ -107,6 +109,18 @@ object Extras9 {
     // user appears in.
     "k29_update_mode_agg" -> { (s, dir) => updateAggReplay(s, dir)._1 },
 
+    // Stream-stream FULL OUTER interval join — closes the outer-join
+    // surface k28 opened: unmatched LEFT rows null-pad under k28's rule
+    // (window closed at-or-below the final watermark, INCLUSIVE), while
+    // unmatched RIGHT rows null-pad under the right side's own eviction
+    // rule, which is STRICT: a purchase evicts only once the watermark
+    // passes STRICTLY above buy_ts (survival is buy_ts >= W — from
+    // buy_ts >= view_ts, a right row AT the watermark can still match a
+    // future left row arriving exactly at the watermark). Round13Spec
+    // pins the asymmetry on exact-ms ties for both sides in one probe.
+    "k30_interval_join_full" -> { (s, dir) =>
+      Extras6.intervalJoinReplay(s, dir, joinType = "full_outer")._1 },
+
     // Changed-registers-only reach propagation (VERDICT r12 item 4):
     // g21's INT-packed register grid with the HyperBall systolic
     // optimization — hop d's edge join takes only nodes whose register
@@ -186,6 +200,71 @@ object Extras9 {
       SELECT user_id, view_id, buy_id, view_ts, buy_ts FROM surv
       UNION ALL SELECT * FROM unmatched
       ORDER BY view_id, buy_id NULLS FIRST""",
+
+    // k28's model plus the symmetric unmatched-RIGHT rule: a purchase
+    // that (a) passed its own-batch late filter, (b) has no surviving
+    // inner pair, and (c) was evicted below the final watermark — which
+    // for the right side is STRICT (buy_ts < wf; survival buy_ts >= W,
+    // the k20 model's condition 3 comparator, pinned by Round13Spec's
+    // tie probe) — emits one row with null view columns. The inner and
+    // unmatched-left parts are k28's verbatim.
+    "k30_interval_join_full" -> """
+      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+          user_id, event_type FROM events
+        WHERE event_type IN ('view', 'purchase')),
+      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM ev),
+      f AS (SELECT ev.*,
+          CASE WHEN event_id % 19 = 0
+            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
+            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
+          END AS fidx
+        FROM ev, bnds),
+      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
+        FROM f WHERE event_type = 'view'),
+      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
+        FROM f WHERE event_type = 'purchase'),
+      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
+      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
+      wmk AS (SELECT k AS fidx,
+          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
+                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
+            - INTERVAL 24 HOUR AS wprev
+        FROM range(4) t(k)),
+      wfin AS (SELECT least((SELECT max(mx) FROM lm),
+                            (SELECT max(mx) FROM rm))
+            - INTERVAL 24 HOUR AS wf),
+      pairs AS (SELECT l.user_id, l.view_id, r.buy_id, l.view_ts, r.buy_ts,
+          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.buy_ts >= l.view_ts
+          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
+      surv AS (SELECT user_id, view_id, buy_id, view_ts, buy_ts
+        FROM pairs
+          JOIN wmk wm ON wm.fidx = pairs.m
+          JOIN wmk wb ON wb.fidx = pairs.bl
+        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
+          AND (wm.wprev IS NULL
+               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
+                   AND buy_ts >= wm.wprev))),
+      unmatched_l AS (SELECT l.user_id, l.view_id, NULL AS buy_id,
+          l.view_ts, NULL AS buy_ts
+        FROM l JOIN wmk wb ON wb.fidx = l.fidx, wfin
+        WHERE (wb.wprev IS NULL OR l.view_ts >= wb.wprev)
+          AND l.view_ts + INTERVAL 48 HOUR <= wfin.wf
+          AND NOT EXISTS (SELECT 1 FROM surv
+                          WHERE surv.view_id = l.view_id)),
+      unmatched_r AS (SELECT NULL AS user_id, NULL AS view_id, r.buy_id,
+          NULL AS view_ts, r.buy_ts
+        FROM r JOIN wmk wb ON wb.fidx = r.fidx, wfin
+        WHERE (wb.wprev IS NULL OR r.buy_ts >= wb.wprev)
+          AND r.buy_ts < wfin.wf
+          AND NOT EXISTS (SELECT 1 FROM surv
+                          WHERE surv.buy_id = r.buy_id))
+      SELECT user_id, view_id, buy_id, view_ts, buy_ts FROM surv
+      UNION ALL SELECT * FROM unmatched_l
+      UNION ALL SELECT * FROM unmatched_r
+      ORDER BY view_id NULLS FIRST, buy_id NULLS FIRST""",
 
     // The quartile grain IS the micro-batch grain (in-order slicing) and
     // update mode emits a user's cumulative row exactly at the quartiles

@@ -591,6 +591,14 @@ object StreamOps {
     * watermark does emit its null row — `<=`, matching the k25 timer
     * discipline) and k28 certifies the whole replay against a DuckDB
     * twin of this model.
+    *
+    * `joinType = "full_outer"` (k30) adds the symmetric rule for
+    * unmatched RIGHT rows — with a comparator ASYMMETRY: a right row
+    * evicts (and null-pads) only STRICTLY below the watermark
+    * (survival is `timeR >= W`: from `timeR >= timeL`, a right row AT
+    * the watermark can still match a left row arriving exactly at it),
+    * while the left side keeps the inclusive window-close rule.
+    * Round13Spec pins both comparators on exact-ms ties in one probe.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,

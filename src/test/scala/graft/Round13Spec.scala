@@ -26,7 +26,9 @@ class Round13Spec extends SparkSpec {
   private def runOuterReplay(
       lSlices: Seq[Seq[(Long, Long, Long)]],
       rSlices: Seq[Seq[(Long, Long, Long)]],
-      within: String, lateness: String): Seq[(Long, Long, Option[Long])] = {
+      within: String, lateness: String,
+      joinType: String = "left_outer")
+      : Seq[(Option[Long], Option[Long], Option[Long])] = {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-r13-src")
     val lsrc = java.nio.file.Files.createDirectory(root.resolve("l"))
@@ -56,7 +58,7 @@ class Round13Spec extends SparkSpec {
       }
       val q = StreamOps.intervalJoin(fileStream(lsrc), fileStream(rsrc),
           "user_id", "buyer_id", "view_ts", "buy_ts",
-          within = within, lateness = lateness, joinType = "left_outer")
+          within = within, lateness = lateness, joinType = joinType)
         .select(col("user_id"), col("view_id"), col("buy_id"))
         .writeStream.format("parquet")
         .option("path", out.toString)
@@ -64,9 +66,11 @@ class Round13Spec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      def opt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
       spark.read.parquet(out.toString).collect()
-        .map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sorted
+        .map(r => (opt(r, 0), opt(r, 1), opt(r, 2))).toSeq
+        .sortBy(t => (t._1, t._2, t._3))
     } finally {
       graft.queries.Shared.deleteTree(root)
       graft.queries.Shared.deleteTree(out)
@@ -93,10 +97,41 @@ class Round13Spec extends SparkSpec {
       rSlices = Seq(Seq((555L, 100L, t0 + 1000), (4L, 101L, t0 + 500))),
       within = "1 seconds", lateness = "0 seconds")
     assert(got === Seq(
-      (1L, 10L, None),       // THE pin: expiry == watermark evicts+emits
-      (2L, 11L, None),
-      (4L, 14L, Some(101L))),
+      (Some(1L), Some(10L), None), // THE pin: end == watermark evicts+emits
+      (Some(2L), Some(11L), None),
+      (Some(4L), Some(14L), Some(101L))),
       s"outer-join emission set diverged: $got")
+  }
+
+  test("full outer interval join: the two sides' eviction comparators " +
+      "differ on the exact tie — a LEFT window closing ON the final " +
+      "watermark null-pads (<=), a RIGHT row sitting ON it does not (<)") {
+    val t0 = 1700000000000L
+    // watermark delay 0; left max t0+1000 (user 999), right max t0+1000
+    // (buyer 555) => wf = t0+1000 exactly.
+    //  left A (1): window closes AT wf            -> null-padded (<=)
+    //  left C (3): closes above wf                -> nothing (live)
+    //  right R1 (556, buy 102) at wf              -> NOTHING (survives: >=)
+    //  right R2 (557, buy 103) at wf-1, unmatched -> null-padded (<)
+    //  E (4) matched pair                         -> inner row only
+    val got = runOuterReplay(
+      lSlices = Seq(Seq(
+        (1L, 10L, t0), (3L, 12L, t0 + 1), (999L, 13L, t0 + 1000),
+        (4L, 14L, t0))),
+      rSlices = Seq(Seq(
+        (555L, 100L, t0 + 1000), (556L, 102L, t0 + 1000),
+        (557L, 103L, t0 + 999), (4L, 101L, t0 + 500))),
+      within = "1 seconds", lateness = "0 seconds",
+      joinType = "full_outer")
+    // NOTE: buyer 555/556's rows sit exactly ON wf and must NOT null-pad;
+    // 557's strictly-below row must. The left side keeps k28's inclusive
+    // rule. If a Spark upgrade flips either comparator, flip the k30
+    // oracle's unmatched_l/unmatched_r bounds together with this probe.
+    assert(got === Seq(
+      (None, None, Some(103L)),          // right-strict: wf-1 evicts
+      (Some(1L), Some(10L), None),       // left-inclusive: tie evicts
+      (Some(4L), Some(14L), Some(101L))),
+      s"full-outer emission set diverged: $got")
   }
 
   test("k28 replay: inner subset is row-identical to k20's, null rows " +
