@@ -178,8 +178,11 @@ object Extras6 {
           "user_id", "buyer_id", "view_ts", "buy_ts",
           within = "48 hours", lateness = "24 hours",
           joinType = joinType))
-        .select(col("user_id"), col("view_id"), col("buy_id"),
-          col("view_ts"), col("buy_ts"))
+        // a semi join emits only the left side's columns
+        .select((if (joinType == "left_semi")
+            Seq(col("user_id"), col("view_id"), col("view_ts"))
+          else Seq(col("user_id"), col("view_id"), col("buy_id"),
+            col("view_ts"), col("buy_ts"))): _*)
       val q = j.writeStream.format("parquet")
         .option("path", out.toString)
         .option("checkpointLocation", cp.toString)
@@ -193,7 +196,9 @@ object Extras6 {
       val removed = progress.flatMap(_.stateOperators)
         .map(_.numRowsRemoved).sum
       val res = s.read.parquet(out.toString)
-        .orderBy(col("view_id"), col("buy_id")).localCheckpoint()
+        .orderBy(col("view_id") +: (if (joinType == "left_semi") Nil
+          else Seq(col("buy_id"))): _*)
+        .localCheckpoint()
       (res, dataBatches, dropped, removed)
     } finally {
       // slice dirs are cache-owned (memoDir) — only per-run state dies

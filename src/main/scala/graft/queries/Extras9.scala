@@ -109,6 +109,18 @@ object Extras9 {
     // user appears in.
     "k29_update_mode_agg" -> { (s, dir) => updateAggReplay(s, dir)._1 },
 
+    // Stream-stream LEFT SEMI interval join — the dedup-probe shape
+    // ("which views converted?"): a left row is emitted ONCE, at its
+    // first surviving match, with no right columns and no duplication
+    // however many purchases land in the window. The oracle is an
+    // EXISTS over k20's surviving-pair model. Output column note: the
+    // semi join emits only left-side columns, so the replay's shared
+    // 5-column select is narrowed in the def below.
+    "k31_interval_join_semi" -> { (s, dir) =>
+      val (res, _, _, _) =
+        Extras6.intervalJoinReplay(s, dir, joinType = "left_semi")
+      res },
+
     // Stream-stream FULL OUTER interval join — closes the outer-join
     // surface k28 opened: unmatched LEFT rows null-pad under k28's rule
     // (window closed at-or-below the final watermark, INCLUSIVE), while
@@ -200,6 +212,48 @@ object Extras9 {
       SELECT user_id, view_id, buy_id, view_ts, buy_ts FROM surv
       UNION ALL SELECT * FROM unmatched
       ORDER BY view_id, buy_id NULLS FIRST""",
+
+    // A left row is semi-emitted iff it has at least one SURVIVING pair
+    // under k20's cutoff model — EXISTS over the pairs CTE with the
+    // same three conditions, each left row at most once.
+    "k31_interval_join_semi" -> """
+      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+          user_id, event_type FROM events
+        WHERE event_type IN ('view', 'purchase')),
+      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+        FROM ev),
+      f AS (SELECT ev.*,
+          CASE WHEN event_id % 19 = 0
+            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
+            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
+          END AS fidx
+        FROM ev, bnds),
+      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
+        FROM f WHERE event_type = 'view'),
+      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
+        FROM f WHERE event_type = 'purchase'),
+      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
+      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
+      wmk AS (SELECT k AS fidx,
+          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
+                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
+            - INTERVAL 24 HOUR AS wprev
+        FROM range(4) t(k)),
+      pairs AS (SELECT l.user_id, l.view_id, l.view_ts, r.buy_ts,
+          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
+        FROM l JOIN r ON l.user_id = r.user_id
+          AND r.buy_ts >= l.view_ts
+          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
+      surv AS (SELECT DISTINCT user_id, view_id, view_ts
+        FROM pairs
+          JOIN wmk wm ON wm.fidx = pairs.m
+          JOIN wmk wb ON wb.fidx = pairs.bl
+        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
+          AND (wm.wprev IS NULL
+               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
+                   AND buy_ts >= wm.wprev)))
+      SELECT user_id, view_id, view_ts FROM surv
+      ORDER BY view_id""",
 
     // k28's model plus the symmetric unmatched-RIGHT rule: a purchase
     // that (a) passed its own-batch late filter, (b) has no surviving

@@ -170,6 +170,24 @@ class Round13Spec extends SparkSpec {
       "duplicate null-padded rows for one view")
   }
 
+  test("k31 semi replay == DISTINCT left rows of k20's inner output " +
+      "(each converting view exactly once, however many purchases hit)") {
+    val k20 = Extras6.intervalJoinReplay(spark, sf)._1.collect().toSeq
+    val k31 = SparkEntry.queries("k31_interval_join_semi")(spark, sf)
+      .collect().toSeq
+    val wantViews = k20.map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(3).getTime))
+      .distinct.sorted
+    val gotViews = k31.map(r =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime)).sorted
+    assert(gotViews === wantViews,
+      "semi emission set != distinct matched views of the inner join")
+    assert(k31.map(_.getLong(1)).distinct.size == k31.size,
+      "a view was semi-emitted more than once")
+    assert(k31.nonEmpty && k31.size < k20.size,
+      "fixture degenerate: no view had multiple purchases in-window")
+  }
+
   test("k29 update-mode aggregation: >=3 data batches, a key re-emits " +
       "across the batches it appears in — and ONLY those") {
     val (res, dataBatches, updateBatches) =
