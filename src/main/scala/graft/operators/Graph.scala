@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Graph analytics over relational edge tables. PageRank-style centrality
   * is a standard pretraining-data quality signal (host/domain importance
@@ -491,7 +492,7 @@ object Graph {
   def reachSketch(edges: DataFrame, seeds: DataFrame, k: Int = 3,
       m: Int = 64, edgesDeduped: Boolean = false,
       checkpoint: Boolean = true, intRegisters: Boolean = false,
-      deltaOnly: Boolean = false,
+      deltaOnly: Boolean = false, deltaActivation: Double = 0.02,
       changedCounts: Option[scala.collection.mutable.Buffer[Long]] = None)
       : DataFrame = {
     require(k >= 1 && m >= 1, s"k and m must be >= 1, got k=$k m=$m")
@@ -564,17 +565,28 @@ object Graph {
     // shuffle per hop, paid to shrink the E-row join, the right trade
     // whenever E >> V (this graph: E ≈ 13×V) and balls converge early.
     var changed = regs // hop 0: every node's row is new
-    // delta mode tracks |changed| (the checkpoint is already
-    // materialized, so the count is nearly free) both as telemetry and
-    // as the CONVERGENCE signal: once the changed set is EMPTY, every
-    // node's ball is its final reachable set — all remaining hops'
-    // registers equal the current ones, so the loop stops joining
-    // entirely and just re-reads the stable table per remaining dist.
-    // This is HyperBall's actual termination rule, and it is what makes
-    // delta mode pay on deep-k / until-convergence runs: past the
-    // graph's effective diameter a full hop still costs an E·m join,
-    // a converged delta hop costs one broadcast-seed read-off.
+    // Delta (systolic) mode is ADAPTIVE, the HyperBall shape: while the
+    // balls are still growing fast, a full hop is cheaper than paying a
+    // per-hop changed-set diff on ~every row, so the loop runs FULL hops
+    // and watches one cheap convergence scalar — the global register
+    // sum, a V-row map-side aggregate. Min-merge only ever lowers
+    // registers, so the scalar is non-increasing, and its RELATIVE drop
+    // bounds how much ball growth the hop bought. Once the drop falls to
+    // `deltaActivation` (or a hop leaves it unchanged), the loop
+    // switches — stickily — to systolic mode: compute the changed set
+    // (merged EXCEPT prev — a node-sized shuffle, now paid only near
+    // convergence), join only changed rows into later hops, and once the
+    // set is EMPTY stop joining entirely and re-read the stable table
+    // per remaining dist (HyperBall's termination rule). The heuristic
+    // can only mistime the SWITCH, never the values: propagating a
+    // superset of the changed rows is always correct (min is
+    // idempotent), so the output is bit-identical to the full recompute
+    // at any threshold — deltaActivation >= 1.0 forces systolic from
+    // hop 1 (the spec's mechanism probe), 0.0 disables it (pure full
+    // hops + early-stop never triggers).
+    var deltaActive = deltaOnly && deltaActivation >= 1.0
     var converged = false
+    var prevTotal: Option[java.math.BigDecimal] = None
     val ssum =
       if (intRegisters)
         // unpack both 31-bit lanes; m mins of < 2^31 total < 2^37
@@ -588,7 +600,7 @@ object Graph {
     val perHop = (1 to k).map { d =>
       if (converged) readOff(d)
       else {
-        val fromNbr = e.join(if (deltaOnly) changed else regs,
+        val fromNbr = e.join(if (deltaActive) changed else regs,
             col("dst") === col("node"))
           .select(col("src").as("node") +: rs: _*)
         val merged = cut(regs.unionByName(fromNbr)
@@ -596,10 +608,24 @@ object Graph {
           .agg(minFn(col("r0")).as("r0"),
             (1 until nCols).map(j => minFn(col(s"r$j")).as(s"r$j")): _*))
         if (deltaOnly && d < k) {
-          changed = cut(merged.except(regs))
-          val n = changed.count()
-          changedCounts.foreach(_ += n)
-          converged = n == 0L
+          if (!deltaActive && deltaActivation > 0.0) {
+            // V·m sums can pass 2^63 at the LONG register width — the
+            // scalar rides DECIMAL(38,0), exact and cheap at one row
+            val total = merged
+              .agg(sum(ssum.cast(DecimalType(38, 0))).as("t"))
+              .collect()(0).getDecimal(0)
+            deltaActive = prevTotal.exists { p =>
+              p.subtract(total).compareTo(p.multiply(
+                java.math.BigDecimal.valueOf(deltaActivation))) <= 0
+            }
+            prevTotal = Some(total)
+          }
+          if (deltaActive) {
+            changed = cut(merged.except(regs))
+            val n = changed.count()
+            changedCounts.foreach(_ += n)
+            converged = n == 0L
+          }
         }
         regs = merged
         readOff(d)

@@ -419,12 +419,17 @@ class Round13Spec extends SparkSpec {
     // take the read-off-only branch — the run must still emit all 5
     // dists with the stable registers, equal to the full recompute.
     val cc = scala.collection.mutable.Buffer.empty[Long]
-    def run(delta: Boolean) = graft.operators.Graph.reachSketch(
+    def run(delta: Boolean, activation: Double = 1.0) =
+      graft.operators.Graph.reachSketch(
         edges, seeds, k = 5, m = 8, intRegisters = true, deltaOnly = delta,
+        deltaActivation = activation,
         changedCounts = if (delta) Some(cc) else None)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
       .sortBy(t => (t._1, t._2))
     val full = run(false)
+    // activation 1.0 forces systolic mode from hop 1 — the pure-delta
+    // mechanism probe (the adaptive default would run full hops until
+    // the register-sum drop flattens)
     val dl = run(true)
     assert(dl === full, "delta propagation changed register values")
     assert(dl.map(_._2).distinct.sorted == Seq(1, 2, 3, 4, 5),
@@ -434,6 +439,12 @@ class Round13Spec extends SparkSpec {
     // recorded after it fires)
     assert(cc.toSeq == Seq(3L, 2L, 1L, 0L),
       s"changed-set trajectory diverged: $cc")
+    // the ADAPTIVE default must also be value-identical — the heuristic
+    // times the switch, never the values (a superset propagation is
+    // always correct)
+    cc.clear()
+    assert(run(true, activation = 0.02) === full,
+      "adaptive systolic switching changed register values")
     // sanity: the path graph's exact reach profile under a perfect
     // estimator would grow along the path; at m=8 just assert node 1's
     // estimate is non-decreasing with dist and node 4's is flat
