@@ -27,7 +27,8 @@ object SparkEntry {
     (Extras6.defs, Extras6.oracles),
     (Extras7.defs, Extras7.oracles),
     (Extras8.defs, Extras8.oracles),
-    (Extras9.defs, Extras9.oracles))
+    (Extras9.defs, Extras9.oracles),
+    (Extras10.defs, Extras10.oracles))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

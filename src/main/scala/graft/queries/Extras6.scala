@@ -366,33 +366,35 @@ object Extras6 {
       Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true)
     })
 
-  val oracles: Map[String, String] = Map(
-
-    // The same per-batch cutoff discipline k19 pinned (SPARK-40925: batch
-    // k's late filters use the PREVIOUS batch's watermark = the value
-    // eviction last applied; wprev(k) = cummax(file maxima over files <=
-    // k−2) − lateness), extended to the join's DUAL watermark: the global
-    // watermark is the MIN of the two sides' cummax file maxima − 24h.
-    // For a pair arriving at batches (bl, br) with m = max(bl, br), three
-    // conditions gate it — established empirically against the run (the
-    // uncorrected model missed exactly 5 pairs at sf0.01, all with a
-    // late-arriving left row):
-    //  1. the left row passes the PLAIN event-time late filter at its own
-    //     arrival batch: view_ts >= wprev(bl) — the join drops watermark-
-    //     late input rows outright, even when the left STATE watermark
-    //     (W − 48h, condition-adjusted) would still have kept them;
-    //  2. the left row survives state eviction until the pair completes:
-    //     view_ts + 48h > wprev(m) (left state evicts once no future
-    //     purchase can land inside [view_ts, view_ts + 48h));
-    //  3. the right row passes its late filter and survives until m:
-    //     buy_ts >= wprev(m) (the right state watermark carries no delta:
-    //     from buy_ts >= view_ts, a purchase below the watermark can
-    //     never match a future view) — this subsumes its own-batch filter
-    //     since wprev is monotone and br <= m.
-    // An inner join emits every match immediately, so there is no
-    // final-watermark cutoff on the output.
-    "k20_interval_join" -> """
-      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
+  /** The k20-family cutoff model as a shared DuckDB CTE prefix (ADVICE
+    * r13: it previously existed as four ~50-line copies across
+    * k20/k28/k30/k31 that could silently drift from the certified model
+    * — the r10 correction changed it once; now it exists ONCE and every
+    * family oracle interpolates it). Semantics — the same per-batch
+    * cutoff discipline k19 pinned (SPARK-40925: batch k's late filters
+    * use the PREVIOUS batch's watermark = the value eviction last
+    * applied; wprev(k) = cummax(file maxima over files <= k−2) −
+    * lateness), extended to the join's DUAL watermark: the global
+    * watermark is the MIN of the two sides' cummax file maxima − 24h.
+    * For a pair arriving at batches (bl, br) with m = max(bl, br), the
+    * `surv` CTE applies three conditions — established empirically
+    * against the run (the uncorrected model missed exactly 5 pairs at
+    * sf0.01, all with a late-arriving left row):
+    *  1. the left row passes the PLAIN event-time late filter at its own
+    *     arrival batch: view_ts >= wprev(bl) — the join drops watermark-
+    *     late input rows outright, even when the left STATE watermark
+    *     (W − 48h, condition-adjusted) would still have kept them;
+    *  2. the left row survives state eviction until the pair completes:
+    *     view_ts + 48h > wprev(m) (left state evicts once no future
+    *     purchase can land inside [view_ts, view_ts + 48h));
+    *  3. the right row passes its late filter and survives until m:
+    *     buy_ts >= wprev(m) (the right state watermark carries no delta:
+    *     from buy_ts >= view_ts, a purchase below the watermark can
+    *     never match a future view) — this subsumes its own-batch filter
+    *     since wprev is monotone and br <= m.
+    */
+  private[graft] val k20CutoffCtes: String = """
+      ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
           user_id, event_type FROM events
         WHERE event_type IN ('view', 'purchase')),
       bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
@@ -418,15 +420,35 @@ object Extras6 {
           l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
         FROM l JOIN r ON l.user_id = r.user_id
           AND r.buy_ts >= l.view_ts
-          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR)
+          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
+      surv AS (SELECT user_id, view_id, buy_id, view_ts, buy_ts
+        FROM pairs
+          JOIN wmk wm ON wm.fidx = pairs.m
+          JOIN wmk wb ON wb.fidx = pairs.bl
+        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
+          AND (wm.wprev IS NULL
+               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
+                   AND buy_ts >= wm.wprev)))"""
+
+  /** The replay's FINAL watermark (the AvailableNow no-data batch's value
+    * — min of the two sides' overall maxima − 24h lateness): the eviction
+    * cutoff the outer/chained family applies on top of [[k20CutoffCtes]].
+    */
+  private[graft] val k20WfinCte: String = """
+      wfin AS (SELECT least((SELECT max(mx) FROM lm),
+                            (SELECT max(mx) FROM rm))
+            - INTERVAL 24 HOUR AS wf)"""
+
+  val oracles: Map[String, String] = Map(
+
+    // The shared cutoff model's surviving-pair set IS the inner join's
+    // output: an inner join emits every match immediately, so there is
+    // no final-watermark cutoff on the output. (Model semantics: the
+    // [[k20CutoffCtes]] scaladoc.)
+    "k20_interval_join" -> s"""
+      WITH $k20CutoffCtes
       SELECT user_id, view_id, buy_id, view_ts, buy_ts
-      FROM pairs
-        JOIN wmk wm ON wm.fidx = pairs.m
-        JOIN wmk wb ON wb.fidx = pairs.bl
-      WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
-        AND (wm.wprev IS NULL
-             OR (view_ts + INTERVAL 48 HOUR > wm.wprev
-                 AND buy_ts >= wm.wprev))
+      FROM surv
       ORDER BY view_id, buy_id""",
 
     // Batch gaps-and-islands sessionization (q17's certified shape, 12h

@@ -72,6 +72,11 @@ object Extras9 {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // recentProgress is safe HERE (unlike the rocksdb-engagement signal
+      // ADVICE r12 moved to lastProgress-first): the ring buffer holds
+      // spark.sql.streaming.numRecentProgressUpdates entries (default
+      // 100), far above this replay's 4-5 batches, and the count is read
+      // strictly after awaitTermination() so no event is still in flight.
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       import scala.jdk.CollectionConverters._
       val updateBatches = scala.util.Using.resource(Files.list(out)) { st =>
@@ -150,109 +155,44 @@ object Extras9 {
         intRegisters = true, deltaOnly = true)
     })
 
-  val oracles: Map[String, String] = Map(
-
-    // The k20 cutoff model (late filters on the PREVIOUS batch's
-    // watermark, dual-side state survival — see Extras6's k20 comment)
-    // extended with the outer rule: a left row that (a) passed its
-    // own-batch late filter (so it entered state), (b) has NO surviving
-    // inner pair (the engine's per-row matched flag is set only when a
-    // join output was actually produced), and (c) was EVICTED below the
-    // final watermark (view_ts + 48h <= min-of-both-sides cummax − 24h;
-    // the AvailableNow no-data batch flushes eviction at the final
-    // watermark, and Round13Spec pins the <= comparator on an exact-ms
-    // tie) emits exactly one null-padded row. Left rows still live at
-    // termination emit nothing.
-    "k28_interval_join_outer" -> """
-      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
-          user_id, event_type FROM events
-        WHERE event_type IN ('view', 'purchase')),
-      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
-        FROM ev),
-      f AS (SELECT ev.*,
-          CASE WHEN event_id % 19 = 0
-            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
-            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
-          END AS fidx
-        FROM ev, bnds),
-      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
-        FROM f WHERE event_type = 'view'),
-      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
-        FROM f WHERE event_type = 'purchase'),
-      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
-      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
-      wmk AS (SELECT k AS fidx,
-          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
-                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
-            - INTERVAL 24 HOUR AS wprev
-        FROM range(4) t(k)),
-      wfin AS (SELECT least((SELECT max(mx) FROM lm),
-                            (SELECT max(mx) FROM rm))
-            - INTERVAL 24 HOUR AS wf),
-      pairs AS (SELECT l.user_id, l.view_id, r.buy_id, l.view_ts, r.buy_ts,
-          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
-        FROM l JOIN r ON l.user_id = r.user_id
-          AND r.buy_ts >= l.view_ts
-          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
-      surv AS (SELECT user_id, view_id, buy_id, view_ts, buy_ts
-        FROM pairs
-          JOIN wmk wm ON wm.fidx = pairs.m
-          JOIN wmk wb ON wb.fidx = pairs.bl
-        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
-          AND (wm.wprev IS NULL
-               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
-                   AND buy_ts >= wm.wprev))),
-      unmatched AS (SELECT l.user_id, l.view_id, NULL AS buy_id,
+  /** The unmatched-LEFT null-pad rule shared by k28/k30 (interpolated on
+    * top of [[Extras6.k20CutoffCtes]] + [[Extras6.k20WfinCte]]): a left
+    * row that (a) passed its own-batch late filter (so it entered
+    * state), (b) has NO surviving inner pair (the engine's per-row
+    * matched flag is set only when a join output was actually produced),
+    * and (c) was EVICTED below the final watermark — view_ts + 48h <=
+    * wf, the INCLUSIVE comparator Round13Spec pins on an exact-ms tie;
+    * the AvailableNow no-data batch flushes the eviction — emits exactly
+    * one null-padded row. Left rows still live at termination emit
+    * nothing.
+    */
+  private[graft] val unmatchedLeftCte: String = """
+      unmatched_l AS (SELECT l.user_id, l.view_id, NULL AS buy_id,
           l.view_ts, NULL AS buy_ts
         FROM l JOIN wmk wb ON wb.fidx = l.fidx, wfin
         WHERE (wb.wprev IS NULL OR l.view_ts >= wb.wprev)
           AND l.view_ts + INTERVAL 48 HOUR <= wfin.wf
           AND NOT EXISTS (SELECT 1 FROM surv
-                          WHERE surv.view_id = l.view_id))
+                          WHERE surv.view_id = l.view_id))"""
+
+  val oracles: Map[String, String] = Map(
+
+    // The shared k20 cutoff model (Extras6.k20CutoffCtes — one copy,
+    // ADVICE r13) extended with the outer rule (unmatchedLeftCte).
+    "k28_interval_join_outer" -> s"""
+      WITH ${Extras6.k20CutoffCtes},
+      ${Extras6.k20WfinCte},
+      $unmatchedLeftCte
       SELECT user_id, view_id, buy_id, view_ts, buy_ts FROM surv
-      UNION ALL SELECT * FROM unmatched
+      UNION ALL SELECT * FROM unmatched_l
       ORDER BY view_id, buy_id NULLS FIRST""",
 
     // A left row is semi-emitted iff it has at least one SURVIVING pair
-    // under k20's cutoff model — EXISTS over the pairs CTE with the
-    // same three conditions, each left row at most once.
-    "k31_interval_join_semi" -> """
-      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
-          user_id, event_type FROM events
-        WHERE event_type IN ('view', 'purchase')),
-      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
-        FROM ev),
-      f AS (SELECT ev.*,
-          CASE WHEN event_id % 19 = 0
-            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
-            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
-          END AS fidx
-        FROM ev, bnds),
-      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
-        FROM f WHERE event_type = 'view'),
-      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
-        FROM f WHERE event_type = 'purchase'),
-      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
-      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
-      wmk AS (SELECT k AS fidx,
-          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
-                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
-            - INTERVAL 24 HOUR AS wprev
-        FROM range(4) t(k)),
-      pairs AS (SELECT l.user_id, l.view_id, l.view_ts, r.buy_ts,
-          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
-        FROM l JOIN r ON l.user_id = r.user_id
-          AND r.buy_ts >= l.view_ts
-          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
-      surv AS (SELECT DISTINCT user_id, view_id, view_ts
-        FROM pairs
-          JOIN wmk wm ON wm.fidx = pairs.m
-          JOIN wmk wb ON wb.fidx = pairs.bl
-        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
-          AND (wm.wprev IS NULL
-               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
-                   AND buy_ts >= wm.wprev)))
-      SELECT user_id, view_id, view_ts FROM surv
+    // under the shared cutoff model — DISTINCT over surv's left columns,
+    // each left row at most once.
+    "k31_interval_join_semi" -> s"""
+      WITH ${Extras6.k20CutoffCtes}
+      SELECT DISTINCT user_id, view_id, view_ts FROM surv
       ORDER BY view_id""",
 
     // k28's model plus the symmetric unmatched-RIGHT rule: a purchase
@@ -261,53 +201,11 @@ object Extras9 {
     // for the right side is STRICT (buy_ts < wf; survival buy_ts >= W,
     // the k20 model's condition 3 comparator, pinned by Round13Spec's
     // tie probe) — emits one row with null view columns. The inner and
-    // unmatched-left parts are k28's verbatim.
-    "k30_interval_join_full" -> """
-      WITH ev AS (SELECT event_id, date_trunc('milliseconds', ts) AS ts,
-          user_id, event_type FROM events
-        WHERE event_type IN ('view', 'purchase')),
-      bnds AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
-        FROM ev),
-      f AS (SELECT ev.*,
-          CASE WHEN event_id % 19 = 0
-            THEN least(((epoch_us(ts) - mn) * 4) // (mx - mn + 1) + 2, 3)
-            ELSE ((epoch_us(ts) - mn) * 4) // (mx - mn + 1)
-          END AS fidx
-        FROM ev, bnds),
-      l AS (SELECT user_id, event_id AS view_id, ts AS view_ts, fidx
-        FROM f WHERE event_type = 'view'),
-      r AS (SELECT user_id, event_id AS buy_id, ts AS buy_ts, fidx
-        FROM f WHERE event_type = 'purchase'),
-      lm AS (SELECT fidx, max(view_ts) AS mx FROM l GROUP BY fidx),
-      rm AS (SELECT fidx, max(buy_ts) AS mx FROM r GROUP BY fidx),
-      wmk AS (SELECT k AS fidx,
-          least((SELECT max(mx) FROM lm WHERE lm.fidx <= k - 2),
-                (SELECT max(mx) FROM rm WHERE rm.fidx <= k - 2))
-            - INTERVAL 24 HOUR AS wprev
-        FROM range(4) t(k)),
-      wfin AS (SELECT least((SELECT max(mx) FROM lm),
-                            (SELECT max(mx) FROM rm))
-            - INTERVAL 24 HOUR AS wf),
-      pairs AS (SELECT l.user_id, l.view_id, r.buy_id, l.view_ts, r.buy_ts,
-          l.fidx AS bl, greatest(l.fidx, r.fidx) AS m
-        FROM l JOIN r ON l.user_id = r.user_id
-          AND r.buy_ts >= l.view_ts
-          AND r.buy_ts < l.view_ts + INTERVAL 48 HOUR),
-      surv AS (SELECT user_id, view_id, buy_id, view_ts, buy_ts
-        FROM pairs
-          JOIN wmk wm ON wm.fidx = pairs.m
-          JOIN wmk wb ON wb.fidx = pairs.bl
-        WHERE (wb.wprev IS NULL OR view_ts >= wb.wprev)
-          AND (wm.wprev IS NULL
-               OR (view_ts + INTERVAL 48 HOUR > wm.wprev
-                   AND buy_ts >= wm.wprev))),
-      unmatched_l AS (SELECT l.user_id, l.view_id, NULL AS buy_id,
-          l.view_ts, NULL AS buy_ts
-        FROM l JOIN wmk wb ON wb.fidx = l.fidx, wfin
-        WHERE (wb.wprev IS NULL OR l.view_ts >= wb.wprev)
-          AND l.view_ts + INTERVAL 48 HOUR <= wfin.wf
-          AND NOT EXISTS (SELECT 1 FROM surv
-                          WHERE surv.view_id = l.view_id)),
+    // unmatched-left parts are k28's shared CTEs.
+    "k30_interval_join_full" -> s"""
+      WITH ${Extras6.k20CutoffCtes},
+      ${Extras6.k20WfinCte},
+      $unmatchedLeftCte,
       unmatched_r AS (SELECT NULL AS user_id, NULL AS view_id, r.buy_id,
           NULL AS view_ts, r.buy_ts
         FROM r JOIN wmk wb ON wb.fidx = r.fidx, wfin

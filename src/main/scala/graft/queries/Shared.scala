@@ -154,9 +154,15 @@ private[graft] object Shared {
       val path = Files.createTempDirectory(s"graft-$key")
       // a failed build must not leak its half-written directory for the
       // process lifetime (ADVICE r12): it is neither cached nor tracked,
-      // so delete it here before rethrowing
+      // so delete it here before rethrowing. The cleanup's own failure
+      // (deleteTree swallows NonFatal but a fatal — e.g. an interrupt —
+      // can still escape) must not REPLACE the build failure as the
+      // surfaced root cause (ADVICE r13): attach it as suppressed.
       try build(path)
-      catch { case e: Throwable => deleteTree(path); throw e }
+      catch { case e: Throwable =>
+        try deleteTree(path)
+        catch { case c: Throwable if c ne e => e.addSuppressed(c) }
+        throw e }
       val prev = pathCache.putIfAbsent(k, path)
       if (prev != null) { deleteTree(path); prev }
       else { trackTempDir(app, path); path }

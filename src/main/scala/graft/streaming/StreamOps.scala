@@ -707,6 +707,19 @@ object StreamOps {
     * way. Same output-invariance argument, same lifecycle scaladoc as
     * the long twin; Round13Spec asserts the two variants agree on a
     * numeric-keyed fixture.
+    *
+    * ==Exact-string-form requirement (ADVICE r13)==
+    * Hot membership compares Spark's CANONICAL string rendering of the
+    * key column against the caller's literals. For a non-string key
+    * column the two can silently disagree — DECIMAL `1.00` renders as
+    * `"1.00"` not `"1"`, FLOAT/DOUBLE render with their own formatting —
+    * and a mismatched literal salts NOTHING: output stays correct (cold
+    * rows take salt 0 on both sides) but the skew collapse quietly
+    * disappears, exactly the stale-hot-set failure mode Round13Spec's
+    * drift probe measures. Pass literals in the column's canonical cast
+    * form (for integral keys, the plain digits the long twin would use);
+    * when in doubt use [[intervalJoinSaltedHot]] for integral keys or a
+    * genuinely StringType key column here.
     */
   def intervalJoinSaltedHotStr(left: DataFrame, right: DataFrame,
       keyL: String, keyR: String, timeL: String, timeR: String,
@@ -747,6 +760,34 @@ object StreamOps {
       s"$keyL = $keyR AND __salt_l = __salt_r AND " +
         s"$timeR >= $timeL AND $timeR < $timeL + INTERVAL $within"))
       .drop("__salt_l", "__salt_r")
+  }
+
+  /** The argument-swapped MIRROR of [[intervalJoin]] (k34): the interval
+    * anchors on the RIGHT side's time — `timeL in [timeR, timeR + within)`
+    * for the same key — so calling it with (purchases, views) and
+    * `joinType = "right_outer"` reproduces the k28 views-preserving outer
+    * join with the sides swapped: inner matches are the same pair set,
+    * and a right (view) row with no surviving match emits one null-padded
+    * row at state eviction. The preserved side's eviction rule follows
+    * its STATE-WATERMARK DERIVATION, not its join side: the view side's
+    * expiry is condition-derived (`timeR + within` vs the watermark) on
+    * either side of the join, so the mirror keeps k28's INCLUSIVE
+    * window-close comparator — Round14Spec pins the exact-ms tie on the
+    * swapped shape, and k34 certifies the full replay against k28's
+    * oracle verbatim. Same dual-watermark state bounds as the forward
+    * form (roles swapped: left state evicts at the watermark itself,
+    * right state at watermark − `within`).
+    */
+  def intervalJoinRightAnchor(left: DataFrame, right: DataFrame,
+      keyL: String, keyR: String, timeL: String, timeR: String,
+      within: String = "10 minutes",
+      lateness: String = "10 minutes",
+      joinType: String = "right_outer"): DataFrame = {
+    val l = left.withWatermark(timeL, lateness)
+    val r = right.withWatermark(timeR, lateness)
+    l.join(r, expr(
+      s"$keyL = $keyR AND $timeL >= $timeR AND " +
+        s"$timeL < $timeR + INTERVAL $within"), joinType)
   }
 
   /** Session windows (gap-based) per key — the streaming twin of the
