@@ -154,12 +154,18 @@ object Bench {
       try {
         val rows = Tables.load(spark, sfDir, "events").count()
         val t0 = System.nanoTime()
-        val q = graft.streaming.StreamOps.windowedCounts(
-            graft.streaming.StreamOps.replayStream(spark, sfDir))
-          .writeStream.format("noop")
-          .option("checkpointLocation", cpDir.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
+        // scale-adaptive state partitioning, the same discipline every
+        // k-family replay applies — see StreamOps.adaptiveStatePartitions
+        val q = graft.streaming.StreamOps.withStatePartitions(spark,
+            graft.streaming.StreamOps.pathBytes(
+              java.nio.file.Paths.get(sfDir, "events.parquet"))) {
+          graft.streaming.StreamOps.windowedCounts(
+              graft.streaming.StreamOps.replayStream(spark, sfDir))
+            .writeStream.format("noop")
+            .option("checkpointLocation", cpDir.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        }
         q.awaitTermination()
         rows / ((System.nanoTime() - t0) / 1e9)
       } catch {

@@ -93,13 +93,18 @@ object Extras10 {
       val glob = s"$src/e*.parquet"
       val stream = s.readStream.schema(s.read.parquet(glob).schema)
         .option("maxFilesPerTrigger", 1).parquet(glob)
-      val q = graft.streaming.StreamOps.dedupWithinWatermark(
-          stream, Seq("event_id"), timeCol = "ts", lateness = "24 hours")
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        graft.streaming.StreamOps.dedupWithinWatermark(
+            stream, Seq("event_id"), timeCol = "ts", lateness = "24 hours")
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val progress = q.recentProgress
       val dataBatches = progress.count(_.numInputRows > 0).toLong
@@ -159,11 +164,17 @@ object Extras10 {
         .agg(count(lit(1)).as("n_pairs"), max(col("buy_id")).as("max_buy"))
         .select(col("win.start").as("win_start"), col("cohort"),
           col("n_pairs"), col("max_buy"))
-      val q = agg.writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning (both stateful operators —
+      // the join and the windowed aggregate — share the count); see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(sliceRoot)) {
+        agg.writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val progress = q.recentProgress
       val dataBatches = progress.count(_.numInputRows > 0).toLong
@@ -210,11 +221,16 @@ object Extras10 {
           joinType = "right_outer")
         .select(col("user_id"), col("view_id"), col("buy_id"),
           col("view_ts"), col("buy_ts"))
-      val q = j.writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(sliceRoot)) {
+        j.writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val res = s.read.parquet(out.toString)
         .orderBy(col("view_id"), col("buy_id")).localCheckpoint()

@@ -108,16 +108,22 @@ object Extras7 {
         .select(col("user_id").as("userId"), col("event_id").as("eventId"),
           col("ts_us").as("tsUs"), col("value"))
         .as[graft.streaming.UserEvent]
-      val q = graft.streaming.StreamOps.userStatsTws(stream)
-        .toDF("user_id", "n_cum", "sum_cum_dec", "last_ts_us")
-        .select(col("user_id"), col("n_cum"),
-          col("sum_cum_dec").cast("double").as("sum_cum"),
-          col("last_ts_us"))
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions (per-store fixed commit cost;
+      // RocksDB pays it as one DB instance per state partition)
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        graft.streaming.StreamOps.userStatsTws(stream)
+          .toDF("user_id", "n_cum", "sum_cum_dec", "last_ts_us")
+          .select(col("user_id"), col("n_cum"),
+            col("sum_cum_dec").cast("double").as("sum_cum"),
+            col("last_ts_us"))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       val res = s.read.parquet(out.toString)
@@ -187,13 +193,17 @@ object Extras7 {
           col("ts"))
         .withWatermark("ts", "1 hour")
         .as[graft.streaming.UserTimedEvent]
-      val q = graft.streaming.StreamOps.firstSeenAlerts(stream)
-        .toDF("user_id", "alert_ts_ms")
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see k23's site above
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        graft.streaming.StreamOps.firstSeenAlerts(stream)
+          .toDF("user_id", "alert_ts_ms")
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       val res = s.read.parquet(out.toString)

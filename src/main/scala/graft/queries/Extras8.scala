@@ -59,13 +59,19 @@ object Extras8 {
         .select(col("user_id").as("userId"), col("event_id").as("eventId"),
           col("event_type").as("eventType"))
         .as[graft.streaming.TypedUserEvent]
-      val q = graft.streaming.StreamOps.typeCountsTws(stream)
-        .toDF("user_id", "batch_seq", "event_type", "n_cum", "max_eid_cum")
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        graft.streaming.StreamOps.typeCountsTws(stream)
+          .toDF("user_id", "batch_seq", "event_type", "n_cum",
+            "max_eid_cum")
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val dataBatches = q.recentProgress.count(_.numInputRows > 0).toLong
       import scala.jdk.CollectionConverters._

@@ -60,17 +60,22 @@ object Extras9 {
       val agg = stream.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_cum"),
           sum(col("value").cast(dec2)).as("sum_dec"))
-      val q = agg.writeStream.outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // no '=' in the dir name: partition inference would otherwise
-          // duplicate the explicit batch_id column on read-back
-          batch.select(col("user_id"), lit(batchId).as("batch_id"),
-              col("n_cum"), col("sum_dec").cast("double").as("sum_cum"))
-            .write.mode("overwrite").parquet(s"$out/b$batchId")
-        }
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        agg.writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // no '=' in the dir name: partition inference would otherwise
+            // duplicate the explicit batch_id column on read-back
+            batch.select(col("user_id"), lit(batchId).as("batch_id"),
+                col("n_cum"), col("sum_dec").cast("double").as("sum_cum"))
+              .write.mode("overwrite").parquet(s"$out/b$batchId")
+          }
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       // recentProgress is safe HERE (unlike the rocksdb-engagement signal
       // ADVICE r12 moved to lastProgress-first): the ring buffer holds

@@ -165,13 +165,19 @@ object KafkaParity {
       val out = java.nio.file.Files.createTempDirectory("graft-k18-out")
       val cp = java.nio.file.Files.createTempDirectory("graft-k18-cp")
       try {
-        val q = graft.streaming.StreamOps.windowedCounts(
-            graft.streaming.StreamOps.replayStream(s, dir))
-          .writeStream.format("parquet")
-          .option("path", out.toString)
-          .option("checkpointLocation", cp.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+        // scale-adaptive state partitioning — see
+        // StreamOps.adaptiveStatePartitions
+        val q = graft.streaming.StreamOps.withStatePartitions(s,
+            graft.streaming.StreamOps.pathBytes(
+              java.nio.file.Paths.get(dir, "events.parquet"))) {
+          graft.streaming.StreamOps.windowedCounts(
+              graft.streaming.StreamOps.replayStream(s, dir))
+            .writeStream.format("parquet")
+            .option("path", out.toString)
+            .option("checkpointLocation", cp.toString)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        }
         q.awaitTermination()
         // localCheckpoint pins the (window-count-sized) result in session
         // memory so the sink/checkpoint dirs can be deleted immediately —
@@ -284,12 +290,17 @@ object KafkaParity {
       val schema = s.read.parquet(glob).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(glob)
-      val q = graft.streaming.StreamOps.windowedCounts(stream)
-        .writeStream.format("parquet")
-        .option("path", out.toString)
-        .option("checkpointLocation", cp.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // scale-adaptive state partitioning — see
+      // StreamOps.adaptiveStatePartitions
+      val q = graft.streaming.StreamOps.withStatePartitions(s,
+          graft.streaming.StreamOps.pathBytes(src)) {
+        graft.streaming.StreamOps.windowedCounts(stream)
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       val progress = q.recentProgress
       val dataBatches = progress.count(_.numInputRows > 0).toLong

@@ -10,10 +10,13 @@ import org.apache.spark.sql.execution.FormattedMode
 object ProbeMain {
   def main(args: Array[String]): Unit = {
     val timing = sys.env.get("SPARK_GRAFT_PROBE").contains("time")
+    // stream mode measures the bench's exact conditions — same core count
+    // and therefore the same state-partition count as GraftSession default
+    val stream = sys.env.get("SPARK_GRAFT_PROBE").contains("stream")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-      if (timing) "/root/testdata/sf0.1" else "/root/testdata/sf0.01")
+      if (timing || stream) "/root/testdata/sf0.1" else "/root/testdata/sf0.01")
     val spark = GraftSession.create("probe",
-      if (timing) "32" else "8")
+      if (timing || stream) "32" else "8")
     // SPARK_GRAFT_PROBE=phase: split one invocation's wall-clock into
     // build/analyze/optimize/physical-plan/execute — separates fixed
     // driver-side planning cost (constant at any SF) from data cost.
@@ -31,6 +34,37 @@ object ProbeMain {
         df.count(); val exec = lap()
         println(f"PHASE $name build=$build%.2f analyze=$an%.2f " +
           f"optimize=$opt%.2f physical=$phys%.2f execute=$exec%.2f")
+      }
+      spark.stop(); return
+    }
+    // SPARK_GRAFT_PROBE=stream: run the named queries once with a
+    // StreamingQueryListener attached and dump every micro-batch's
+    // durationMs breakdown (triggerExecution / addBatch / getBatch /
+    // queryPlanning / walCommit / commitOffsets) plus state-operator
+    // commit times — the measurement tool for the k-family replay cost
+    // (guide §1: find where the ~13 s/replay actually goes before
+    // touching anything).
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("stream")) {
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit =
+          events.add(e.progress.json)
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      args.foreach { name =>
+        events.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"==== STREAM $name total=$sec%.2f s ====")
+        // listener delivery is async; give it a moment to drain
+        Thread.sleep(2000)
+        events.forEach(j => println(s"PROGRESS $j"))
       }
       spark.stop(); return
     }

@@ -266,4 +266,61 @@ class Round14Spec extends SparkSpec {
     assert(delta.map(_._2).distinct.sorted == (1 to 10).toSeq,
       "missing dist levels in the k=10 profile")
   }
+
+  test("adaptiveStatePartitions clamps between the floor and the " +
+      "session conf ceiling") {
+    // tiny input → the floor (multi-partition semantics stay exercised)
+    assert(StreamOps.adaptiveStatePartitions(spark, 1L) === 4)
+    assert(StreamOps.adaptiveStatePartitions(spark, 0L) === 4)
+    // huge input → the deployment's spark.sql.shuffle.partitions is the
+    // ceiling (production submit-conf behavior unchanged)
+    val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(StreamOps.adaptiveStatePartitions(spark, 100L << 40) === conf)
+    // mid-range: ceil(bytes / target), floor/ceiling aside
+    assert(StreamOps.adaptiveStatePartitions(spark, (64L << 20) * 3 + 1,
+      minPartitions = 1) === math.min(conf, 4))
+  }
+
+  test("withStatePartitions pins the streaming query's state-partition " +
+      "count from input size and restores the session conf") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val cp = java.nio.file.Files.createTempDirectory("graft-r14-adapt-cp")
+    try {
+      spark.conf.set(key, "16")
+      // a 1-byte "input": the adaptive count must be the floor (4),
+      // not the raised session value (16)
+      val q = StreamOps.withStatePartitions(spark, 1L) {
+        // conf is overridden INSIDE the scope…
+        assert(spark.conf.get(key) === "4")
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+          spark.sqlContext
+        val mem = MemoryStream[(java.sql.Timestamp, String)]
+        mem.addData((new java.sql.Timestamp(1700000000000L), "a"),
+          (new java.sql.Timestamp(1700000300000L), "b"))
+        StreamOps.windowedCounts(mem.toDF().toDF("timestamp", "key"))
+          .writeStream.format("noop")
+          .option("checkpointLocation", cp.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      try q.awaitTermination() finally q.stop()
+      // …and restored after — batch queries in the session are untouched
+      assert(spark.conf.get(key) === "16")
+      // the streaming agg materialized exactly 4 state partitions
+      import scala.jdk.CollectionConverters._
+      val stateDirs = scala.util.Using.resource(
+        java.nio.file.Files.list(cp.resolve("state").resolve("0"))) { st =>
+        st.iterator().asScala
+          .count(p => p.getFileName.toString.forall(_.isDigit))
+      }
+      assert(stateDirs === 4,
+        s"expected 4 state partitions, found $stateDirs")
+    } finally {
+      spark.conf.set(key, prev)
+      graft.queries.Shared.deleteTree(cp)
+    }
+  }
 }
