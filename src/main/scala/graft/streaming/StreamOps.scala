@@ -355,11 +355,14 @@ object StreamOps {
     */
   def adaptiveStatePartitions(s: SparkSession, inputBytes: Long,
       targetBytesPerPartition: Long = 64L << 20,
-      minPartitions: Int = 4): Int = {
-    val ceiling = s.conf.get("spark.sql.shuffle.partitions").toInt
-    math.max(1, math.min(ceiling, math.max(minPartitions,
-      math.ceil(inputBytes.toDouble / targetBytesPerPartition).toInt)))
-  }
+      minPartitions: Int = 4): Int =
+    // manual operational override (also how the before/after experiments
+    // force the pre-adaptive layout at any SF): when set, it wins verbatim
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+      val ceiling = s.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1, math.min(ceiling, math.max(minPartitions,
+        math.ceil(inputBytes.toDouble / targetBytesPerPartition).toInt)))
+    }
 
   /** Run `body` (typically `writeStream…start(); awaitTermination()`)
     * with `spark.sql.shuffle.partitions` set to
