@@ -13,7 +13,7 @@ object GraftSession {
   def create(appName: String = "graft",
       cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       : SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions",
@@ -25,7 +25,19 @@ object GraftSession {
       // unreadable without this flag (Tables.load converts the long back
       // to microsecond TIMESTAMP_NTZ); inert on microsecond fixtures.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // Experiment lever (probe/bench A-B runs, never set in production or
+    // CI): SPARK_GRAFT_CONF="key=value;key=value" applies arbitrary Spark
+    // confs at session build. Default (unset) changes nothing.
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => builder.config(k, v)
+          case _ => System.err.println(
+            s"[graft] ignoring malformed SPARK_GRAFT_CONF entry '$kv'")
+        }
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -36,10 +36,33 @@ private[graft] object Shared {
     * of silently vanishing under min-of-N — ADVICE r8).
     */
   def warmAll(s: SparkSession, dir: String): Unit = {
-    pairs(s, dir).count()
-    khop3(s, dir).count()
-    bpeMerges(s, dir).count()
-    Extras6.k20SliceRoot(s, dir)
+    // The four artifacts are independent (khop3's dependency on
+    // orderGraphEdges is internal to its own chain), and each build has
+    // long low-parallelism phases (driver-side planning, small tail
+    // stages) that leave most cores idle — so overlap them from a small
+    // thread pool (optimization-guide §2.6): FIFO scheduling backfills
+    // one build's stragglers with the next build's tasks. Measured
+    // 19.5 s sequential → see OPTIMIZATION_r15.md for the concurrent
+    // number. Builds stay deterministic and memo/memoDir are
+    // concurrent-safe (get-then-putIfAbsent), so the artifacts are
+    // byte-identical to the sequential build's.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = Seq(
+        Future { khop3(s, dir).count(); () },     // the longest chain
+        Future { pairs(s, dir).count(); () },
+        Future { bpeMerges(s, dir).count()
+                 Extras6.k20SliceRoot(s, dir); () })
+      // Wait for ALL before rethrowing: bailing on the first failure
+      // would leave the other builds racing a caller that already moved
+      // on to timed passes.
+      val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      results.foreach(_.get)
+    } finally pool.shutdown()
   }
 
   private val cache =

@@ -357,8 +357,18 @@ object StreamOps {
       targetBytesPerPartition: Long = 64L << 20,
       minPartitions: Int = 4): Int =
     // manual operational override (also how the before/after experiments
-    // force the pre-adaptive layout at any SF): when set, it wins verbatim
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+    // force the pre-adaptive layout at any SF): when set to a positive
+    // int, it wins verbatim; anything else (malformed, zero, negative —
+    // e.g. an env var leaking into sbt test) is rejected loudly and the
+    // adaptive value applies, rather than starting a broken query deep
+    // inside a replay (ADVICE r14).
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").flatMap { v =>
+      val parsed = v.toIntOption.filter(_ > 0)
+      if (parsed.isEmpty) System.err.println(
+        s"[graft] ignoring invalid SPARK_GRAFT_STREAM_SHUFFLE='$v' " +
+        "(need a positive int); using the adaptive value")
+      parsed
+    }.getOrElse {
       val ceiling = s.conf.get("spark.sql.shuffle.partitions").toInt
       math.max(1, math.min(ceiling, math.max(minPartitions,
         math.ceil(inputBytes.toDouble / targetBytesPerPartition).toInt)))
@@ -370,6 +380,13 @@ object StreamOps {
     * value after. The streaming query pins its state-partition count
     * from the session conf at `start()`, so scoping the override to the
     * replay leaves every batch query in the session untouched.
+    *
+    * NOT concurrency-safe (ADVICE r14): the override mutates the shared
+    * session conf for the duration of `body`, so a query started
+    * concurrently in the SAME SparkSession during that window would
+    * inherit the reduced count. Every caller today (bench, verify,
+    * tests) starts queries sequentially; a future concurrent harness
+    * must run each replay on `spark.newSession()` instead.
     */
   def withStatePartitions[T](s: SparkSession, inputBytes: Long)
       (body: => T): T = {
