@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType,
+  StructField, StructType}
 
 /** Graph analytics over relational edge tables. PageRank-style centrality
   * is a standard pretraining-data quality signal (host/domain importance
@@ -439,6 +440,157 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes")).withColumn("dist", lit(d))
     }
     levels.reduce(_ unionByName _)
+      .select(col("seed"), col("dist"), col("n_nodes"))
+  }
+
+  /** Scale-adaptive per-hop checkpoint policy for [[reachSketch]] —
+    * the batch analogue of the streaming
+    * [[graft.streaming.StreamOps.adaptiveStatePartitions]] discipline
+    * (optimization-guide §2: derive the layout decision from input size,
+    * not a constant tuned for either local mode or the cluster).
+    *
+    * Per-hop `localCheckpoint` buys constant lineage depth and hop reuse
+    * (hop d's table is read by hop d+1 AND its own read-off), at the
+    * price of one materialization JOB per hop — scheduling, a full
+    * block-manager write of V×(m+1) longs, and a plan/codegen round.
+    * Skipping it fuses the whole k-hop chain into one query whose
+    * read-offs re-execute shared hop prefixes (k(k+1)/2 hop-joins
+    * instead of k). Which side wins is a pure size question — measured
+    * on the order graph (k=3, m=64):
+    *
+    *   - sf0.1 (17 MB input, E=1.2M): cut 4.90 s vs NO-cut 2.09 s (2.3×)
+    *   - sf1  (178 MB input, E=12M):  cut 13.81 s vs NO-cut 5.05 s (2.7×)
+    *
+    * — per-hop fixed cost dominates hop compute through at least a
+    * decade of scale. The default threshold keeps checkpoints ON from
+    * ~1 GiB of input up (multi-TB production graphs, where re-executing
+    * a hop join is minutes and materializing V rows is not), and the
+    * caller's `deltaOnly` mode always forces them (the changed-set diff
+    * re-reads each hop's table — [[reachSketch]]'s own require). Output
+    * is invariant either way — the checkpoint is a lineage boundary,
+    * never a semantic. `SPARK_GRAFT_HOP_CHECKPOINT` (true/false)
+    * overrides for A/B experiments.
+    */
+  def adaptiveHopCheckpoint(inputBytes: Long,
+      thresholdBytes: Long = 1L << 30): Boolean =
+    sys.env.get("SPARK_GRAFT_HOP_CHECKPOINT").flatMap { v =>
+      val parsed = v.toBooleanOption
+      if (parsed.isEmpty) System.err.println(
+        s"[graft] ignoring invalid SPARK_GRAFT_HOP_CHECKPOINT='$v' " +
+        "(need true/false); using the adaptive value")
+      parsed
+    }.getOrElse(inputBytes > thresholdBytes)
+
+  /** [[kHopCounts]] with the per-seed reach sets held as BITMASK COLUMNS
+    * instead of (seed, node) rows — identical output, one decision per
+    * bit (optimization-guide §8: decide with small rows).
+    *
+    * The row form materializes every (seed, node) pair three times per
+    * hop: the frontier⋈edges join EXPLODES to |frontier|×avg-degree rows
+    * (22M at sf0.1 hop 3, from a 1.7M-pair frontier over 1.2M edges),
+    * then a distinct shuffles them, then a left_anti re-shuffles against
+    * the (growing) visited set — measured 1.0/1.8/3.2 s for hops 1/2/3
+    * at sf0.1. Here a node's reach-from-which-seeds set is ⌈S/64⌉ LONG
+    * words on ONE row per reached node, so a hop is: edges ⋈ ball on
+    * src (payload = the words, not pairs), `bit_or` partial-aggregated
+    * by dst (the dedup is the OR — map-side combined, nothing explodes),
+    * one V-row full_outer merge with the previous ball, and the newly-
+    * reached bits are `merged & ~previous` per word. Per-seed counts
+    * read off the new bits (set-bit explode of V rows, not E). State is
+    * V×⌈S/64⌉ longs — 64× smaller than the row form's pair set, and
+    * every shuffle is node-sized. The seed set is collected to the
+    * driver to assign bit positions (bounded: it is the caller's probe
+    * set, the same boundedness as the hot-key seed collects; it also
+    * fixes the column COUNT, which must be known at plan time).
+    *
+    * Output is bit-identical to [[kHopCounts]] — exact BFS both ways,
+    * same (seed, dist, n_nodes) rows, n_nodes > 0 only, seed not
+    * counted — Round15Spec asserts equality on the spec fixture and the
+    * sf0.001 order graph; the g07/g08/g18 oracles certify it end-to-end.
+    *
+    * `edgesDeduped = true` skips the defensive distinct for callers
+    * (Shared.orderGraphEdges) whose edge set is already DISTINCT and
+    * checkpointed — re-deduping a proven-distinct 100 TB edge table is a
+    * wasted shuffle (the [[reachSketch]] contract).
+    */
+  def kHopCountsBitset(edges: DataFrame, seeds: DataFrame, k: Int = 3,
+      edgesDeduped: Boolean = false, checkpoint: Boolean = true)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = edges.sparkSession
+    val seedArr: Array[Long] = seeds.select(col("seed").cast("long"))
+      .distinct().orderBy(col("seed")).collect().map(_.getLong(0))
+    val outSchema = StructType(Seq(
+      StructField("seed", LongType, nullable = false),
+      StructField("dist", IntegerType, nullable = false),
+      StructField("n_nodes", LongType, nullable = false)))
+    if (seedArr.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    val nW = (seedArr.length + 63) >>> 6
+    // checkpoint=false fuses the whole k-hop chain into one plan —
+    // read-offs re-execute shared hop prefixes, the right trade exactly
+    // when [[adaptiveHopCheckpoint]] says per-hop job overhead dominates
+    // hop compute (output invariant either way).
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(false) else df
+    val e = if (edgesDeduped) edges.select(col("src"), col("dst"))
+      else cut(edges.select(col("src"), col("dst")).distinct())
+    import spark.implicits._
+    // driver-local relation (the collected seed set) — no cut needed
+    val seedBits = seedArr.zipWithIndex.toSeq.toDF("seed", "bit")
+    val ws = (0 until nW).map(i => col(s"w$i"))
+    // hop-0 ball: each seed node carries exactly its own bit
+    var ball = seedBits.select(col("seed").as("node") +:
+      (0 until nW).map(i => expr(
+        s"CASE WHEN bit >= ${i * 64} AND bit < ${(i + 1) * 64} " +
+        s"THEN shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)) " +
+        s"ELSE CAST(0 AS BIGINT) END").as(s"w$i")): _*)
+    // only CHANGED nodes enter the hop join (the [[reachSketch]] delta
+    // argument, g22-certified shape): OR is idempotent, and a node whose
+    // mask changed at hop j propagates its full mask at hop j+1, so a
+    // node unchanged since hop j has already been merged into all its
+    // out-neighbors — bits still arrive exactly one hop after their
+    // source gains them, which is what keeps the BFS distances exact.
+    var changed = ball
+    val perHop = (1 to k).map { d =>
+      // candidate mask per dst: OR of in-neighbors' current balls — the
+      // dedup IS the OR, partial-aggregated map-side; nothing explodes
+      val orM = e.join(changed, e("src") === changed("node"))
+        .select(e("dst").as("node") +: ws: _*)
+        .groupBy(col("node"))
+        .agg(expr("bit_or(w0)").as("w0"),
+          (1 until nW).map(i => expr(s"bit_or(w$i)").as(s"w$i")): _*)
+      // merge with the previous ball; new bits = candidate & ~previous
+      val merged = cut(
+        ball.as("b").join(orM.as("o"), Seq("node"), "full_outer")
+          .select(col("node") +:
+            ((0 until nW).map(i => expr(
+                s"coalesce(b.w$i, CAST(0 AS BIGINT)) | " +
+                s"coalesce(o.w$i, CAST(0 AS BIGINT))").as(s"w$i")) ++
+             (0 until nW).map(i => expr(
+                s"coalesce(o.w$i, CAST(0 AS BIGINT)) & " +
+                s"~coalesce(b.w$i, CAST(0 AS BIGINT))").as(s"n$i"))): _*))
+      ball = merged.select(col("node") +: ws: _*)
+      changed = merged
+        .filter((0 until nW).map(i => col(s"n$i") =!= 0L).reduce(_ || _))
+        .select(col("node") +: ws: _*)
+      // per-seed counts of this hop's newly-set bits: set-bit explode of
+      // the (node-sized) new masks, then bit → seed via the index table
+      val newWords = (0 until nW).map(i => s"n$i").mkString(",")
+      val bitsOf =
+        s"filter(flatten(transform(sequence(0, ${nW - 1}), i -> " +
+        s"transform(sequence(0, 63), j -> CASE WHEN " +
+        s"(shiftright(element_at(array($newWords), i + 1), j) & 1) = 1 " +
+        s"THEN i * 64 + j ELSE -1 END))), x -> x >= 0)"
+      merged
+        .filter((0 until nW).map(i => col(s"n$i") =!= 0L).reduce(_ || _))
+        .select(explode(expr(bitsOf)).as("bit"))
+        .groupBy(col("bit")).agg(count(lit(1)).as("n_nodes"))
+        .join(broadcast(seedBits), "bit")
+        .select(col("seed"), lit(d).as("dist"), col("n_nodes"))
+    }
+    perHop.reduce(_ unionByName _)
       .select(col("seed"), col("dist"), col("n_nodes"))
   }
 

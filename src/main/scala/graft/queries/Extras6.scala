@@ -376,7 +376,15 @@ object Extras6 {
       val e = Shared.orderGraphEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
-      Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true)
+      // per-hop checkpoints follow input size (adaptiveHopCheckpoint
+      // scaladoc: cut 4.9 s vs fused 2.1 s at sf0.1, same 2.7× at sf1;
+      // multi-GB graphs keep the constant-lineage checkpoints)
+      Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true,
+        checkpoint = Graph.adaptiveHopCheckpoint(
+          graft.streaming.StreamOps.pathBytes(
+            java.nio.file.Paths.get(dir, "orders.parquet")) +
+          graft.streaming.StreamOps.pathBytes(
+            java.nio.file.Paths.get(dir, "lineitem.parquet"))))
     })
 
   /** The k20-family cutoff model as a shared DuckDB CTE prefix (ADVICE

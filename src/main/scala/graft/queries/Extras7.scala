@@ -232,8 +232,16 @@ object Extras7 {
       val e = Shared.orderGraphEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
+      // per-hop checkpoints follow input size — see g20 / the
+      // adaptiveHopCheckpoint scaladoc (3.37 s cut vs 2.14 s fused at
+      // sf0.1, same shape at sf1)
       Graph.reachSketch(e, seeds, k = 3, m = 64, edgesDeduped = true,
-        intRegisters = true)
+        intRegisters = true,
+        checkpoint = Graph.adaptiveHopCheckpoint(
+          graft.streaming.StreamOps.pathBytes(
+            java.nio.file.Paths.get(dir, "orders.parquet")) +
+          graft.streaming.StreamOps.pathBytes(
+            java.nio.file.Paths.get(dir, "lineitem.parquet"))))
     },
 
     // transformWithState under the oracle gate (VERDICT r10 item 4):

@@ -250,6 +250,18 @@ private[graft] object Shared {
       val e = orderGraphEdges(s, dir)
       val seeds = e.select(col("src").as("seed")).distinct()
         .filter(col("seed") < 1000000 && col("seed") % 100 === 0)
-      Graph.kHopCounts(e, seeds, k = 3).localCheckpoint()
+      // the BITSET form of the exact BFS (identical output, certified by
+      // Round15Spec + the g07/g08/g18 oracles): per-seed reach sets ride
+      // as mask columns, so no hop materializes (seed, node) pair rows —
+      // measured 4.5 s -> see OPTIMIZATION_r15.md. edgesDeduped:
+      // orderGraphEdges is DISTINCT and checkpointed by contract.
+      // Per-hop checkpoints stay ON here (unlike g20/g21's adaptive
+      // fuse): this build runs ONCE per session, COLD, and the fused
+      // plan's one-time analysis/codegen outweighs the checkpoint jobs
+      // at that temperature — measured cold 6.48 s (cut) vs 7.18 s
+      // (fused); warm inverts (4.03 vs 3.18) but warm never happens
+      // (memoized).
+      Graph.kHopCountsBitset(e, seeds, k = 3, edgesDeduped = true)
+        .localCheckpoint()
     }
 }

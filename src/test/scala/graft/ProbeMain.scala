@@ -199,6 +199,12 @@ object ProbeMain {
       }
       lap("khop3-full")(graft.operators.Graph.kHopCounts(e0, seeds, 3)
         .write.format("noop").mode("overwrite").save())
+      lap("khop3-bitset-cut")(graft.operators.Graph.kHopCountsBitset(
+          e0, seeds, 3, edgesDeduped = true)
+        .write.format("noop").mode("overwrite").save())
+      lap("khop3-bitset-fused")(graft.operators.Graph.kHopCountsBitset(
+          e0, seeds, 3, edgesDeduped = true, checkpoint = false)
+        .write.format("noop").mode("overwrite").save())
       spark.stop(); return
     }
     // SPARK_GRAFT_PROBE=reachprof: per-hop cost attribution for the
