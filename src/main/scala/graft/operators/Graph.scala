@@ -527,6 +527,16 @@ object Graph {
     if (seedArr.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
+    // width guard: past ~4096 seeds the mask spans > 64 word COLUMNS and
+    // wide-row codegen degrades (method-size splits, per-row copy cost
+    // grows with the full width even for sparse masks) — the row form is
+    // the right shape when the probe set itself is huge. Identical
+    // output either way; the fallback's defensive distinct is the price
+    // of its public contract.
+    if (seedArr.length > 4096)
+      return kHopCounts(edges, seeds, k)
+        .select(col("seed").cast("long").as("seed"), col("dist"),
+          col("n_nodes"))
     val nW = (seedArr.length + 63) >>> 6
     // checkpoint=false fuses the whole k-hop chain into one plan —
     // read-offs re-execute shared hop prefixes, the right trade exactly

@@ -57,6 +57,21 @@ class Round15Spec extends SparkSpec {
     assert(fused === want)
   }
 
+  test("kHopCountsBitset falls back to the row form past the 4096-seed " +
+      "width guard with identical output") {
+    import spark.implicits._
+    // a 2-node-per-seed forest: seed i -> i+100000, 4200 seeds crosses
+    // the guard; every seed reaches exactly one node at dist 1
+    val edges = (0L until 4200L).map(i => (i, i + 100000L))
+      .toDF("src", "dst")
+    val seeds = (0L until 4200L).toDF("seed")
+    val got = Graph.kHopCountsBitset(edges, seeds, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(got.size === 4200)
+    assert(got.forall { case (_, dist, n) => dist == 1 && n == 1L })
+  }
+
   test("kHopCountsBitset with an empty seed set returns an empty frame " +
       "with the (seed, dist, n_nodes) schema") {
     import spark.implicits._
